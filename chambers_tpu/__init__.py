@@ -1,0 +1,26 @@
+"""chambers_tpu — a TPU-native (JAX/XLA/Pallas) re-design of the Chambers library.
+
+Chambers (chjort/chambers) is a TF2/Keras utility library for image retrieval,
+deep metric learning, and vision transformers. chambers_tpu rebuilds the same
+capability surface TPU-first:
+
+- ``chambers_tpu.layers``       — transformer/attention/embedding/pooling layers
+  (Flax modules with the reference's per-head weight layout so released
+  checkpoints import deterministically).
+- ``chambers_tpu.augmentations`` — AutoAugment/RandAugment and the 16 image ops
+  as batched, branchless, on-device kernels keyed by ``jax.random`` PRNG keys.
+- ``chambers_tpu.models``       — ViT/DeiT/SENet/ResNeXt backbones + Seq2Seq
+  transformer.
+- ``chambers_tpu.losses`` / ``miners`` / ``metrics`` — dense-mask pair losses.
+- ``chambers_tpu.data``         — host-side P×K interleave pipeline feeding
+  device-side augmentation.
+- ``chambers_tpu.optimizers`` / ``schedules`` / ``callbacks`` / ``training`` —
+  optax-based AdamW/SGDW with regex decay masks, warmup schedules, and an
+  experiment harness.
+- ``chambers_tpu.parallel``     — ``jax.sharding`` mesh utilities for
+  data/model-parallel training over TPU slices.
+
+Reference parity notes cite ``/root/reference`` file:line in docstrings.
+"""
+
+__version__ = "0.1.0"

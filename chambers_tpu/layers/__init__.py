@@ -1,0 +1,23 @@
+from chambers_tpu.layers.attention import MultiHeadAttention, scaled_dot_product_attention
+from chambers_tpu.layers.transformer import Decoder, DecoderLayer, Encoder, EncoderLayer
+from chambers_tpu.layers.embedding import (
+    ConcatEmbedding,
+    LearnedEmbedding0D,
+    LearnedEmbedding1D,
+    PositionalEncoding1D,
+    PositionalEncoding2D,
+    positional_encoding_1d,
+    positional_encoding_2d,
+)
+from chambers_tpu.layers.normalization import L2Normalization, l2_normalize
+from chambers_tpu.layers.distance import (
+    AngularCosineSimilarity,
+    CosineSimilarity,
+    CubicCosineSimilarity,
+    L1Distance,
+    L2Distance,
+    SqrtCosineSimilarity,
+)
+from chambers_tpu.layers.pooling import GlobalGeneralizedMean, RoiPooling
+from chambers_tpu.layers.descriptors import RMAC, rmac_regions
+from chambers_tpu.layers import ops

@@ -1,0 +1,169 @@
+"""Multi-head attention with the Chambers per-head parameter layout.
+
+Parity: reference ``chambers/layers/attention.py``.
+
+The reference keeps per-head projection weights as rank-3 tensors —
+``w_query/w_key/w_value: (d, num_heads, head_dim)`` with biases
+``(num_heads, 1, head_dim)`` and an output projection
+``w_projection: (num_heads, d, head_dim)`` with bias ``(1, d)``
+(attention.py:51-97). That layout is a checkpoint-compatibility contract (the
+released ViT ``.h5`` weights are stored this way), so the Flax params here use
+the exact same names and shapes. On TPU the layout is also convenient: the
+``num_heads`` axis shards naturally over a ``model`` mesh axis for tensor
+parallelism.
+
+Compute is a single fused einsum per projection
+(``btd,dnh->bnth`` — attention.py:113-115) followed by scaled dot-product
+attention (attention.py:120-122, the ScaledAttention semantics of
+attention.py:7-23: scores divided by ``sqrt(head_dim)``) and the merge einsum
+``bnth,ndh->btd`` (attention.py:125).
+
+Mask semantics follow Keras ``Attention``: ``mask=[q_mask, v_mask]`` where
+``v_mask`` ([batch, tv] bool) suppresses keys with a large negative score
+bias, ``causal=True`` adds a lower-triangular mask, and ``q_mask``
+([batch, tq] bool) zeroes masked query outputs after the weighted sum.
+"""
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_MASK_BIAS = -1e9
+
+
+def scaled_dot_product_attention(
+    query,
+    value,
+    key=None,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    q_mask=None,
+    v_mask=None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng=None,
+    precision=None,
+):
+    """Scaled dot-product attention over ``[batch, heads, time, head_dim]``.
+
+    Functional core shared by :class:`MultiHeadAttention` and the models.
+    Scores are computed in float32 (``preferred_element_type``) for numerical
+    stability on the MXU regardless of the input dtype, then cast back.
+
+    :param query: ``[b, n, tq, h]``
+    :param value: ``[b, n, tv, h]``
+    :param key: ``[b, n, tv, h]``; defaults to ``value``.
+    :param scale: score divisor; defaults to ``sqrt(head_dim)``.
+    :param causal: apply a lower-triangular (autoregressive) mask.
+    :param q_mask: ``[b, tq]`` bool; zeroes outputs of masked queries.
+    :param v_mask: ``[b, tv]`` bool; excludes masked keys from the softmax.
+    :param dropout_rate: dropout on attention probabilities.
+    """
+    if key is None:
+        key = value
+    head_dim = query.shape[-1]
+    if scale is None:
+        scale = jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+
+    scores = jnp.einsum(
+        "bnqh,bnkh->bnqk", query, key, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    scores = scores / scale
+
+    if v_mask is not None:
+        bias = jnp.where(v_mask[:, None, None, :], 0.0, _MASK_BIAS)
+        scores = scores + bias
+    if causal:
+        tq, tv = scores.shape[-2], scores.shape[-1]
+        causal_mask = jnp.tril(jnp.ones((tq, tv), dtype=bool), k=tv - tq)
+        scores = jnp.where(causal_mask[None, None, :, :], scores, _MASK_BIAS)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+
+    probs = probs.astype(value.dtype)
+    out = jnp.einsum("bnqk,bnkh->bnqh", probs, value, precision=precision)
+
+    if q_mask is not None:
+        out = out * q_mask[:, None, :, None].astype(out.dtype)
+    return out
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention with ``(d, num_heads, head_dim)`` weight layout.
+
+    Call signature mirrors the reference: ``mha([q, v])`` or ``mha([q, v, k])``
+    with optional ``mask=[q_mask, v_mask]``.
+    """
+
+    head_dim: int = 64
+    num_heads: int = 8
+    dropout_rate: float = 0.1
+    causal: bool = False
+    kernel_init: Any = nn.initializers.glorot_uniform()
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jax.Array], mask=None, deterministic: bool = True):
+        q = inputs[0]
+        v = inputs[1]
+        k = inputs[2] if len(inputs) > 2 else v
+
+        d = q.shape[-1]
+        n, h = self.num_heads, self.head_dim
+        shape_qkv = (d, n, h)
+        shape_bias = (n, 1, h)
+
+        w_query = self.param("w_query", self.kernel_init, shape_qkv, self.param_dtype)
+        b_query = self.param("b_query", nn.initializers.zeros, shape_bias, self.param_dtype)
+        w_value = self.param("w_value", self.kernel_init, shape_qkv, self.param_dtype)
+        b_value = self.param("b_value", nn.initializers.zeros, shape_bias, self.param_dtype)
+        w_key = self.param("w_key", self.kernel_init, shape_qkv, self.param_dtype)
+        b_key = self.param("b_key", nn.initializers.zeros, shape_bias, self.param_dtype)
+        w_projection = self.param("w_projection", self.kernel_init, (n, d, h), self.param_dtype)
+        b_projection = self.param("b_projection", nn.initializers.zeros, (1, d), self.param_dtype)
+
+        dtype = self.dtype or q.dtype
+        q, v, k = (x.astype(dtype) for x in (q, v, k))
+
+        def project(x, w, b):
+            return jnp.einsum(
+                "btd,dnh->bnth", x, w.astype(dtype), precision=self.precision
+            ) + b.astype(dtype)
+
+        query = project(q, w_query, b_query)
+        value = project(v, w_value, b_value)
+        key = project(k, w_key, b_key)
+
+        q_mask, v_mask = (mask if mask is not None else (None, None))
+
+        dropout_rng = None
+        if self.dropout_rate > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+
+        attention = scaled_dot_product_attention(
+            query,
+            value,
+            key,
+            causal=self.causal,
+            q_mask=q_mask,
+            v_mask=v_mask,
+            dropout_rate=self.dropout_rate,
+            deterministic=deterministic,
+            dropout_rng=dropout_rng,
+            precision=self.precision,
+        )
+
+        x = jnp.einsum(
+            "bnth,ndh->btd", attention, w_projection.astype(dtype),
+            precision=self.precision,
+        ) + b_projection.astype(dtype)
+        return x

@@ -1,0 +1,29 @@
+"""Test configuration.
+
+Tests run on a CPU-simulated 8-device mesh so multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md §4: JAX makes multi-device tests
+cheap via ``xla_force_host_platform_device_count``). These env vars must be set
+before jax initializes its backends, which is why they live at module scope
+here.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The container's sitecustomize may import jax at interpreter startup (TPU
+# plugin registration), capturing JAX_PLATFORMS before this file runs — so the
+# platform must also be forced through the live config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
