@@ -1,0 +1,2 @@
+from chambers_tpu.models.model import Model
+from chambers_tpu.models.transformer import Seq2SeqTransformer

@@ -1,0 +1,93 @@
+"""Lightweight model wrapper bundling a Flax module with its variables.
+
+The reference returns built ``tf.keras.Model`` objects from its model
+builders (e.g. vision_transformer.py:288) — users call them directly, run
+``.predict``, and ``.load_weights``/``.save_weights``. JAX has no Keras, so
+this wrapper provides that thin user-facing surface over the idiomatic
+(module, variables) pair while keeping everything functional underneath:
+``model.apply_fn`` is a pure function suitable for ``jax.jit`` / ``pjit``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+
+class Model:
+    """Bundles ``(module, variables)`` with convenience inference methods."""
+
+    def __init__(
+        self,
+        module,
+        variables,
+        preprocess: Optional[Callable] = None,
+        name: Optional[str] = None,
+    ):
+        self.module = module
+        self.variables = variables
+        self.preprocess = preprocess
+        self.name = name or type(module).__name__
+        self._jit_apply = None
+
+    # -- functional surface -------------------------------------------------
+    @property
+    def params(self):
+        return self.variables.get("params", self.variables)
+
+    def apply_fn(self, variables, *args, **kwargs):
+        """Pure apply — use this under jit/pjit with explicit variables."""
+        return self.module.apply(variables, *args, **kwargs)
+
+    # -- eager convenience --------------------------------------------------
+    def __call__(self, x, training: bool = False, rngs=None):
+        deterministic = not training
+        return self.module.apply(
+            self.variables, x, deterministic=deterministic, rngs=rngs
+        )
+
+    def predict(self, x, batch_size: int = 32):
+        """Batched jitted inference over a host array (pads the tail batch)."""
+        if self._jit_apply is None:
+            self._jit_apply = jax.jit(
+                lambda v, b: self.module.apply(v, b, deterministic=True)
+            )
+        x = np.asarray(x)
+        n = x.shape[0]
+        n_batches = math.ceil(n / batch_size)
+        outs = []
+        for i in range(n_batches):
+            batch = x[i * batch_size: (i + 1) * batch_size]
+            pad = batch_size - batch.shape[0]
+            if pad:
+                batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)], 0)
+            out = self._jit_apply(self.variables, jnp.asarray(batch))
+            out = jax.tree.map(np.asarray, out)
+            if pad:
+                out = jax.tree.map(lambda o: o[: batch_size - pad], out)
+            outs.append(out)
+        return jax.tree.map(lambda *xs: np.concatenate(xs, 0), *outs)
+
+    def count_params(self) -> int:
+        return sum(int(p.size) for p in jax.tree.leaves(self.params))
+
+    # -- persistence --------------------------------------------------------
+    def save_weights(self, path: str):
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self.variables))
+
+    def load_weights(self, path: str):
+        with open(path, "rb") as f:
+            self.variables = serialization.from_bytes(self.variables, f.read())
+        self._jit_apply = None
+        return self
+
+    def replace_variables(self, variables) -> "Model":
+        self.variables = variables
+        self._jit_apply = None
+        return self

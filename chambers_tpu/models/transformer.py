@@ -1,0 +1,90 @@
+"""Token-level sequence-to-sequence transformer.
+
+Parity: reference ``chambers/models/transformer.py:9-56``: embedding with
+``mask_zero`` padding masks + sinusoidal positional encoding on both sides,
+post-norm Encoder, causal Decoder with cross-attention, Dense vocab head.
+
+Divergence (deliberate): the reference passes ``embed_dim`` positionally into
+``PositionalEncoding1D``'s ``temperature`` argument (models/transformer.py:26,
+40) — a bug that sets the sincos temperature to e.g. 512 instead of 10000.
+This build uses the standard temperature (SURVEY.md §2.4 flags the quirk as
+not-to-replicate).
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from chambers_tpu.layers.embedding import PositionalEncoding1D
+from chambers_tpu.layers.transformer import Decoder, Encoder
+
+
+class Seq2SeqTransformer(nn.Module):
+    input_vocab_size: int
+    output_vocab_size: int
+    embed_dim: int
+    num_heads: int
+    dim_feedforward: int
+    num_encoder_layers: int
+    num_decoder_layers: int
+    dropout_rate: float = 0.1
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        self.inputs_embed = nn.Embed(
+            self.input_vocab_size, self.embed_dim, dtype=self.dtype,
+            name="inputs_embed",
+        )
+        self.targets_embed = nn.Embed(
+            self.output_vocab_size, self.embed_dim, dtype=self.dtype,
+            name="targets_embed",
+        )
+        self.pos_encoding = PositionalEncoding1D()
+        self.encoder = Encoder(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            ff_dim=self.dim_feedforward,
+            num_layers=self.num_encoder_layers,
+            attention_dropout_rate=self.dropout_rate,
+            dense_dropout_rate=self.dropout_rate,
+            pre_norm=False,
+            dtype=self.dtype,
+            name="encoder",
+        )
+        self.decoder = Decoder(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            ff_dim=self.dim_feedforward,
+            num_layers=self.num_decoder_layers,
+            attention_dropout_rate=self.dropout_rate,
+            dense_dropout_rate=self.dropout_rate,
+            pre_norm=False,
+            norm_output=False,
+            causal=True,
+            dtype=self.dtype,
+            name="decoder",
+        )
+        self.vocab_head = nn.Dense(self.output_vocab_size, dtype=self.dtype)
+
+    def __call__(self, inputs, deterministic: bool = True):
+        """``inputs = [input_tokens, target_tokens]`` int arrays ``[b, t]``.
+
+        Token id 0 is padding (the reference's ``mask_zero=True``,
+        models/transformer.py:24,38).
+        """
+        tokens, targets = inputs
+        input_mask = tokens != 0
+        target_mask = targets != 0
+
+        x_enc = self.inputs_embed(tokens)
+        x_enc = self.pos_encoding(x_enc)
+        x_enc = self.encoder(x_enc, mask=input_mask, deterministic=deterministic)
+
+        x_dec = self.targets_embed(targets)
+        x_dec = self.pos_encoding(x_dec)
+        x_dec = self.decoder(
+            [x_dec, x_enc], mask=[target_mask, input_mask],
+            deterministic=deterministic,
+        )
+        return self.vocab_head(x_dec)
