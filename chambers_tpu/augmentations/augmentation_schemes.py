@@ -1,0 +1,236 @@
+"""AutoAugment / RandAugment policies as fused on-device transforms.
+
+Parity: reference ``chambers/augmentations/augmentation_schemes.py``. The
+policy V0 table (:12-39) and the magnitude→kwargs translators (:42-102) are
+reproduced value-for-value. ``_FILL_VALUE = 128``, nearest interpolation,
+``_MAX_MAGNITUDE = 10`` (:7-10).
+
+TPU redesign (BASELINE.json north star): policies run on device over whole
+uint8 batches. ``elementwise=True`` (recommended on TPU, and the default
+here — the reference defaulted to False only because per-image work was
+expensive under ``tf.map_fn``) gives every image its own sampled ops via
+compute-all-and-gather selection; ``elementwise=False`` reproduces the
+reference's whole-batch sampling via ``lax.switch``/``lax.cond`` — only the
+chosen branch executes.
+
+AutoAugment additionally deduplicates repeated (op, magnitude) instances
+across the 25 sub-policy pairs so the elementwise path computes each unique
+kernel once per stage instead of 25 times.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from chambers_tpu.augmentations import image_augmentations
+
+_INTERPOLATION_MODE = "nearest"
+_FILL_MODE = "constant"
+_FILL_VALUE = 128
+_MAX_MAGNITUDE = 10.0
+
+# [(Transform, Probability, Magnitude), (Transform, Probability, Magnitude)]
+_AUTO_AUGMENT_POLICY_V0 = [
+    [("Equalize", 0.8, None), ("ShearY", 0.8, 4)],
+    [("Color", 0.4, 9), ("Equalize", 0.6, None)],
+    [("Color", 0.4, 1), ("Rotate", 0.6, 8)],
+    [("Solarize", 0.8, 3), ("Equalize", 0.4, 7)],
+    [("Solarize", 0.4, 2), ("Solarize", 0.6, 2)],
+    [("Color", 0.2, 0), ("Equalize", 0.8, None)],
+    [("Equalize", 0.4, None), ("SolarizeAdd", 0.8, 3)],
+    [("ShearX", 0.2, 9), ("Rotate", 0.6, 8)],
+    [("Color", 0.6, 1), ("Equalize", 1.0, None)],
+    [("Invert", 0.4, None), ("Rotate", 0.6, 0)],
+    [("Equalize", 1.0, None), ("ShearY", 0.6, 3)],
+    [("Color", 0.4, 7), ("Equalize", 0.6, None)],
+    [("Posterize", 0.4, 6), ("AutoContrast", 0.4, None)],
+    [("Solarize", 0.6, 8), ("Color", 0.6, 9)],
+    [("Solarize", 0.2, 4), ("Rotate", 0.8, 9)],
+    [("Rotate", 1.0, 7), ("TranslateY", 0.8, 9)],
+    [("ShearX", 0.0, 0), ("Solarize", 0.8, 4)],
+    [("ShearY", 0.8, 0), ("Color", 0.6, 4)],
+    [("Color", 1.0, 0), ("Rotate", 0.6, 2)],
+    [("Equalize", 0.8, None), ("Equalize", 0.0, None)],
+    [("Equalize", 1.0, None), ("AutoContrast", 0.6, None)],
+    [("ShearY", 0.4, 7), ("SolarizeAdd", 0.6, 7)],
+    [("Posterize", 0.8, 2), ("Solarize", 0.6, 10)],
+    [("Solarize", 0.6, 8), ("Equalize", 0.6, 1)],
+    [("Color", 0.8, 6), ("Rotate", 0.4, 5)],
+]
+
+
+def _magnitude_to_enhance_kwargs(magnitude):
+    return {"factor": magnitude / _MAX_MAGNITUDE * 1.8 + 0.1}
+
+
+def _magnitude_to_shear_kwargs(magnitude):
+    return {
+        "level": magnitude / _MAX_MAGNITUDE * 0.3,
+        "interpolation": _INTERPOLATION_MODE,
+        "fill_mode": _FILL_MODE,
+        "fill_value": _FILL_VALUE,
+    }
+
+
+def _magnitude_to_translate_kwargs(magnitude):
+    return {
+        "pixels": magnitude / _MAX_MAGNITUDE * 100,
+        "interpolation": _INTERPOLATION_MODE,
+        "fill_mode": _FILL_MODE,
+        "fill_value": _FILL_VALUE,
+    }
+
+
+def _magnitude_to_posterize_kwargs(magnitude):
+    return {"bits": int(magnitude / _MAX_MAGNITUDE * 4)}
+
+
+def _magnitude_to_solarize_kwargs(magnitude):
+    return {"threshold": int(magnitude / _MAX_MAGNITUDE * 256)}
+
+
+def _magnitude_to_solarizeadd_kwargs(magnitude):
+    return {"addition": int(magnitude / _MAX_MAGNITUDE * 110)}
+
+
+def _magnitude_to_rotate_kwargs(magnitude):
+    return {
+        "degrees": magnitude / _MAX_MAGNITUDE * 30.0,
+        "interpolation": _INTERPOLATION_MODE,
+        "fill_mode": _FILL_MODE,
+        "fill_value": _FILL_VALUE,
+    }
+
+
+def _magnitude_to_cutout_kwargs(magnitude):
+    return {"mask_size": int(magnitude / _MAX_MAGNITUDE * 80),
+            "constant_values": _FILL_VALUE}
+
+
+_MAGNITUDE_FN_MAP = {
+    "AutoContrast": lambda magnitude: {},
+    "Equalize": lambda magnitude: {},
+    "Invert": lambda magnitude: {},
+    "Brightness": _magnitude_to_enhance_kwargs,
+    "Contrast": _magnitude_to_enhance_kwargs,
+    "Color": _magnitude_to_enhance_kwargs,
+    "Sharpness": _magnitude_to_enhance_kwargs,
+    "ShearX": _magnitude_to_shear_kwargs,
+    "ShearY": _magnitude_to_shear_kwargs,
+    "TranslateX": _magnitude_to_translate_kwargs,
+    "TranslateY": _magnitude_to_translate_kwargs,
+    "Posterize": _magnitude_to_posterize_kwargs,
+    "Solarize": _magnitude_to_solarize_kwargs,
+    "SolarizeAdd": _magnitude_to_solarizeadd_kwargs,
+    "CutOut": _magnitude_to_cutout_kwargs,
+    "Rotate": _magnitude_to_rotate_kwargs,
+}
+
+
+def _get_transform(transform_name, magnitude):
+    transform_cls = getattr(image_augmentations, transform_name)
+    kwargs = _MAGNITUDE_FN_MAP[transform_name](magnitude)
+    return transform_cls(**kwargs)
+
+
+class AutoAugment:
+    """Applies one random (chance₁∘chance₂) sub-policy pair per call
+    (augmentation_schemes.py:132-171)."""
+
+    def __init__(self, elementwise: bool = True):
+        self.elementwise = elementwise
+        # Deduplicate op instances: policy entries index into a unique table.
+        self._unique = {}  # (name, magnitude) -> index
+        self._ops = []
+        self.policies = []  # [((op_idx, p), (op_idx, p)), ...]
+        for (t1, p1, m1), (t2, p2, m2) in _AUTO_AUGMENT_POLICY_V0:
+            self.policies.append(
+                ((self._intern(t1, m1), p1), (self._intern(t2, m2), p2))
+            )
+
+    def _intern(self, name, magnitude):
+        key = (name, magnitude)
+        if key not in self._unique:
+            self._unique[key] = len(self._ops)
+            self._ops.append(_get_transform(name, magnitude))
+        return self._unique[key]
+
+    def __call__(self, images, key=None, training: bool = True):
+        if not training:
+            return images
+        if key is None:
+            raise ValueError("AutoAugment requires a PRNG `key` when training.")
+        key_policy, key_s1, key_s2 = jax.random.split(key, 3)
+        if self.elementwise:
+            return self._apply_elementwise(images, key_policy, key_s1, key_s2)
+        return self._apply_batch(images, key_policy, key_s1, key_s2)
+
+    def _apply_batch(self, images, key_policy, key_s1, key_s2):
+        idx = jax.random.randint(key_policy, (), 0, len(self.policies))
+
+        def make_branch(policy):
+            (op1, p1), (op2, p2) = policy
+
+            def branch(imgs, k1, k2):
+                c1 = image_augmentations.RandomChance(self._ops[op1], p1)
+                c2 = image_augmentations.RandomChance(self._ops[op2], p2)
+                return c2(c1(imgs, key=k1), key=k2)
+
+            return branch
+
+        branches = [make_branch(p) for p in self.policies]
+        return jax.lax.switch(idx, branches, images, key_s1, key_s2)
+
+    def _apply_elementwise(self, images, key_policy, key_s1, key_s2):
+        b = images.shape[0]
+        n_pol = len(self.policies)
+        policy_idx = jax.random.randint(key_policy, (b,), 0, n_pol)
+
+        for stage, stage_key in ((0, key_s1), (1, key_s2)):
+            # per-image op index and chance probability for this stage
+            op_of_policy = jnp.asarray([p[stage][0] for p in self.policies])
+            prob_of_policy = jnp.asarray(
+                [p[stage][1] for p in self.policies], jnp.float32
+            )
+            op_idx = op_of_policy[policy_idx]          # [b]
+            prob = prob_of_policy[policy_idx]          # [b]
+
+            key_chance, key_ops = jax.random.split(stage_key)
+            do = jax.random.uniform(key_chance, (b,)) < prob
+
+            op_keys = jax.random.split(key_ops, len(self._ops))
+            outs = jnp.stack(
+                [op(images, key=k) for op, k in zip(self._ops, op_keys)], axis=0
+            )  # [n_ops, b, h, w, c]
+            chosen = outs[op_idx, jnp.arange(b)]
+            images = jnp.where(do[:, None, None, None], chosen, images)
+        return images
+
+
+class RandAugment:
+    """N random ops at fixed magnitude M over the 16-op pool
+    (augmentation_schemes.py:175-225)."""
+
+    OP_NAMES = (
+        "AutoContrast", "Equalize", "Invert", "Brightness", "Contrast",
+        "Color", "Sharpness", "ShearX", "ShearY", "TranslateX", "TranslateY",
+        "Posterize", "Solarize", "SolarizeAdd", "CutOut", "Rotate",
+    )
+
+    def __init__(self, n_transforms: int, magnitude: float,
+                 elementwise: bool = True):
+        self.n_transforms = n_transforms
+        self.magnitude = magnitude
+        self.elementwise = elementwise
+        self.transforms = [_get_transform(n, magnitude) for n in self.OP_NAMES]
+        self._choice = image_augmentations.RandomChoice(
+            self.transforms, n_transforms=n_transforms, elementwise=elementwise
+        )
+
+    def __call__(self, images, key=None, training: bool = True):
+        if not training:
+            return images
+        if key is None:
+            raise ValueError("RandAugment requires a PRNG `key` when training.")
+        return self._choice(images, key=key)

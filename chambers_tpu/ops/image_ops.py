@@ -1,0 +1,399 @@
+"""Batched, branchless image-augmentation primitives for TPU.
+
+These are the device-side equivalents of the 16 AutoAugment/RandAugment ops of
+reference ``chambers/augmentations/image_augmentations.py`` (:63-507). The
+reference implements them as per-image TF/tfa CPU ops dispatched through
+``tf.cond``/``tf.map_fn``; here every op consumes a whole uint8 NHWC batch
+``[b, h, w, c]``, takes *per-image* parameter vectors where the reference used
+scalars, and lowers to pure XLA (elementwise VPU work + gathers) — no host
+round-trips, no data-dependent control flow (SURVEY.md §3.5 names this as the
+performance-critical redesign).
+
+uint8 semantics follow the reference exactly: blends compute in float32 and
+truncate back to uint8 (``tf.cast`` truncation, image_augmentations.py:28-49),
+clipping only on the extrapolation path.
+
+Geometry ops implement the tfa ``ImageProjectiveTransform`` contract: an
+8-parameter projective matrix maps *output* coordinates to input coordinates;
+out-of-bounds samples take the constant fill value.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_GRAY_WEIGHTS = np.array([0.299, 0.587, 0.114], np.float32)  # ITU-R 601
+
+
+# ---------------------------------------------------------------------------
+# blending / tonal ops
+# ---------------------------------------------------------------------------
+
+def blend(image1, image2, factor):
+    """Blend two uint8 images: ``image1 + factor * (image2 - image1)``.
+
+    ``factor`` may be a scalar or per-image ``[b]`` vector. Values in (0, 1)
+    interpolate (plain truncating cast — always in range); other values
+    extrapolate and clip to [0, 255] first (image_augmentations.py:28-49).
+    """
+    factor = jnp.asarray(factor, jnp.float32)
+    if factor.ndim == 1:
+        factor = factor[:, None, None, None]
+    img1 = image1.astype(jnp.float32)
+    img2 = image2.astype(jnp.float32)
+    temp = img1 + factor * (img2 - img1)
+    # The interpolation range check is static only for scalar factors; a
+    # single clip is semantically identical for in-range results.
+    return jnp.clip(temp, 0.0, 255.0).astype(jnp.uint8)
+
+
+def to_grayscale(images):
+    """RGB -> single-channel grayscale with tf.image.rgb_to_grayscale's exact
+    arithmetic: scale to [0, 1] float32, weighted sum, then TF's
+    ``convert_image_dtype`` float->uint8 contract — multiply by 255.5 and
+    truncate (saturating)."""
+    inv = jnp.float32(1.0) / jnp.float32(255.0)
+    unit = images.astype(jnp.float32) * inv
+    gray = jnp.tensordot(unit, jnp.asarray(_GRAY_WEIGHTS), axes=[[-1], [0]])
+    return (gray * jnp.float32(255.5)).clip(0, 255).astype(jnp.uint8)[..., None]
+
+
+def invert(images):
+    """255 - x (image_augmentations.py:107-116)."""
+    return 255 - images
+
+
+def solarize(images, threshold=128):
+    """Invert pixels >= threshold (image_augmentations.py:186-201)."""
+    threshold = _per_image(threshold, images)
+    return jnp.where(images < threshold, images, 255 - images)
+
+
+def solarize_add(images, addition=0, threshold=128):
+    """Add ``addition`` to pixels below ``threshold`` (image_augmentations.py:205-223)."""
+    addition = _per_image(addition, images)
+    threshold = _per_image(threshold, images)
+    x = images.astype(jnp.int32) + addition
+    x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+    return jnp.where(images < threshold, x, images)
+
+
+def posterize(images, bits):
+    """Keep the top ``bits`` bits of each pixel (image_augmentations.py:164-182).
+
+    ``bits`` may be per-image ``[b]``.
+    """
+    shift = 8 - _per_image(bits, images).astype(jnp.uint8)
+    return jnp.left_shift(jnp.right_shift(images, shift), shift)
+
+
+def autocontrast(images):
+    """Per-image per-channel rescale to the full [0, 255] range
+    (image_augmentations.py:63-90)."""
+    lo = jnp.min(images, axis=(1, 2)).astype(jnp.float32)  # [b, c]
+    hi = jnp.max(images, axis=(1, 2)).astype(jnp.float32)
+
+    denom = hi - lo
+    scale = jnp.where(denom > 0, 255.0 / jnp.where(denom == 0, 1.0, denom), 0.0)
+    offset = -lo * scale
+
+    mask = (hi > lo).astype(jnp.float32)
+    scale = scale * mask + (1 - mask)
+    offset = offset * mask
+
+    x = images.astype(jnp.float32) * scale[:, None, None, :] + offset[:, None, None, :]
+    return jnp.clip(x, 0.0, 255.0).astype(jnp.uint8)
+
+
+def brightness(images, factor):
+    """Blend with black (image_augmentations.py:277-293)."""
+    return blend(jnp.zeros_like(images), images, factor)
+
+
+def color(images, factor):
+    """Blend with the grayscale degenerate (image_augmentations.py:227-243)."""
+    degenerate = jnp.broadcast_to(to_grayscale(images), images.shape)
+    return blend(degenerate, images, factor)
+
+
+def contrast(images, factor):
+    """Blend with the mean-gray degenerate (image_augmentations.py:247-273).
+
+    Compatibility note: the reference computes the blend target as
+    ``sum(histogram) / 256`` — i.e. ``h*w/256``, *independent of pixel
+    content* (a bug vs. the original AutoAugment code, which averages actual
+    gray values). Replicated faithfully so outputs are bit-identical; pass
+    ``mean_mode="true"`` for the corrected content-dependent mean.
+    """
+    h, w = images.shape[1], images.shape[2]
+    mean = jnp.clip(jnp.asarray(h * w / 256.0, jnp.float32), 0.0, 255.0)
+    degenerate = jnp.full_like(images, mean.astype(jnp.uint8))
+    return blend(degenerate, images, factor)
+
+
+def contrast_true_mean(images, factor):
+    """Content-dependent contrast (the original AutoAugment formulation)."""
+    gray = to_grayscale(images).astype(jnp.float32)
+    mean = jnp.mean(gray, axis=(1, 2, 3))  # [b]
+    degenerate = jnp.broadcast_to(
+        jnp.round(mean)[:, None, None, None].clip(0, 255).astype(jnp.uint8),
+        images.shape,
+    )
+    return blend(degenerate, images, factor)
+
+
+def equalize(images):
+    """Per-channel histogram equalization (tfa.image.equalize semantics;
+    the AutoAugment-paper ``scale_channel`` algorithm).
+
+    Vectorized over batch and channels: scatter-add histograms, cumsum-based
+    LUT, batched gather — no per-image loop.
+    """
+    b, h, w, c = images.shape
+    flat = images.transpose(0, 3, 1, 2).reshape(b * c, h * w)  # [bc, hw]
+
+    # scatter-add histogram per (image, channel)
+    hist = jnp.zeros((b * c, 256), jnp.int32)
+    row_idx = jnp.repeat(jnp.arange(b * c), h * w)
+    hist = hist.at[row_idx, flat.reshape(-1).astype(jnp.int32)].add(1)
+
+    # count of the last nonzero bin
+    nonzero = hist > 0
+    last_idx = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)  # [bc]
+    last_count = jnp.take_along_axis(hist, last_idx[:, None], axis=1)[:, 0]
+
+    step = (jnp.sum(hist, axis=1) - last_count) // 255  # [bc]
+
+    # build LUT: lut[v] = (cumsum(hist)[v-1] + step//2) // step, lut[0] = 0
+    cums = jnp.cumsum(hist, axis=1)
+    shifted = jnp.concatenate(
+        [jnp.zeros((b * c, 1), jnp.int32), cums[:, :-1]], axis=1
+    )
+    safe_step = jnp.where(step == 0, 1, step)
+    lut = (shifted + (step // 2)[:, None]) // safe_step[:, None]
+    lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
+
+    eq = jnp.take_along_axis(lut, flat.astype(jnp.int32), axis=1)  # [bc, hw]
+    out = jnp.where((step == 0)[:, None], flat, eq)
+    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
+def sharpness(images, factor):
+    """Blend with a 3x3-smoothed degenerate; only the interior is smoothed
+    (tfa.image.sharpness semantics)."""
+    kernel = jnp.asarray(
+        [[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32
+    ) / 13.0
+    x = images.astype(jnp.float32)
+    c = images.shape[-1]
+    # depthwise 3x3 VALID conv
+    kernel4 = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))  # HWIO grouped
+    smoothed = jax.lax.conv_general_dilated(
+        x, kernel4,
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    smoothed = jnp.clip(smoothed, 0.0, 255.0)
+    degenerate = jnp.round(smoothed).astype(jnp.uint8)
+    # paste the smoothed interior back over the original
+    padded = jnp.pad(
+        jnp.ones_like(degenerate, jnp.bool_),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    padded_degenerate = jnp.pad(degenerate, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    result = jnp.where(padded, padded_degenerate, images)
+    return blend(result, images, factor)
+
+
+# ---------------------------------------------------------------------------
+# geometry ops — projective transform core
+# ---------------------------------------------------------------------------
+
+def transform(images, transforms, interpolation="nearest", fill_value=0.0):
+    """Apply per-image projective transforms (tfa.image.transform contract).
+
+    :param transforms: ``[8]`` or ``[b, 8]`` — ``[a0, a1, a2, b0, b1, b2,
+        c0, c1]`` mapping output ``(x, y)`` to input
+        ``((a0 x + a1 y + a2) / k, (b0 x + b1 y + b2) / k)`` with
+        ``k = c0 x + c1 y + 1``.
+    :param fill_value: constant fill for out-of-bounds samples.
+    """
+    b, h, w, c = images.shape
+    t = jnp.asarray(transforms, jnp.float32)
+    if t.ndim == 1:
+        t = jnp.broadcast_to(t[None], (b, 8))
+
+    ox = jnp.arange(w, dtype=jnp.float32)[None, None, :]  # [1, 1, w]
+    oy = jnp.arange(h, dtype=jnp.float32)[None, :, None]  # [1, h, 1]
+
+    a0, a1, a2 = t[:, 0, None, None], t[:, 1, None, None], t[:, 2, None, None]
+    b0, b1, b2 = t[:, 3, None, None], t[:, 4, None, None], t[:, 5, None, None]
+    c0, c1 = t[:, 6, None, None], t[:, 7, None, None]
+
+    k = c0 * ox + c1 * oy + 1.0
+    sx = (a0 * ox + a1 * oy + a2) / k  # [b, h, w]
+    sy = (b0 * ox + b1 * oy + b2) / k
+
+    batch_idx = jnp.arange(b)[:, None, None]
+    fill = jnp.asarray(fill_value, images.dtype)
+
+    if interpolation == "nearest":
+        ix = jnp.floor(sx + 0.5).astype(jnp.int32)
+        iy = jnp.floor(sy + 0.5).astype(jnp.int32)
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        ixc = jnp.clip(ix, 0, w - 1)
+        iyc = jnp.clip(iy, 0, h - 1)
+        gathered = images[batch_idx, iyc, ixc]  # [b, h, w, c]
+        return jnp.where(valid[..., None], gathered, fill)
+
+    if interpolation == "bilinear":
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        fx = (sx - x0)[..., None]
+        fy = (sy - y0)[..., None]
+
+        def tap(xi, yi):
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            g = images[batch_idx, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+            return jnp.where(
+                valid[..., None], g.astype(jnp.float32), jnp.float32(fill_value)
+            )
+
+        out = (
+            tap(x0, y0) * (1 - fx) * (1 - fy)
+            + tap(x0 + 1, y0) * fx * (1 - fy)
+            + tap(x0, y0 + 1) * (1 - fx) * fy
+            + tap(x0 + 1, y0 + 1) * fx * fy
+        )
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            out = jnp.round(jnp.clip(out, 0, 255))
+        return out.astype(images.dtype)
+
+    raise ValueError(f"Unknown interpolation '{interpolation}'")
+
+
+def _rotation_matrices(radians, h, w):
+    """tfa ``angles_to_projective_transforms``: rotation about image center."""
+    radians = jnp.atleast_1d(jnp.asarray(radians, jnp.float32))
+    cos, sin = jnp.cos(radians), jnp.sin(radians)
+    x_offset = ((w - 1) - (cos * (w - 1) - sin * (h - 1))) / 2.0
+    y_offset = ((h - 1) - (sin * (w - 1) + cos * (h - 1))) / 2.0
+    zeros = jnp.zeros_like(cos)
+    return jnp.stack(
+        [cos, -sin, x_offset, sin, cos, y_offset, zeros, zeros], axis=1
+    )
+
+
+def rotate(images, radians, interpolation="nearest", fill_value=0.0):
+    """Rotate about the center; ``radians`` scalar or per-image ``[b]``
+    (image_augmentations.py:120-160 via tfa.image.rotate)."""
+    h, w = images.shape[1], images.shape[2]
+    return transform(
+        images, _rotation_matrices(radians, h, w),
+        interpolation=interpolation, fill_value=fill_value,
+    )
+
+
+def shear_x(images, level, interpolation="nearest", fill_value=0.0):
+    """Horizontal shear (image_augmentations.py:316-355)."""
+    level = jnp.atleast_1d(jnp.asarray(level, jnp.float32))
+    zeros = jnp.zeros_like(level)
+    ones = jnp.ones_like(level)
+    t = jnp.stack([ones, level, zeros, zeros, ones, zeros, zeros, zeros], axis=1)
+    return transform(images, t, interpolation=interpolation, fill_value=fill_value)
+
+
+def shear_y(images, level, interpolation="nearest", fill_value=0.0):
+    """Vertical shear (image_augmentations.py:359-398)."""
+    level = jnp.atleast_1d(jnp.asarray(level, jnp.float32))
+    zeros = jnp.zeros_like(level)
+    ones = jnp.ones_like(level)
+    t = jnp.stack([ones, zeros, zeros, level, ones, zeros, zeros, zeros], axis=1)
+    return transform(images, t, interpolation=interpolation, fill_value=fill_value)
+
+
+def translate(images, translations, interpolation="nearest", fill_value=0.0):
+    """Translate by ``[dx, dy]`` (tfa convention: shifts the image content by
+    +dx/+dy; the projective matrix uses the negated values)."""
+    tr = jnp.asarray(translations, jnp.float32)
+    if tr.ndim == 1:
+        tr = jnp.broadcast_to(tr[None], (images.shape[0], 2))
+    zeros = jnp.zeros_like(tr[:, 0])
+    ones = jnp.ones_like(tr[:, 0])
+    t = jnp.stack(
+        [ones, zeros, -tr[:, 0], zeros, ones, -tr[:, 1], zeros, zeros], axis=1
+    )
+    return transform(images, t, interpolation=interpolation, fill_value=fill_value)
+
+
+def translate_x(images, pixels, interpolation="nearest", fill_value=0.0):
+    """Reference TranslateX: content moves by ``-pixels`` horizontally
+    (image_augmentations.py:419-427 passes ``[-pixels, 0]``)."""
+    pixels = jnp.atleast_1d(jnp.asarray(pixels, jnp.float32))
+    tr = jnp.stack([-pixels, jnp.zeros_like(pixels)], axis=1)
+    return transform(
+        images,
+        jnp.stack(
+            [jnp.ones_like(pixels), jnp.zeros_like(pixels), pixels,
+             jnp.zeros_like(pixels), jnp.ones_like(pixels), jnp.zeros_like(pixels),
+             jnp.zeros_like(pixels), jnp.zeros_like(pixels)], axis=1,
+        ),
+        interpolation=interpolation, fill_value=fill_value,
+    )
+
+
+def translate_y(images, pixels, interpolation="nearest", fill_value=0.0):
+    """Reference TranslateY: content moves by ``-pixels`` vertically."""
+    pixels = jnp.atleast_1d(jnp.asarray(pixels, jnp.float32))
+    return transform(
+        images,
+        jnp.stack(
+            [jnp.ones_like(pixels), jnp.zeros_like(pixels), jnp.zeros_like(pixels),
+             jnp.zeros_like(pixels), jnp.ones_like(pixels), pixels,
+             jnp.zeros_like(pixels), jnp.zeros_like(pixels)], axis=1,
+        ),
+        interpolation=interpolation, fill_value=fill_value,
+    )
+
+
+def cutout(images, key, mask_size, constant_values=0):
+    """Zero out a random square per image (tfa.image.random_cutout semantics:
+    uniform random centers, the mask clips at image borders).
+
+    ``mask_size`` is the full square side (must be even, like tfa).
+    """
+    b, h, w, _ = images.shape
+    half = mask_size // 2
+    key_y, key_x = jax.random.split(key)
+    cy = jax.random.randint(key_y, (b,), 0, h)
+    cx = jax.random.randint(key_x, (b,), 0, w)
+
+    rows = jnp.arange(h)[None, :, None]  # [1, h, 1]
+    cols = jnp.arange(w)[None, None, :]
+    in_y = (rows >= (cy[:, None, None] - half)) & (rows < (cy[:, None, None] + half))
+    in_x = (cols >= (cx[:, None, None] - half)) & (cols < (cx[:, None, None] + half))
+    mask = (in_y & in_x)[..., None]
+    fill = jnp.asarray(constant_values, images.dtype)
+    return jnp.where(mask, fill, images)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _per_image(value, images):
+    """Broadcast a scalar or [b] vector against [b, h, w, c] images."""
+    v = jnp.asarray(value)
+    if v.ndim == 1:
+        return v[:, None, None, None]
+    return v
+
+
+def random_sign(key, shape=()):
+    """±1 with equal probability (the reference's ``_randomly_negate_value``,
+    image_augmentations.py:52-56)."""
+    return jnp.where(jax.random.uniform(key, shape) < 0.5, -1.0, 1.0)
