@@ -1,0 +1,9 @@
+from chambers_tpu.losses.metric_learning import (
+    ContrastiveLoss,
+    MultiSimilarityLoss,
+    MultiSimilarityLossMatrix,
+    NTXentLoss,
+    PairLoss,
+    PairMatrixLoss,
+)
+from chambers_tpu.losses.categorical import soft_dice_coefficient

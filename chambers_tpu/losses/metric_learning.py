@@ -1,0 +1,262 @@
+"""Pair-based metric-learning losses (dense-mask formulation).
+
+Parity: reference ``chambers/losses/metric_learning.py``. The reference's
+pipeline (metric_learning.py:29-51) is: embeddings → dot-product similarity
+matrix → boolean pos/neg masks from label equality → optional diagonal /
+negative-label masking → *ragged* per-row pair sets → miner → per-row loss.
+
+Ragged tensors don't exist under XLA; every per-row reduction in the reference
+is a sum/max/min over the kept pairs, so the dense reformulation keeps the
+``[n, n]`` similarity matrix plus boolean masks and reduces with masked
+identities — exactly equivalent, including rows with zero valid pairs
+(ragged sum over an empty row = 0 → masked sum = 0). SURVEY.md §2.1 flags
+this rewrite as part of the behavioral contract.
+
+Conventions preserved:
+- label −1 marks "negative-only" triplet samples; ``ignore_negative_labels``
+  removes such *columns* from both masks (the reference's [n] & [n, n]
+  broadcast masks candidate columns, metric_learning.py:80-83).
+- ``ignore_diag`` removes mirror pairs (metric_learning.py:85-91).
+- ``__call__`` returns the scalar mean over rows (Keras ``Loss`` reduction);
+  ``call`` returns the per-row vector.
+"""
+
+from abc import ABC, abstractmethod
+
+import jax
+import jax.numpy as jnp
+
+from chambers_tpu.miners import MultiSimilarityMiner as _MSMiner
+
+_EPSILON = 1e-7  # keras backend epsilon
+_DEFAULT_MINER = object()  # sentinel: "use the class default miner"
+
+
+class PairLoss(ABC):
+    def __init__(self, ignore_diag=True, ignore_negative_labels=True, miner=None,
+                 name=None):
+        """
+        :param ignore_diag: ignore the diagonal (mirror) pairs of the
+            similarity matrix.
+        :param ignore_negative_labels: exclude samples with negative labels
+            from the candidate pairs.
+        :param miner: optional pair miner.
+        """
+        self.ignore_diag = ignore_diag
+        self.ignore_negative_labels = ignore_negative_labels
+        self.miner = miner
+        self.name = name
+
+    def __call__(self, y_true, y_pred):
+        return jnp.mean(self.call(y_true, y_pred))
+
+    def call(self, y_true, y_pred):
+        """Per-row loss vector ``[n]`` for labels ``[n]`` and embeddings
+        ``[n, d]`` (or a precomputed matrix for the Matrix variants)."""
+        y_true = jnp.asarray(y_true)
+        y_pred = jnp.asarray(y_pred)
+
+        similarity_matrix = self.compute_similarity_matrix(y_pred)
+        pos_mask, neg_mask = self.get_signed_masks(similarity_matrix, y_true)
+
+        if self.miner is not None:
+            pos_mask, neg_mask = self.miner(similarity_matrix, pos_mask, neg_mask)
+
+        return self.compute_loss(similarity_matrix, pos_mask, neg_mask)
+
+    def compute_similarity_matrix(self, y_pred):
+        """Dot-product similarity between all embedding pairs → ``[n, n]``."""
+        return jnp.matmul(y_pred, y_pred.T)
+
+    def compute_signed_masks(self, y_true):
+        labels = jnp.reshape(y_true, [-1, 1])
+        pos_mask = labels == labels.T
+        return pos_mask, ~pos_mask
+
+    def get_signed_masks(self, similarity_matrix, y_true):
+        pos_mask, neg_mask = self.compute_signed_masks(y_true)
+
+        if self.ignore_negative_labels:
+            # [n] & [n, n] broadcasts over rows -> masks *columns* with
+            # negative labels (metric_learning.py:80-83)
+            not_triplet_neg = jnp.reshape(y_true, [-1]) >= 0
+            pos_mask = pos_mask & not_triplet_neg
+            neg_mask = neg_mask & not_triplet_neg
+
+        if self.ignore_diag:
+            n, m = similarity_matrix.shape
+            inverse_eye = ~jnp.eye(n, m, dtype=bool)
+            pos_mask = pos_mask & inverse_eye
+            neg_mask = neg_mask & inverse_eye
+
+        return pos_mask, neg_mask
+
+    @abstractmethod
+    def compute_loss(self, similarity_matrix, positive_mask, negative_mask):
+        """Per-row loss from the similarity matrix and final pair masks."""
+        ...
+
+
+class PairMatrixLoss(PairLoss):
+    """Variant where ``y_pred`` is already a similarity matrix and ``y_true``
+    is a binary pair matrix (metric_learning.py:114-121)."""
+
+    def compute_similarity_matrix(self, y_pred):
+        return y_pred
+
+    def compute_signed_masks(self, y_true):
+        pos_mask = y_true.astype(bool)
+        return pos_mask, ~pos_mask
+
+    def get_signed_masks(self, similarity_matrix, y_true):
+        pos_mask, neg_mask = self.compute_signed_masks(y_true)
+        # ignore_negative_labels is meaningless for a binary pair matrix
+        if self.ignore_diag:
+            n, m = similarity_matrix.shape
+            inverse_eye = ~jnp.eye(n, m, dtype=bool)
+            pos_mask = pos_mask & inverse_eye
+            neg_mask = neg_mask & inverse_eye
+        return pos_mask, neg_mask
+
+
+class _MultiSimilarityMixin:
+    """MS loss (Wang et al. CVPR'19, arXiv:1904.06627):
+    softplus-of-sum-exp around threshold λ with scales α (pos) / β (neg)
+    (metric_learning.py:158-178)."""
+
+    def compute_loss(self, similarity_matrix, positive_mask, negative_mask):
+        pos_exp = jnp.exp(-self.pos_scale * (similarity_matrix - self.threshold))
+        neg_exp = jnp.exp(self.neg_scale * (similarity_matrix - self.threshold))
+
+        pos_sum = jnp.sum(jnp.where(positive_mask, pos_exp, 0.0), axis=1)
+        neg_sum = jnp.sum(jnp.where(negative_mask, neg_exp, 0.0), axis=1)
+
+        pos_loss = jnp.log1p(pos_sum) / self.pos_scale
+        neg_loss = jnp.log1p(neg_sum) / self.neg_scale
+        return pos_loss + neg_loss
+
+
+class MultiSimilarityLoss(_MultiSimilarityMixin, PairLoss):
+    def __init__(self, pos_scale=2.0, neg_scale=40.0, threshold=0.5,
+                 ignore_diag=True, ignore_negative_labels=True,
+                 miner=_DEFAULT_MINER, name="multi_similarity_loss"):
+        if miner is _DEFAULT_MINER:
+            miner = _MSMiner(margin=0.1)  # reference default, metric_learning.py:143
+        super().__init__(
+            ignore_diag=ignore_diag,
+            ignore_negative_labels=ignore_negative_labels,
+            miner=miner,
+            name=name,
+        )
+        self.pos_scale = pos_scale  # alpha
+        self.neg_scale = neg_scale  # beta
+        self.threshold = threshold  # lambda
+
+
+class MultiSimilarityLossMatrix(_MultiSimilarityMixin, PairMatrixLoss):
+    def __init__(self, pos_scale=2.0, neg_scale=40.0, threshold=0.5,
+                 ignore_diag=True, ignore_negative_labels=True,
+                 miner=_DEFAULT_MINER, name="multi_similarity_loss"):
+        if miner is _DEFAULT_MINER:
+            miner = _MSMiner(margin=0.1)
+        super().__init__(
+            ignore_diag=ignore_diag,
+            ignore_negative_labels=ignore_negative_labels,
+            miner=miner,
+            name=name,
+        )
+        self.pos_scale = pos_scale
+        self.neg_scale = neg_scale
+        self.threshold = threshold
+
+
+class ContrastiveLoss(PairLoss):
+    """Similarity-space contrastive loss (metric_learning.py:239-286):
+    positives below ``positive_margin`` and negatives above
+    ``negative_margin`` contribute, raised to ``exponent``."""
+
+    def __init__(self, positive_margin=1.0, negative_margin=0.3, exponent=2,
+                 ignore_diag=True, ignore_negative_labels=True, miner=None,
+                 name="contrastive_loss"):
+        super().__init__(
+            ignore_diag=ignore_diag,
+            ignore_negative_labels=ignore_negative_labels,
+            miner=miner,
+            name=name,
+        )
+        self.positive_margin = positive_margin
+        self.negative_margin = negative_margin
+        self.exponent = exponent
+
+    def compute_loss(self, similarity_matrix, positive_mask, negative_mask):
+        pos_pair_loss = (
+            jnp.power(self.positive_margin - similarity_matrix, self.exponent)
+            / self.exponent
+        )
+        pos_loss = jnp.sum(jnp.where(positive_mask, pos_pair_loss, 0.0), axis=1)
+
+        neg_pair_loss = (
+            jnp.power(
+                jnp.maximum(0.0, similarity_matrix - self.negative_margin),
+                self.exponent,
+            )
+            / self.exponent
+        )
+        neg_loss = jnp.sum(jnp.where(negative_mask, neg_pair_loss, 0.0), axis=1)
+
+        return pos_loss + neg_loss
+
+
+def categorical_crossentropy(y_true, y_pred, from_logits=False):
+    """Keras-semantics categorical crossentropy, mean over rows.
+
+    With ``from_logits=False`` predictions are renormalized to sum to 1 and
+    clipped to [eps, 1-eps] — required for NTXent parity with the reference's
+    ``tf.keras.losses.CategoricalCrossentropy``.
+    """
+    y_true = y_true.astype(jnp.float32)
+    if from_logits:
+        log_p = y_pred - jax.nn.logsumexp(y_pred, axis=-1, keepdims=True)
+    else:
+        p = y_pred / jnp.sum(y_pred, axis=-1, keepdims=True)
+        p = jnp.clip(p, _EPSILON, 1.0 - _EPSILON)
+        log_p = jnp.log(p)
+    return jnp.mean(-jnp.sum(y_true * log_p, axis=-1))
+
+
+class NTXentLoss:
+    """SimCLR-style NT-Xent (metric_learning.py:290-318): similarity matrix
+    over temperature, mirror pairs masked with −1e9, crossentropy against the
+    one-hot positive-pair matrix.
+
+    Usage note (inherited reference behavior): with the default
+    ``from_logits=False`` the raw similarity matrix is renormalized as if it
+    were probabilities — with the −1e9 diagonal this saturates the clip and
+    yields zero gradients. Pass ``from_logits=True`` for a trainable SimCLR
+    objective (softmax over similarities)."""
+
+    def __init__(self, temperature=1.0, from_logits=False, name=None):
+        self.temperature = temperature
+        self.from_logits = from_logits
+        self.name = name
+
+    def __call__(self, y_true, y_pred):
+        return self.call(y_true, y_pred)
+
+    def call(self, y_true, y_pred):
+        n = y_pred.shape[0]
+        similarity_matrix = self.compute_similarity_matrix(y_pred) / self.temperature
+        similarity_matrix = jnp.where(
+            jnp.eye(n, dtype=bool), -1e9, similarity_matrix
+        )
+
+        labels = jnp.reshape(y_true, [-1, 1])
+        y_onehot = (labels == labels.T).astype(jnp.int32)
+        y_onehot = jnp.where(jnp.eye(n, dtype=bool), 0, y_onehot)
+
+        return categorical_crossentropy(
+            y_onehot, similarity_matrix, from_logits=self.from_logits
+        )
+
+    def compute_similarity_matrix(self, y_pred):
+        return jnp.matmul(y_pred, y_pred.T)
