@@ -1,0 +1,17 @@
+from chambers_tpu.data.core import Dataset
+from chambers_tpu.data.dataset import (
+    InterleaveImageClassDataset,
+    InterleaveImageClassTripletDataset,
+    InterleaveImageTripletDataset,
+    SequentialImageDataset,
+    set_n_parallel,
+)
+from chambers_tpu.data.io import (
+    match_img_files,
+    match_img_files_triplet,
+    match_nested_set,
+    read_and_decode_image,
+    url_to_img,
+)
+from chambers_tpu.data.records import dataset_to_records, records_to_dataset
+from chambers_tpu.data.persist import load_dataset, save_dataset

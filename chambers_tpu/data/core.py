@@ -1,0 +1,329 @@
+"""Host-side dataset abstraction.
+
+The reference builds everything on ``tf.data.Dataset`` (C++ threadpool
+pipeline). This build has no TF dependency, so a minimal Dataset core provides
+the same combinator surface — ``from_tensor_slices`` / ``map`` / ``batch`` /
+``shuffle`` / ``repeat`` / ``take`` / ``interleave`` / ``flat_map`` /
+``prefetch`` — as composable Python iterables with NumPy elements, feeding
+device-side augmentation (SURVEY.md §7.5: "Grain or a small NumPy/threaded
+loader").
+
+Semantics mirror tf.data where behavior is observable in the reference's
+golden-sequence tests (test_units/data/test_dataset.py):
+
+- ``interleave(cycle_length=C, block_length=B)``: C concurrently-open child
+  iterators served round-robin, up to B elements per visit; an exhausted child
+  ends its block immediately and its slot is refilled from the next input
+  *before* the next visit (golden sequence test_dataset.py:124).
+- ``shuffle(buffer_size, seed, reshuffle_each_iteration)``: buffered
+  reservoir shuffle; with ``reshuffle_each_iteration=False`` every epoch
+  replays the same order (test_dataset.py:465-495). Randomness is
+  numpy-seeded — deterministic across runs, though not bit-identical to TF's
+  Philox sequence for the same seed.
+- ``map(num_parallel_calls=N)``: thread-pool map that preserves order
+  (deterministic like tf.data's default).
+
+Every dataset is re-iterable: each ``iter()`` restarts the pipeline (epoch
+counters advance shuffle reseeding exactly like tf.data).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+AUTOTUNE = -1
+
+
+class Dataset:
+    """A re-iterable pipeline of NumPy-element tuples."""
+
+    def __init__(self, gen_fn: Callable[[], Iterator], element_spec=None):
+        self._gen_fn = gen_fn
+        self.element_spec = element_spec
+
+    # -- constructors -------------------------------------------------------
+    @staticmethod
+    def from_tensor_slices(tensors) -> "Dataset":
+        """Slice a (possibly nested tuple of) array(s) along axis 0."""
+        if isinstance(tensors, tuple):
+            arrays = tuple(np.asarray(t) for t in tensors)
+            n = len(arrays[0])
+            for a in arrays:
+                if len(a) != n:
+                    raise ValueError("All inputs must have the same length.")
+
+            def gen():
+                for i in range(n):
+                    yield tuple(a[i] for a in arrays)
+
+        else:
+            array = np.asarray(tensors)
+
+            def gen():
+                yield from array
+
+        return Dataset(gen)
+
+    @staticmethod
+    def from_generator(gen_fn: Callable[[], Iterator]) -> "Dataset":
+        return Dataset(gen_fn)
+
+    @staticmethod
+    def range(*args) -> "Dataset":
+        return Dataset(lambda: iter(np.arange(*args)))
+
+    # -- combinators --------------------------------------------------------
+    def map(self, fn: Callable, num_parallel_calls: Optional[int] = None) -> "Dataset":
+        def gen():
+            it = self._iter_elements()
+            if not num_parallel_calls or num_parallel_calls == 0:
+                for el in it:
+                    yield _apply(fn, el)
+                return
+            workers = 8 if num_parallel_calls == AUTOTUNE else num_parallel_calls
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                window = workers * 2
+                futures = []
+                try:
+                    for el in itertools.islice(it, window):
+                        futures.append(pool.submit(_apply, fn, el))
+                    for el in it:
+                        done = futures.pop(0)
+                        futures.append(pool.submit(_apply, fn, el))
+                        yield done.result()
+                    for f in futures:
+                        yield f.result()
+                finally:
+                    for f in futures:
+                        f.cancel()
+
+        return Dataset(gen)
+
+    def batch(self, batch_size: int, drop_remainder: bool = False) -> "Dataset":
+        def gen():
+            buf = []
+            for el in self._iter_elements():
+                buf.append(el)
+                if len(buf) == batch_size:
+                    yield _stack(buf)
+                    buf = []
+            if buf and not drop_remainder:
+                yield _stack(buf)
+
+        return Dataset(gen)
+
+    def unbatch(self) -> "Dataset":
+        def gen():
+            for el in self._iter_elements():
+                if isinstance(el, tuple):
+                    n = len(el[0])
+                    for i in range(n):
+                        yield tuple(np.asarray(part)[i] for part in el)
+                else:
+                    yield from np.asarray(el)
+
+        return Dataset(gen)
+
+    def shuffle(self, buffer_size: int, seed: Optional[int] = None,
+                reshuffle_each_iteration: bool = True) -> "Dataset":
+        epoch_counter = itertools.count()
+
+        def gen():
+            epoch = next(epoch_counter)
+            if seed is None:
+                rng = np.random.RandomState()
+            elif reshuffle_each_iteration:
+                rng = np.random.RandomState((seed + epoch) % (2 ** 31))
+            else:
+                rng = np.random.RandomState(seed)
+
+            buf = []
+            for el in self._iter_elements():
+                buf.append(el)
+                if len(buf) >= buffer_size:
+                    idx = rng.randint(len(buf))
+                    buf[idx], buf[-1] = buf[-1], buf[idx]
+                    yield buf.pop()
+            while buf:
+                idx = rng.randint(len(buf))
+                buf[idx], buf[-1] = buf[-1], buf[idx]
+                yield buf.pop()
+
+        return Dataset(gen)
+
+    def repeat(self, count: Optional[int] = None) -> "Dataset":
+        def gen():
+            if count is None or count == -1:
+                while True:
+                    yield from self._iter_elements()
+            else:
+                for _ in range(count):
+                    yield from self._iter_elements()
+
+        return Dataset(gen)
+
+    def take(self, count: int) -> "Dataset":
+        def gen():
+            yield from itertools.islice(self._iter_elements(), count)
+
+        return Dataset(gen)
+
+    def skip(self, count: int) -> "Dataset":
+        def gen():
+            it = self._iter_elements()
+            next(itertools.islice(it, count, count), None)
+            yield from it
+
+        return Dataset(gen)
+
+    def concatenate(self, other: "Dataset") -> "Dataset":
+        def gen():
+            yield from self._iter_elements()
+            yield from other._iter_elements()
+
+        return Dataset(gen)
+
+    def flat_map(self, fn: Callable[..., "Dataset"]) -> "Dataset":
+        def gen():
+            for el in self._iter_elements():
+                yield from _apply(fn, el)._iter_elements()
+
+        return Dataset(gen)
+
+    def interleave(self, fn: Callable[..., "Dataset"], cycle_length: int,
+                   block_length: int = 1,
+                   num_parallel_calls: Optional[int] = None) -> "Dataset":
+        """tf.data interleave semantics (see module docstring).
+
+        ``num_parallel_calls`` is accepted for API parity; child pipelines are
+        driven eagerly enough by ``prefetch`` that separate worker scheduling
+        is unnecessary here.
+        """
+
+        def gen():
+            inputs = self._iter_elements()
+            slots: list = []  # open child iterators
+            exhausted_inputs = False
+
+            def refill():
+                nonlocal exhausted_inputs
+                while len(slots) < cycle_length and not exhausted_inputs:
+                    try:
+                        el = next(inputs)
+                    except StopIteration:
+                        exhausted_inputs = True
+                        return
+                    slots.append(_apply(fn, el)._iter_elements())
+
+            refill()
+            pos = 0
+            while slots:
+                if pos >= len(slots):
+                    pos = 0
+                child = slots[pos]
+                emitted = 0
+                dead = False
+                while emitted < block_length:
+                    try:
+                        yield next(child)
+                        emitted += 1
+                    except StopIteration:
+                        dead = True
+                        break
+                if dead:
+                    # pop shifts the next child into this index; a refill
+                    # appends the fresh iterator at the cycle's tail (it waits
+                    # its turn, matching tf.data's slot replacement order)
+                    slots.pop(pos)
+                    refill()
+                else:
+                    pos += 1
+
+        return Dataset(gen)
+
+    def prefetch(self, buffer_size: int = AUTOTUNE) -> "Dataset":
+        depth = 8 if buffer_size in (None, AUTOTUNE) else buffer_size
+
+        def gen():
+            q: queue.Queue = queue.Queue(maxsize=depth)
+            sentinel = object()
+            error_holder = []
+
+            def producer():
+                try:
+                    for el in self._iter_elements():
+                        q.put(el)
+                except BaseException as e:  # propagate to consumer
+                    error_holder.append(e)
+                finally:
+                    q.put(sentinel)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            while True:
+                el = q.get()
+                if el is sentinel:
+                    if error_holder:
+                        raise error_holder[0]
+                    return
+                yield el
+
+        return Dataset(gen)
+
+    def filter(self, predicate: Callable) -> "Dataset":
+        def gen():
+            for el in self._iter_elements():
+                if _apply(predicate, el):
+                    yield el
+
+        return Dataset(gen)
+
+    def cache(self) -> "Dataset":
+        storage: list = []
+        done = threading.Event()
+
+        def gen():
+            if done.is_set():
+                yield from storage
+                return
+            for el in self._iter_elements():
+                storage.append(el)
+                yield el
+            done.set()
+
+        return Dataset(gen)
+
+    # -- consumption --------------------------------------------------------
+    def _iter_elements(self) -> Iterator:
+        return iter(self._gen_fn())
+
+    def __iter__(self) -> Iterator:
+        return self._iter_elements()
+
+    def as_numpy_iterator(self) -> Iterator:
+        return self._iter_elements()
+
+    def cardinality(self) -> int:
+        """-2 (unknown); provided for API familiarity."""
+        return -2
+
+
+def _apply(fn, el):
+    if isinstance(el, tuple):
+        return fn(*el)
+    return fn(el)
+
+
+def _stack(elements: Sequence[Any]):
+    first = elements[0]
+    if isinstance(first, tuple):
+        return tuple(
+            np.stack([np.asarray(e[i]) for e in elements]) for i in range(len(first))
+        )
+    return np.stack([np.asarray(e) for e in elements])

@@ -1,0 +1,106 @@
+"""Image file matching and decoding (host side).
+
+Parity: reference ``chambers/data/io.py``. File matching reproduces
+``tf.io.matching_files`` over per-extension patterns: results are grouped by
+extension in ``VALID_IMAGE_EXTENSIONS`` order, sorted within each pattern
+(io.py:42-49). Decoding uses PIL instead of ``tf.image.decode_image``.
+"""
+
+import glob
+import os
+from io import BytesIO
+from urllib.request import Request, urlopen
+
+import numpy as np
+
+VALID_IMAGE_EXTENTIONS = [
+    "jpg", "jpeg", "png", "bmp", "gif",
+    "JPG", "JPEG", "PNG", "BMP", "GIF",
+]
+# Keep the reference's (misspelled) public name and a corrected alias.
+VALID_IMAGE_EXTENSIONS = VALID_IMAGE_EXTENTIONS
+
+
+def match_nested_set(path):
+    """Glob the class subdirectories of ``path`` (io.py:28-29)."""
+    return glob.glob(os.path.join(path, "*/"))
+
+
+def match_img_files(dir_path):
+    """All image files in a directory, grouped by extension pattern, each
+    group sorted (tf.io.matching_files semantics).
+
+    :return: list of file-path strings.
+    """
+    dir_path = str(dir_path)
+    if not dir_path.endswith("/"):
+        dir_path = dir_path + "/"
+    files = []
+    for ext in VALID_IMAGE_EXTENTIONS:
+        files.extend(sorted(glob.glob(dir_path + f"*.{ext}")))
+    return files
+
+
+def match_img_files_triplet(dir_path):
+    """Image files of the ``anchor/``, ``positive/``, ``negative/`` subdirs.
+
+    :return: (anchor_files, positive_files, negative_files) lists.
+    """
+    dir_path = str(dir_path)
+    if not dir_path.endswith("/"):
+        dir_path = dir_path + "/"
+    return (
+        match_img_files(dir_path + "anchor"),
+        match_img_files(dir_path + "positive"),
+        match_img_files(dir_path + "negative"),
+    )
+
+
+def read_and_decode_image(file, channels=3):
+    """Read + decode an image file to a uint8 ``[h, w, channels]`` array.
+
+    Supports png/jpeg/bmp/gif (first frame — the reference's
+    ``expand_animations=False``).
+    """
+    from PIL import Image
+
+    with Image.open(os.fspath(file)) as img:
+        if getattr(img, "is_animated", False):
+            img.seek(0)
+        if channels == 3:
+            img = img.convert("RGB")
+        elif channels == 1:
+            img = img.convert("L")
+        elif channels == 4:
+            img = img.convert("RGBA")
+        arr = np.asarray(img, np.uint8)
+    if channels == 1 and arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
+def open_url(url):
+    headers = {
+        "User-Agent": "Mozilla/5.0 (Windows NT 6.1) AppleWebKit/537.36 "
+                      "(KHTML, like Gecko) Chrome/41.0.2228.0 Safari/537.3"
+    }
+    return urlopen(Request(url, headers=headers))
+
+
+def read_url_bytes(url):
+    return open_url(url).read()
+
+
+def url_to_img(url, channels=3):
+    """Fetch an image over HTTP and decode it (io.py:100-105)."""
+    from PIL import Image
+
+    img = Image.open(BytesIO(read_url_bytes(url)))
+    if channels == 3:
+        img = img.convert("RGB")
+    elif channels == 1:
+        img = img.convert("L")
+    arr = np.asarray(img, np.uint8)
+    if channels == 1 and arr.ndim == 2:
+        arr = arr[..., None]
+    return arr

@@ -1,0 +1,149 @@
+"""Dataset core combinator tests."""
+
+import numpy as np
+import pytest
+
+from chambers_tpu.data import Dataset
+
+
+def test_from_tensor_slices_single():
+    ds = Dataset.from_tensor_slices(np.arange(5))
+    assert [int(x) for x in ds] == [0, 1, 2, 3, 4]
+
+
+def test_from_tensor_slices_tuple():
+    ds = Dataset.from_tensor_slices((np.arange(3), np.arange(3) * 10))
+    assert [(int(a), int(b)) for a, b in ds] == [(0, 0), (1, 10), (2, 20)]
+
+
+def test_length_mismatch_raises():
+    with pytest.raises(ValueError):
+        Dataset.from_tensor_slices((np.arange(3), np.arange(4)))
+
+
+def test_map_sequential_and_parallel():
+    ds = Dataset.range(10)
+    assert [int(x) for x in ds.map(lambda x: x * 2)] == list(range(0, 20, 2))
+    # parallel map preserves order
+    assert [int(x) for x in ds.map(lambda x: x * 2, num_parallel_calls=4)] == \
+        list(range(0, 20, 2))
+
+
+def test_map_parallel_propagates_errors():
+    def bad(x):
+        if x == 5:
+            raise RuntimeError("boom")
+        return x
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(Dataset.range(10).map(bad, num_parallel_calls=4))
+
+
+def test_batch_and_drop_remainder():
+    ds = Dataset.range(7).batch(3)
+    batches = list(ds)
+    assert [len(b) for b in batches] == [3, 3, 1]
+    ds = Dataset.range(7).batch(3, drop_remainder=True)
+    assert [len(b) for b in ds] == [3, 3]
+
+
+def test_batch_tuples():
+    ds = Dataset.from_tensor_slices((np.arange(4), np.arange(4))).batch(2)
+    xb, yb = next(iter(ds))
+    assert xb.shape == (2,) and yb.shape == (2,)
+
+
+def test_unbatch():
+    ds = Dataset.range(6).batch(2).unbatch()
+    assert [int(x) for x in ds] == list(range(6))
+
+
+def test_repeat_take_skip():
+    assert len(list(Dataset.range(3).repeat(2))) == 6
+    assert [int(x) for x in Dataset.range(10).take(3)] == [0, 1, 2]
+    assert [int(x) for x in Dataset.range(5).skip(2)] == [2, 3, 4]
+    # infinite repeat + take terminates
+    assert len(list(Dataset.range(2).repeat().take(9))) == 9
+
+
+def test_flat_map():
+    ds = Dataset.range(3).flat_map(lambda x: Dataset.range(int(x)))
+    assert [int(v) for v in ds] == [0, 0, 1]
+
+
+def test_filter():
+    assert [int(x) for x in Dataset.range(10).filter(lambda x: x % 2 == 0)] == \
+        [0, 2, 4, 6, 8]
+
+
+def test_concatenate():
+    ds = Dataset.range(2).concatenate(Dataset.range(3))
+    assert [int(x) for x in ds] == [0, 1, 0, 1, 2]
+
+
+def test_prefetch_preserves_order_and_errors():
+    assert [int(x) for x in Dataset.range(100).prefetch(4)] == list(range(100))
+
+    def gen():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(Dataset.from_generator(gen).prefetch(2))
+
+
+def test_cache():
+    calls = []
+
+    def gen():
+        for i in range(3):
+            calls.append(i)
+            yield i
+
+    ds = Dataset.from_generator(gen).cache()
+    assert [int(x) for x in ds] == [0, 1, 2]
+    assert [int(x) for x in ds] == [0, 1, 2]
+    assert len(calls) == 3  # second pass served from cache
+
+
+def test_interleave_basic_round_robin():
+    ds = Dataset.from_tensor_slices(np.arange(4)).interleave(
+        lambda x: Dataset.from_tensor_slices(np.full(2, int(x))),
+        cycle_length=2, block_length=1,
+    )
+    assert [int(v) for v in ds] == [0, 1, 0, 1, 2, 3, 2, 3]
+
+
+def test_interleave_block_length():
+    ds = Dataset.from_tensor_slices(np.arange(4)).interleave(
+        lambda x: Dataset.from_tensor_slices(np.full(4, int(x))),
+        cycle_length=2, block_length=2,
+    )
+    assert [int(v) for v in ds] == [0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3]
+
+
+def test_interleave_uneven_children():
+    """tf.data golden shape: exhausted slots refill and wait their turn."""
+    lengths = {0: 3, 1: 3, 2: 1}
+    ds = Dataset.from_tensor_slices(np.arange(3)).interleave(
+        lambda x: Dataset.from_tensor_slices(np.full(lengths[int(x)], int(x))),
+        cycle_length=2, block_length=2,
+    )
+    # slots (0,1): 0,0 1,1 then 0 exhausts -> 2 joins tail; 1 exhausts
+    assert [int(v) for v in ds] == [0, 0, 1, 1, 0, 1, 2]
+
+
+def test_shuffle_deterministic_with_seed():
+    ds1 = [int(x) for x in Dataset.range(20).shuffle(20, seed=5)]
+    ds2 = [int(x) for x in Dataset.range(20).shuffle(20, seed=5)]
+    assert ds1 == ds2
+    assert sorted(ds1) == list(range(20))
+    assert ds1 != list(range(20))
+
+
+def test_shuffle_small_buffer_is_local():
+    out = [int(x) for x in Dataset.range(100).shuffle(5, seed=0)]
+    assert sorted(out) == list(range(100))
+    # with a buffer of 5, element i can move at most ~buffer positions early
+    for pos, v in enumerate(out):
+        assert v <= pos + 5
