@@ -6,18 +6,18 @@ reproduced value-for-value. ``_FILL_VALUE = 128``, nearest interpolation,
 ``_MAX_MAGNITUDE = 10`` (:7-10).
 
 TPU redesign (BASELINE.json north star): policies run on device over whole
-uint8 batches. ``elementwise=True`` (recommended on TPU, and the default
-here — the reference defaulted to False only because per-image work was
-expensive under ``tf.map_fn``) gives every image its own sampled ops via
-compute-all-and-gather selection; ``elementwise=False`` reproduces the
-reference's whole-batch sampling via ``lax.switch``/``lax.cond`` — only the
-chosen branch executes.
+uint8 batches. ``elementwise=False`` (the reference default, kept here for
+parity) samples per batch via ``lax.switch``/``lax.cond`` — only the chosen
+branch executes. ``elementwise=True`` (recommended on TPU for augmentation
+diversity; cheap now that per-image work is batched rather than ``tf.map_fn``)
+gives every image its own sampled ops via compute-all-and-gather selection.
 
 AutoAugment additionally deduplicates repeated (op, magnitude) instances
 across the 25 sub-policy pairs so the elementwise path computes each unique
 kernel once per stage instead of 25 times.
 """
 
+import math
 from typing import Optional
 
 import jax
@@ -138,7 +138,7 @@ class AutoAugment:
     """Applies one random (chance₁∘chance₂) sub-policy pair per call
     (augmentation_schemes.py:132-171)."""
 
-    def __init__(self, elementwise: bool = True):
+    def __init__(self, elementwise: bool = False):
         self.elementwise = elementwise
         # Deduplicate op instances: policy entries index into a unique table.
         self._unique = {}  # (name, magnitude) -> index
@@ -210,27 +210,85 @@ class AutoAugment:
 
 class RandAugment:
     """N random ops at fixed magnitude M over the 16-op pool
-    (augmentation_schemes.py:175-225)."""
+    (augmentation_schemes.py:175-225).
+
+    Performance: the five projective ops (Shear/Translate/Rotate) are the
+    expensive ones on TPU (a warp is a general gather). In elementwise mode
+    each image applies exactly one op per round, so all projective candidates
+    fuse into a *single* warp with per-image matrices (identity for images
+    that sampled a pointwise op) — one gather per round instead of five.
+    """
 
     OP_NAMES = (
         "AutoContrast", "Equalize", "Invert", "Brightness", "Contrast",
         "Color", "Sharpness", "ShearX", "ShearY", "TranslateX", "TranslateY",
         "Posterize", "Solarize", "SolarizeAdd", "CutOut", "Rotate",
     )
+    _PROJECTIVE = {"ShearX": 7, "ShearY": 8, "TranslateX": 9,
+                   "TranslateY": 10, "Rotate": 15}
 
     def __init__(self, n_transforms: int, magnitude: float,
-                 elementwise: bool = True):
+                 elementwise: bool = False):
         self.n_transforms = n_transforms
         self.magnitude = magnitude
         self.elementwise = elementwise
         self.transforms = [_get_transform(n, magnitude) for n in self.OP_NAMES]
         self._choice = image_augmentations.RandomChoice(
-            self.transforms, n_transforms=n_transforms, elementwise=elementwise
+            self.transforms, n_transforms=n_transforms, elementwise=False
         )
+        # raw geometry magnitudes for the fused elementwise path
+        self._shear_level = magnitude / _MAX_MAGNITUDE * 0.3
+        self._translate_px = magnitude / _MAX_MAGNITUDE * 100
+        self._rotate_rad = magnitude / _MAX_MAGNITUDE * 30.0 * math.pi / 180.0
 
     def __call__(self, images, key=None, training: bool = True):
         if not training:
             return images
         if key is None:
             raise ValueError("RandAugment requires a PRNG `key` when training.")
+        if self.elementwise:
+            return self._apply_elementwise_fused(images, key)
         return self._choice(images, key=key)
+
+    def _apply_elementwise_fused(self, images, key):
+        from chambers_tpu.ops import image_ops
+
+        b = images.shape[0]
+        for key_round in jax.random.split(key, self.n_transforms):
+            kd, ks, ko = jax.random.split(key_round, 3)
+            idx = jax.random.randint(kd, (b,), 0, len(self.transforms))
+            sign = image_ops.random_sign(ks, (b,))
+
+            # one fused warp for all projective candidates
+            h, w = images.shape[1], images.shape[2]
+            mats = image_ops.identity_matrices(b)
+
+            def pick(op_index, candidate):
+                sel = (idx == op_index)[:, None]
+                return jnp.where(sel, candidate, mats)
+
+            mats = pick(self._PROJECTIVE["ShearX"],
+                        image_ops.shear_x_matrices(sign * self._shear_level))
+            mats = pick(self._PROJECTIVE["ShearY"],
+                        image_ops.shear_y_matrices(sign * self._shear_level))
+            mats = pick(self._PROJECTIVE["TranslateX"],
+                        image_ops.translate_x_matrices(sign * self._translate_px))
+            mats = pick(self._PROJECTIVE["TranslateY"],
+                        image_ops.translate_y_matrices(sign * self._translate_px))
+            mats = pick(self._PROJECTIVE["Rotate"],
+                        image_ops.rotation_matrices(sign * self._rotate_rad, h, w))
+            result = image_ops.transform(
+                images, mats, interpolation=_INTERPOLATION_MODE,
+                fill_value=_FILL_VALUE,
+            )
+
+            # pointwise candidates, mask-selected over the warp result
+            projective_idx = set(self._PROJECTIVE.values())
+            op_keys = jax.random.split(ko, len(self.transforms))
+            for k_i, (t, op_key) in enumerate(zip(self.transforms, op_keys)):
+                if k_i in projective_idx:
+                    continue
+                sel = (idx == k_i)[:, None, None, None]
+                result = jnp.where(sel, t(images, key=op_key), result)
+            images = result
+        return images

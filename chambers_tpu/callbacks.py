@@ -1,0 +1,246 @@
+"""Training callbacks and the experiment harness.
+
+Parity: reference ``chambers/callbacks.py`` — ``ExperimentCallback`` creates a
+timestamped experiment directory with ``logs/`` (CSV epoch log + scalar event
+log), ``model/checkpoints/`` (per-epoch ``{epoch:02d}-{monitor:.5f}`` weight
+checkpoints plus ``init`` weights at train start), ``model/export/`` (full
+model + optimizer state at train end), and an optional ``config_dump.json``
+(callbacks.py:8-116). The reference delegates hooks to a Keras CallbackList;
+here a small ``Callback``/``CallbackList`` pair provides the same hook surface
+for the :class:`chambers_tpu.training.Trainer`.
+
+Scalar logging writes JSON-lines (``logs/events.jsonl``) — TensorBoard is a
+TF dependency this build avoids; the format is trivially convertible.
+"""
+
+import csv
+import datetime
+import json
+import os
+from typing import Optional
+
+
+class Callback:
+    """Hook surface matching Keras callbacks (subset the Trainer drives)."""
+
+    def set_params(self, params):
+        self.params = params
+
+    def set_model(self, model):
+        self.model = model
+
+    def on_train_begin(self, logs=None): ...
+    def on_train_end(self, logs=None): ...
+    def on_epoch_begin(self, epoch, logs=None): ...
+    def on_epoch_end(self, epoch, logs=None): ...
+    def on_train_batch_begin(self, batch, logs=None): ...
+    def on_train_batch_end(self, batch, logs=None): ...
+    def on_test_begin(self, logs=None): ...
+    def on_test_end(self, logs=None): ...
+    def on_test_batch_begin(self, batch, logs=None): ...
+    def on_test_batch_end(self, batch, logs=None): ...
+    def on_predict_begin(self, logs=None): ...
+    def on_predict_end(self, logs=None): ...
+
+
+def _dispatching(name):
+    def method(self, *args, **kwargs):
+        for c in self.callbacks:
+            getattr(c, name)(*args, **kwargs)
+    method.__name__ = name
+    return method
+
+
+class CallbackList(Callback):
+    def __init__(self, callbacks=()):
+        self.callbacks = list(callbacks)
+
+    def set_params(self, params):
+        self.params = params
+        for c in self.callbacks:
+            c.set_params(params)
+
+    def set_model(self, model):
+        self.model = model
+        for c in self.callbacks:
+            c.set_model(model)
+
+    for _hook in (
+        "on_train_begin", "on_train_end", "on_epoch_begin", "on_epoch_end",
+        "on_train_batch_begin", "on_train_batch_end", "on_test_begin",
+        "on_test_end", "on_test_batch_begin", "on_test_batch_end",
+        "on_predict_begin", "on_predict_end",
+    ):
+        locals()[_hook] = _dispatching(_hook)
+    del _hook
+
+
+class CSVLogger(Callback):
+    """Appends one CSV row of logs per epoch (keras.callbacks.CSVLogger)."""
+
+    def __init__(self, filename):
+        self.filename = filename
+        self._writer = None
+        self._file = None
+        self._keys = None
+
+    def on_train_begin(self, logs=None):
+        os.makedirs(os.path.dirname(self.filename) or ".", exist_ok=True)
+        self._file = open(self.filename, "a", newline="")
+
+    def on_epoch_end(self, epoch, logs=None):
+        logs = dict(logs or {})
+        if self._keys is None:
+            self._keys = ["epoch"] + sorted(logs.keys())
+            self._writer = csv.DictWriter(self._file, fieldnames=self._keys,
+                                          extrasaction="ignore")
+            if self._file.tell() == 0:
+                self._writer.writeheader()
+        row = {"epoch": epoch}
+        row.update({k: _scalarize(v) for k, v in logs.items()})
+        self._writer.writerow(row)
+        self._file.flush()
+
+    def on_train_end(self, logs=None):
+        if self._file:
+            self._file.close()
+            self._file = None
+
+
+class ScalarLogger(Callback):
+    """JSON-lines scalar event log (the TensorBoard-equivalent sink)."""
+
+    def __init__(self, log_dir, update_freq="epoch"):
+        self.log_dir = log_dir
+        self.update_freq = update_freq
+        self._file = None
+        self._step = 0
+
+    def on_train_begin(self, logs=None):
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._file = open(os.path.join(self.log_dir, "events.jsonl"), "a")
+
+    def _write(self, tag_prefix, step, logs):
+        if not logs or self._file is None:
+            return
+        record = {"step": step}
+        record.update({
+            f"{tag_prefix}{k}": _scalarize(v)
+            for k, v in logs.items() if _is_scalar(v)
+        })
+        self._file.write(json.dumps(record) + "\n")
+        self._file.flush()
+
+    def on_train_batch_end(self, batch, logs=None):
+        self._step += 1
+        if self.update_freq == "batch":
+            self._write("batch_", self._step, logs)
+
+    def on_epoch_end(self, epoch, logs=None):
+        self._write("epoch_", epoch, logs)
+
+    def on_train_end(self, logs=None):
+        if self._file:
+            self._file.close()
+            self._file = None
+
+
+class ModelCheckpoint(Callback):
+    """Per-epoch weight checkpoints named ``{epoch:02d}-{monitor:.5f}``
+    (callbacks.py:31-38). ``save_best_only`` keeps only improvements."""
+
+    def __init__(self, filepath, monitor="val_loss", mode="auto",
+                 save_best_only=False):
+        self.filepath = filepath
+        self.monitor = monitor
+        self.save_best_only = save_best_only
+        if mode == "auto":
+            mode = "max" if any(
+                m in monitor for m in ("acc", "f1", "auc", "recall", "precision")
+            ) else "min"
+        self.mode = mode
+        self._best = float("-inf") if mode == "max" else float("inf")
+
+    def on_epoch_end(self, epoch, logs=None):
+        logs = logs or {}
+        value = _scalarize(logs.get(self.monitor, float("nan")))
+        if self.save_best_only:
+            improved = (
+                value > self._best if self.mode == "max" else value < self._best
+            )
+            if not improved:
+                return
+            self._best = value
+        path = self.filepath.format(epoch=epoch, **{self.monitor: value})
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.model.save_weights(path)
+
+
+class ExperimentCallback(CallbackList):
+    """Composite experiment harness (callbacks.py:8-116).
+
+    Creates ``<experiments_dir>/<timestamp>/`` with:
+    - ``logs/epoch_results.txt`` (CSV) and ``logs/events.jsonl`` (scalars)
+    - ``model/checkpoints/init.msgpack`` at train start and
+      ``{epoch:02d}-{monitor:.5f}.msgpack`` per epoch
+    - ``model/export/`` full state at train end
+    - ``config_dump.json`` if a config dict is given
+    """
+
+    def __init__(self, experiments_dir, checkpoint_monitor="val_loss",
+                 checkpoint_mode="auto", tensorboard_update_freq="epoch",
+                 config_dump: Optional[dict] = None):
+        now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        self.experiment_dir = os.path.join(experiments_dir, now)
+        self.log_dir = os.path.join(self.experiment_dir, "logs")
+        self.model_dir = os.path.join(self.experiment_dir, "model")
+        self.checkpoint_dir = os.path.join(self.model_dir, "checkpoints")
+        self.export_dir = os.path.join(self.model_dir, "export")
+        self.config_dump = config_dump
+
+        super().__init__([
+            CSVLogger(os.path.join(self.log_dir, "epoch_results.txt")),
+            ModelCheckpoint(
+                os.path.join(
+                    self.checkpoint_dir,
+                    "{epoch:02d}-{" + checkpoint_monitor + ":.5f}.msgpack",
+                ),
+                monitor=checkpoint_monitor,
+                mode=checkpoint_mode,
+            ),
+            ScalarLogger(self.log_dir, update_freq=tensorboard_update_freq),
+        ])
+
+    def on_train_begin(self, logs=None):
+        os.makedirs(self.experiment_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        os.makedirs(self.export_dir, exist_ok=True)
+
+        if self.config_dump is not None:
+            with open(os.path.join(self.experiment_dir, "config_dump.json"), "w") as f:
+                json.dump(self.config_dump, f)
+
+        self.model.save_weights(os.path.join(self.checkpoint_dir, "init.msgpack"))
+        for c in self.callbacks:
+            c.on_train_begin(logs)
+
+    def on_train_end(self, logs=None):
+        self.model.export(self.export_dir)
+        for c in self.callbacks:
+            c.on_train_end(logs)
+
+
+def _is_scalar(v):
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _scalarize(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v

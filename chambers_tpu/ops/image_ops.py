@@ -155,10 +155,13 @@ def equalize(images):
     b, h, w, c = images.shape
     flat = images.transpose(0, 3, 1, 2).reshape(b * c, h * w)  # [bc, hw]
 
-    # scatter-add histogram per (image, channel)
-    hist = jnp.zeros((b * c, 256), jnp.int32)
-    row_idx = jnp.repeat(jnp.arange(b * c), h * w)
-    hist = hist.at[row_idx, flat.reshape(-1).astype(jnp.int32)].add(1)
+    # histogram per (image, channel) as a fused compare-and-reduce — XLA
+    # streams the [bc, hw, 256] comparison without materializing it; ~50x
+    # faster than scatter-add on TPU (scatters serialize on the VPU)
+    vals = jnp.arange(256, dtype=images.dtype)
+    hist = jnp.sum(
+        flat[:, :, None] == vals[None, None, :], axis=1, dtype=jnp.int32
+    )
 
     # count of the last nonzero bin
     nonzero = hist > 0
@@ -276,7 +279,13 @@ def transform(images, transforms, interpolation="nearest", fill_value=0.0):
     raise ValueError(f"Unknown interpolation '{interpolation}'")
 
 
-def _rotation_matrices(radians, h, w):
+def identity_matrices(batch):
+    """[b, 8] identity projective transforms."""
+    base = jnp.asarray([1.0, 0, 0, 0, 1.0, 0, 0, 0], jnp.float32)
+    return jnp.broadcast_to(base[None], (batch, 8))
+
+
+def rotation_matrices(radians, h, w):
     """tfa ``angles_to_projective_transforms``: rotation about image center."""
     radians = jnp.atleast_1d(jnp.asarray(radians, jnp.float32))
     cos, sin = jnp.cos(radians), jnp.sin(radians)
@@ -286,6 +295,34 @@ def _rotation_matrices(radians, h, w):
     return jnp.stack(
         [cos, -sin, x_offset, sin, cos, y_offset, zeros, zeros], axis=1
     )
+
+
+_rotation_matrices = rotation_matrices  # backward-compat alias
+
+
+def shear_x_matrices(level):
+    level = jnp.atleast_1d(jnp.asarray(level, jnp.float32))
+    z, o = jnp.zeros_like(level), jnp.ones_like(level)
+    return jnp.stack([o, level, z, z, o, z, z, z], axis=1)
+
+
+def shear_y_matrices(level):
+    level = jnp.atleast_1d(jnp.asarray(level, jnp.float32))
+    z, o = jnp.zeros_like(level), jnp.ones_like(level)
+    return jnp.stack([o, z, z, level, o, z, z, z], axis=1)
+
+
+def translate_x_matrices(pixels):
+    """Reference TranslateX semantics: content moves left by ``pixels``."""
+    pixels = jnp.atleast_1d(jnp.asarray(pixels, jnp.float32))
+    z, o = jnp.zeros_like(pixels), jnp.ones_like(pixels)
+    return jnp.stack([o, z, pixels, z, o, z, z, z], axis=1)
+
+
+def translate_y_matrices(pixels):
+    pixels = jnp.atleast_1d(jnp.asarray(pixels, jnp.float32))
+    z, o = jnp.zeros_like(pixels), jnp.ones_like(pixels)
+    return jnp.stack([o, z, z, z, o, pixels, z, z], axis=1)
 
 
 def rotate(images, radians, interpolation="nearest", fill_value=0.0):

@@ -1,0 +1,156 @@
+"""Optimizers with decoupled weight decay and regex-based decay filtering.
+
+Parity: reference ``chambers/optimizers.py``. The reference extends tfa's
+``DecoupledWeightDecayExtension`` with regex ``decay_include``/
+``decay_exclude`` variable filtering (optimizers.py:169-181) and decays
+weights with the *raw* weight-decay rate independent of the learning rate,
+using the pre-update variable value (``var -= wd * var`` before the gradient
+step, :147-167).
+
+This build expresses the same math as optax gradient transformations:
+``base_update(-lr·g̃) + masked(-wd·param)`` — exactly tfa's decoupled decay
+(commutes with the additive gradient step). Parameter paths for the regex
+filters are ``/``-joined pytree key paths (e.g.
+``encoder/layers_0/norm1/scale``); the reference matched TF variable names of
+the same shape.
+"""
+
+import re
+from typing import Any, Callable, Optional, Union
+
+import jax
+import optax
+
+ScalarOrSchedule = Union[float, Callable[[Any], Any]]
+
+
+def _param_paths(params):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    paths = []
+    for key_path, _ in flat:
+        parts = []
+        for k in key_path:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        paths.append("/".join(parts))
+    return paths
+
+
+def decay_mask(params, decay_include=None, decay_exclude=None):
+    """Boolean pytree: which leaves receive weight decay.
+
+    Mirrors ``WeightDecayExtension._is_decay_allowed`` (optimizers.py:169-181):
+    with ``decay_include``, only params whose path matches any pattern
+    (``re.search``) decay; with ``decay_exclude``, all decay except matches;
+    with neither, everything decays.
+    """
+    if decay_include is not None and decay_exclude is not None:
+        raise ValueError(
+            "Got both `decay_include` and `decay_exclude` arguments. "
+            "Use only `decay_include` or `decay_exclude`."
+        )
+
+    def allowed(path):
+        if decay_include is not None:
+            return any(re.search(p, path) for p in decay_include)
+        if decay_exclude is not None:
+            return not any(re.search(p, path) for p in decay_exclude)
+        return True
+
+    paths = iter(_param_paths(params))
+    return jax.tree.map(lambda _: allowed(next(paths)), params)
+
+
+def add_decoupled_weight_decay(
+    weight_decay: ScalarOrSchedule,
+    decay_include=None,
+    decay_exclude=None,
+) -> optax.GradientTransformation:
+    """Adds ``-wd * param`` to the updates for masked leaves (tfa-style
+    lr-independent decoupled decay). Apply *after* learning-rate scaling."""
+
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jax.numpy.zeros([], jax.numpy.int32))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("add_decoupled_weight_decay requires params.")
+        wd = weight_decay(state.count) if callable(weight_decay) else weight_decay
+        mask = decay_mask(
+            params, decay_include=decay_include, decay_exclude=decay_exclude
+        )
+        new_updates = jax.tree.map(
+            lambda u, p, m: u - wd * p if m else u, updates, params, mask
+        )
+        return new_updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+def extend_with_weight_decay(
+    base_optimizer: optax.GradientTransformation,
+    weight_decay: ScalarOrSchedule,
+    decay_include=None,
+    decay_exclude=None,
+) -> optax.GradientTransformation:
+    """Any optax optimizer → decoupled-weight-decay variant
+    (optimizers.py:193-286 equivalent)."""
+    return optax.chain(
+        base_optimizer,
+        add_decoupled_weight_decay(
+            weight_decay,
+            decay_include=decay_include,
+            decay_exclude=decay_exclude,
+        ),
+    ) if weight_decay else base_optimizer
+
+
+def AdamW(
+    weight_decay: ScalarOrSchedule,
+    decay_include=None,
+    decay_exclude=None,
+    learning_rate: ScalarOrSchedule = 0.001,
+    beta_1: float = 0.9,
+    beta_2: float = 0.999,
+    epsilon: float = 1e-7,
+    amsgrad: bool = False,
+) -> optax.GradientTransformation:
+    """Adam + decoupled weight decay (optimizers.py:372-464).
+
+    Defaults mirror the reference (note Keras's epsilon=1e-7, not 1e-8).
+    """
+    base = optax.chain(
+        optax.scale_by_amsgrad(b1=beta_1, b2=beta_2, eps=epsilon)
+        if amsgrad
+        else optax.scale_by_adam(b1=beta_1, b2=beta_2, eps=epsilon),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+    return extend_with_weight_decay(
+        base, weight_decay, decay_include=decay_include,
+        decay_exclude=decay_exclude,
+    )
+
+
+def SGDW(
+    weight_decay: ScalarOrSchedule,
+    decay_include=None,
+    decay_exclude=None,
+    learning_rate: ScalarOrSchedule = 0.001,
+    momentum: float = 0.0,
+    nesterov: bool = False,
+) -> optax.GradientTransformation:
+    """SGD (+momentum/nesterov) + decoupled weight decay
+    (optimizers.py:290-368)."""
+    parts = []
+    if momentum:
+        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    return extend_with_weight_decay(
+        optax.chain(*parts), weight_decay,
+        decay_include=decay_include, decay_exclude=decay_exclude,
+    )

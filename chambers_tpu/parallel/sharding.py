@@ -1,0 +1,85 @@
+"""Parameter / batch sharding rules.
+
+Strategy (SURVEY.md §2.8): annotate pytrees with ``NamedSharding`` and let
+``jax.jit`` partition the computation — XLA inserts the collectives (psum for
+gradients across ``data``; all-reduce of activations across ``model``).
+
+- **Data parallel**: params replicated, batch leading axis sharded over
+  ``data``. Gradient all-reduce is implicit in the jitted train step.
+- **Tensor parallel**: the Chambers MHA layout ``(d, num_heads, head_dim)``
+  shards naturally on the ``num_heads`` axis (SURVEY.md §2.8 table), and the
+  MLP shards on ``ff_dim`` — megatron-style column/row parallelism expressed
+  purely as weight shardings (``VIT_TENSOR_PARALLEL_RULES``).
+"""
+
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Megatron-style TP rules for the transformer stack: regex on the param path
+# (see chambers_tpu.optimizers._param_paths) → PartitionSpec.
+VIT_TENSOR_PARALLEL_RULES: List[Tuple[str, P]] = [
+    # qkv projections (d, n_heads, head_dim): shard heads (column parallel)
+    (r"multi_head_attention/w_(query|key|value)$", P(None, "model", None)),
+    (r"multi_head_attention/b_(query|key|value)$", P("model", None, None)),
+    # output projection (n_heads, d, head_dim): row parallel over heads
+    (r"multi_head_attention/w_projection$", P("model", None, None)),
+    # MLP: column-parallel in, row-parallel out
+    (r"dense1/kernel$", P(None, "model")),
+    (r"dense1/bias$", P("model")),
+    (r"dense2/kernel$", P("model", None)),
+]
+
+
+def _param_paths(params):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    paths = []
+    for key_path, _ in flat:
+        parts = []
+        for k in key_path:
+            parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+        paths.append("/".join(parts))
+    return paths
+
+
+def make_param_shardings(params, mesh: Mesh,
+                         rules: Optional[Sequence[Tuple[str, P]]] = None):
+    """NamedSharding pytree for params: first matching rule wins; unmatched
+    params are fully replicated."""
+    rules = list(rules or [])
+
+    def spec_for(path, leaf):
+        for pattern, spec in rules:
+            if re.search(pattern, path):
+                if len(spec) <= leaf.ndim:
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    paths = iter(_param_paths(params))
+    return jax.tree.map(lambda leaf: spec_for(next(paths), leaf), params)
+
+
+def shard_params(params, mesh: Mesh,
+                 rules: Optional[Sequence[Tuple[str, P]]] = None):
+    """Place params on the mesh according to ``rules`` (default: replicate)."""
+    shardings = make_param_shardings(params, mesh, rules)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for a batch: leading axis split across ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Shard every array's leading axis over the data axis."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

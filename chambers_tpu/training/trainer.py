@@ -1,0 +1,211 @@
+"""Training loop.
+
+The reference delegates its training loop to Keras ``model.compile/fit``
+(SURVEY.md §1: "the TPU-native build must supply its own thin training/eval
+loop layer"). :class:`Trainer` is that layer: a compiled-once
+``(state, batch) -> (state, logs)`` step function driven by a host loop with
+Keras-style callback hooks.
+
+TPU notes:
+- the whole step (forward + loss + backward + optimizer) is one jitted
+  function; the train state is donated so parameters update in place in HBM;
+- batches move host→device once per step; everything else stays resident;
+- with a mesh (see ``chambers_tpu.parallel``) the same step function runs
+  data-parallel: batches are sharded over the ``data`` axis and XLA inserts
+  the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization, struct
+
+from chambers_tpu.callbacks import Callback, CallbackList
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+class _CallbackModel:
+    """The model facade handed to callbacks: save/export current state."""
+
+    def __init__(self, trainer: "Trainer"):
+        self._trainer = trainer
+
+    def save_weights(self, path):
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self._trainer.variables))
+
+    def export(self, directory):
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "model.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(self._trainer.variables))
+        with open(os.path.join(directory, "opt_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(self._trainer.state.opt_state))
+
+
+class Trainer:
+    """Compiles and drives train/eval steps for a (module, variables) model.
+
+    :param model: a :class:`chambers_tpu.models.Model` (or any object with
+        ``module`` and ``variables`` attributes).
+    :param loss: callable ``loss(y_true, y_pred) -> scalar``.
+    :param optimizer: an optax ``GradientTransformation``.
+    :param metrics: mapping ``name -> fn(y_true, y_pred) -> scalar`` computed
+        per batch and averaged.
+    :param apply_fn: optional override ``apply_fn(variables, x, deterministic,
+        rngs)``; defaults to the module's ``__call__``.
+    """
+
+    def __init__(self, model, loss, optimizer, metrics: Optional[Dict[str, Callable]] = None,
+                 seed: int = 0, apply_fn: Optional[Callable] = None,
+                 donate: bool = True):
+        self.model = model
+        self.loss = loss
+        self.optimizer = optimizer
+        self.metrics = dict(metrics or {})
+
+        params = model.variables["params"]
+        self._extra_vars = {
+            k: v for k, v in model.variables.items() if k != "params"
+        }
+        self.state = TrainState(
+            params=params,
+            opt_state=optimizer.init(params),
+            rng=jax.random.PRNGKey(seed),
+            step=jnp.zeros([], jnp.int32),
+        )
+
+        module = model.module
+        if apply_fn is None:
+            def apply_fn(variables, x, deterministic, rngs):
+                return module.apply(
+                    variables, x, deterministic=deterministic, rngs=rngs
+                )
+        self._apply_fn = apply_fn
+
+        def train_step(state: TrainState, x, y):
+            rng, dropout_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                variables = {"params": params, **self._extra_vars}
+                y_pred = self._apply_fn(
+                    variables, x, deterministic=False,
+                    rngs={"dropout": dropout_rng},
+                )
+                return self.loss(y, y_pred)
+
+            loss_value, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params, opt_state=opt_state, rng=rng, step=state.step + 1
+            )
+            return new_state, loss_value
+
+        def eval_step(params, x, y):
+            variables = {"params": params, **self._extra_vars}
+            y_pred = self._apply_fn(variables, x, deterministic=True, rngs=None)
+            logs = {"loss": self.loss(y, y_pred)}
+            for name, fn in self.metrics.items():
+                logs[name] = fn(y, y_pred)
+            return logs
+
+        donate_args = (0,) if donate else ()
+        self.train_step = jax.jit(train_step, donate_argnums=donate_args)
+        self.eval_step = jax.jit(eval_step)
+
+    # -- state access -------------------------------------------------------
+    @property
+    def variables(self):
+        return {"params": self.state.params, **self._extra_vars}
+
+    def sync_model(self):
+        """Copy the trained params back into the wrapped model."""
+        self.model.replace_variables(jax.tree.map(lambda x: x, self.variables))
+        return self.model
+
+    # -- loops --------------------------------------------------------------
+    def fit(self, dataset: Iterable, epochs: int = 1,
+            steps_per_epoch: Optional[int] = None,
+            validation_data: Optional[Iterable] = None,
+            callbacks: Sequence[Callback] = (), verbose: bool = True,
+            initial_epoch: int = 0):
+        """Train over an iterable of ``(x_batch, y_batch)`` NumPy pairs."""
+        callback_list = CallbackList(list(callbacks))
+        callback_list.set_model(_CallbackModel(self))
+        callback_list.set_params({"epochs": epochs})
+        callback_list.on_train_begin()
+
+        history = []
+        for epoch in range(initial_epoch, epochs):
+            callback_list.on_epoch_begin(epoch)
+            epoch_start = time.perf_counter()
+            losses = []
+            it = iter(dataset)
+            step = 0
+            while steps_per_epoch is None or step < steps_per_epoch:
+                try:
+                    x, y = next(it)
+                except StopIteration:
+                    break
+                callback_list.on_train_batch_begin(step)
+                self.state, loss_value = self.train_step(
+                    self.state, jnp.asarray(x), jnp.asarray(y)
+                )
+                loss_f = float(loss_value)
+                losses.append(loss_f)
+                callback_list.on_train_batch_end(step, {"loss": loss_f})
+                step += 1
+
+            logs = {"loss": float(np.mean(losses)) if losses else float("nan")}
+            if validation_data is not None:
+                val_logs = self.evaluate(validation_data, callbacks=callback_list,
+                                         verbose=False)
+                logs.update({f"val_{k}": v for k, v in val_logs.items()})
+            if verbose:
+                dt = time.perf_counter() - epoch_start
+                msg = " - ".join(f"{k}: {v:.4f}" for k, v in logs.items())
+                print(f"Epoch {epoch + 1}/{epochs} [{dt:.1f}s] {msg}")
+            callback_list.on_epoch_end(epoch, logs)
+            history.append(logs)
+
+        callback_list.on_train_end()
+        self.sync_model()
+        return history
+
+    def evaluate(self, dataset: Iterable, callbacks=None, verbose: bool = True):
+        callback_list = callbacks or CallbackList([])
+        callback_list.on_test_begin()
+        totals: Dict[str, list] = {}
+        for step, (x, y) in enumerate(dataset):
+            callback_list.on_test_batch_begin(step)
+            logs = self.eval_step(self.state.params, jnp.asarray(x), jnp.asarray(y))
+            for k, v in logs.items():
+                totals.setdefault(k, []).append(float(v))
+            callback_list.on_test_batch_end(step)
+        callback_list.on_test_end()
+        result = {k: float(np.mean(v)) for k, v in totals.items()}
+        if verbose:
+            print(" - ".join(f"{k}: {v:.4f}" for k, v in result.items()))
+        return result
+
+    def predict(self, x, batch_size: int = 32):
+        self.sync_model()
+        return self.model.predict(x, batch_size=batch_size)

@@ -1,0 +1,282 @@
+"""Optimizer, schedule, callback, and Trainer tests."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from flax import linen as nn
+
+from chambers_tpu.callbacks import (
+    CSVLogger,
+    Callback,
+    CallbackList,
+    ExperimentCallback,
+    ModelCheckpoint,
+)
+from chambers_tpu.models import Model
+from chambers_tpu.optimizers import AdamW, SGDW, decay_mask, extend_with_weight_decay
+from chambers_tpu.schedules import LinearWarmup
+from chambers_tpu.training import Trainer
+
+
+# --- optimizers ------------------------------------------------------------
+
+def test_sgdw_decay_is_lr_independent():
+    """tfa semantics: var -= lr*grad + wd*var (decay NOT scaled by lr)."""
+    params = {"w": jnp.asarray([2.0]), "b": jnp.asarray([4.0])}
+    grads = {"w": jnp.asarray([1.0]), "b": jnp.asarray([1.0])}
+    opt = SGDW(weight_decay=0.1, learning_rate=0.5)
+    state = opt.init(params)
+    updates, _ = opt.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["w"]), [2.0 - 0.5 - 0.2], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new["b"]), [4.0 - 0.5 - 0.4], rtol=1e-6)
+
+
+def test_sgdw_decay_exclude():
+    params = {"kernel": jnp.asarray([2.0]), "bias": jnp.asarray([2.0])}
+    grads = {"kernel": jnp.asarray([0.0]), "bias": jnp.asarray([0.0])}
+    opt = SGDW(weight_decay=0.1, learning_rate=1.0, decay_exclude=["bias"])
+    updates, _ = opt.update(grads, opt.init(params), params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["kernel"]), [1.8], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new["bias"]), [2.0], rtol=1e-6)
+
+
+def test_decay_include_regex():
+    params = {
+        "encoder": {"dense1": {"kernel": jnp.ones(1), "bias": jnp.ones(1)}},
+        "head": {"kernel": jnp.ones(1)},
+    }
+    mask = decay_mask(params, decay_include=[r"encoder/.*kernel"])
+    assert bool(mask["encoder"]["dense1"]["kernel"])
+    assert not bool(mask["encoder"]["dense1"]["bias"])
+    assert not bool(mask["head"]["kernel"])
+
+
+def test_decay_include_and_exclude_raises():
+    with pytest.raises(ValueError, match="only"):
+        decay_mask({"a": jnp.ones(1)}, decay_include=["a"], decay_exclude=["b"])
+
+
+def test_adamw_first_step_matches_manual():
+    lr, wd, b1, b2, eps = 0.01, 0.05, 0.9, 0.999, 1e-7
+    w0, g = 1.5, 0.3
+    params = {"w": jnp.asarray([w0])}
+    opt = AdamW(weight_decay=wd, learning_rate=lr, beta_1=b1, beta_2=b2, epsilon=eps)
+    updates, _ = opt.update({"w": jnp.asarray([g])}, opt.init(params), params)
+    new = optax.apply_updates(params, updates)
+    # bias-corrected adam first step: m̂=g, v̂=g² -> step = lr*g/(|g|+eps)
+    adam_step = lr * g / (np.sqrt(g * g) + eps)
+    expected = w0 - adam_step - wd * w0
+    np.testing.assert_allclose(np.asarray(new["w"]), [expected], rtol=1e-5)
+
+
+def test_extend_with_weight_decay_any_base():
+    params = {"w": jnp.asarray([1.0])}
+    opt = extend_with_weight_decay(
+        optax.sgd(learning_rate=0.1), weight_decay=0.5
+    )
+    updates, _ = opt.update({"w": jnp.asarray([0.0])}, opt.init(params), params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["w"]), [0.5], rtol=1e-6)
+
+
+def test_weight_decay_schedule():
+    params = {"w": jnp.asarray([1.0])}
+    wd_schedule = lambda step: 0.1 * (step + 1)
+    opt = SGDW(weight_decay=wd_schedule, learning_rate=0.0)
+    state = opt.init(params)
+    updates, state = opt.update({"w": jnp.asarray([0.0])}, state, params)
+    p1 = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(p1["w"]), [0.9], rtol=1e-6)
+    updates, state = opt.update({"w": jnp.asarray([0.0])}, state, p1)
+    p2 = optax.apply_updates(p1, updates)
+    np.testing.assert_allclose(np.asarray(p2["w"]), [0.9 - 0.2 * 0.9], rtol=1e-6)
+
+
+# --- schedules -------------------------------------------------------------
+
+def test_linear_warmup_ramp():
+    sched = LinearWarmup(learning_rate=1.0, warmup_steps=10, ramp=True)
+    np.testing.assert_allclose(float(sched(0)), 0.0)
+    np.testing.assert_allclose(float(sched(5)), 0.5)
+    np.testing.assert_allclose(float(sched(10)), 1.0)
+    np.testing.assert_allclose(float(sched(100)), 1.0)
+
+
+def test_linear_warmup_ramp_with_inner_schedule():
+    inner = lambda step: 1.0 / (1.0 + step)
+    sched = LinearWarmup(learning_rate=inner, warmup_steps=4, ramp=True)
+    np.testing.assert_allclose(float(sched(2)), 0.5)  # ramp to inner(0)=1.0
+    # after warmup the inner schedule runs shifted
+    np.testing.assert_allclose(float(sched(6)), 1.0 / 3.0, rtol=1e-6)
+
+
+def test_linear_warmup_scale_mode():
+    inner = lambda step: 2.0
+    sched = LinearWarmup(learning_rate=inner, warmup_steps=10, ramp=False)
+    np.testing.assert_allclose(float(sched(5)), 1.0)
+    np.testing.assert_allclose(float(sched(20)), 2.0)
+
+
+def test_linear_warmup_in_optimizer():
+    sched = LinearWarmup(learning_rate=0.1, warmup_steps=5)
+    opt = AdamW(weight_decay=0.0, learning_rate=sched)
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.ones(3)}, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-8)  # step 0: lr=0
+
+
+# --- trainer ---------------------------------------------------------------
+
+class _TinyNet(nn.Module):
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = nn.Dense(16)(x)
+        x = nn.relu(x)
+        return nn.Dense(1)(x)
+
+
+def _make_regression_model():
+    module = _TinyNet()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    return Model(module, variables)
+
+
+def _batches(n_batches=8, batch=16, seed=0):
+    rng = np.random.RandomState(seed)
+    w = rng.randn(4, 1).astype(np.float32)
+    data = []
+    for _ in range(n_batches):
+        x = rng.randn(batch, 4).astype(np.float32)
+        y = x @ w + 0.01 * rng.randn(batch, 1).astype(np.float32)
+        data.append((x, y))
+    return data
+
+
+def _mse(y_true, y_pred):
+    return jnp.mean((y_true - y_pred) ** 2)
+
+
+def test_trainer_reduces_loss():
+    model = _make_regression_model()
+    trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2))
+    data = _batches()
+    history = trainer.fit(data, epochs=20, verbose=False)
+    assert history[-1]["loss"] < history[0]["loss"] * 0.2
+
+
+def test_trainer_eval_and_metrics():
+    model = _make_regression_model()
+    trainer = Trainer(
+        model, loss=_mse, optimizer=optax.adam(1e-2),
+        metrics={"mae": lambda yt, yp: jnp.mean(jnp.abs(yt - yp))},
+    )
+    data = _batches()
+    trainer.fit(data, epochs=5, validation_data=data, verbose=False)
+    logs = trainer.evaluate(data, verbose=False)
+    assert "loss" in logs and "mae" in logs
+
+
+def test_trainer_callbacks_fire_and_sync_model():
+    model = _make_regression_model()
+    initial = np.asarray(model.variables["params"]["Dense_0"]["kernel"]).copy()
+    events = []
+
+    class Recorder(Callback):
+        def on_train_begin(self, logs=None):
+            events.append("train_begin")
+
+        def on_epoch_end(self, epoch, logs=None):
+            events.append(("epoch_end", epoch, sorted(logs)))
+
+        def on_train_end(self, logs=None):
+            events.append("train_end")
+
+    trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2))
+    trainer.fit(_batches(n_batches=2), epochs=2, callbacks=[Recorder()],
+                verbose=False)
+    assert events[0] == "train_begin" and events[-1] == "train_end"
+    assert ("epoch_end", 0, ["loss"]) in events
+    # trained params synced back to the wrapped model
+    after = np.asarray(model.variables["params"]["Dense_0"]["kernel"])
+    assert not np.allclose(initial, after)
+
+
+def test_experiment_callback_directory_layout(tmp_path):
+    model = _make_regression_model()
+    trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2))
+    exp = ExperimentCallback(
+        str(tmp_path / "experiments"), checkpoint_monitor="loss",
+        config_dump={"lr": 0.01},
+    )
+    trainer.fit(_batches(n_batches=2), epochs=2, callbacks=[exp], verbose=False)
+
+    root = exp.experiment_dir
+    assert os.path.isfile(os.path.join(root, "config_dump.json"))
+    assert os.path.isfile(os.path.join(root, "logs", "epoch_results.txt"))
+    assert os.path.isfile(os.path.join(root, "logs", "events.jsonl"))
+    ckpts = os.listdir(os.path.join(root, "model", "checkpoints"))
+    assert "init.msgpack" in ckpts
+    assert any(c.startswith("00-") for c in ckpts)
+    assert any(c.startswith("01-") for c in ckpts)
+    assert os.path.isfile(os.path.join(root, "model", "export", "model.msgpack"))
+
+    with open(os.path.join(root, "logs", "epoch_results.txt")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0].startswith("epoch")
+    assert len(lines) == 3  # header + 2 epochs
+
+
+def test_model_checkpoint_save_best_only(tmp_path):
+    class FakeModel:
+        saves = []
+
+        def save_weights(self, path):
+            FakeModel.saves.append(path)
+
+    ckpt = ModelCheckpoint(
+        str(tmp_path / "{epoch:02d}-{val_loss:.5f}.msgpack"),
+        monitor="val_loss", save_best_only=True,
+    )
+    ckpt.set_model(FakeModel())
+    ckpt.on_epoch_end(0, {"val_loss": 1.0})
+    ckpt.on_epoch_end(1, {"val_loss": 2.0})  # worse: skipped
+    ckpt.on_epoch_end(2, {"val_loss": 0.5})
+    assert len(FakeModel.saves) == 2
+    assert FakeModel.saves[0].endswith("00-1.00000.msgpack")
+    assert FakeModel.saves[1].endswith("02-0.50000.msgpack")
+
+
+def test_callback_list_dispatch():
+    calls = []
+
+    class A(Callback):
+        def on_epoch_begin(self, epoch, logs=None):
+            calls.append(("a", epoch))
+
+    class B(Callback):
+        def on_epoch_begin(self, epoch, logs=None):
+            calls.append(("b", epoch))
+
+    cl = CallbackList([A(), B()])
+    cl.on_epoch_begin(3)
+    assert calls == [("a", 3), ("b", 3)]
+
+
+def test_csv_logger_appends(tmp_path):
+    path = str(tmp_path / "log.csv")
+    logger = CSVLogger(path)
+    logger.on_train_begin()
+    logger.on_epoch_end(0, {"loss": 1.5, "acc": 0.5})
+    logger.on_epoch_end(1, {"loss": 1.0, "acc": 0.7})
+    logger.on_train_end()
+    with open(path) as f:
+        rows = f.read().strip().splitlines()
+    assert rows[0] == "epoch,acc,loss"
+    assert rows[1] == "0,0.5,1.5"
