@@ -25,8 +25,10 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 SCAN_STEPS = int(os.environ.get("BENCH_SCAN_STEPS", "20"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
-# TF2 reference pipeline on this host's CPU (see BASELINE.md "Measured" row).
-REFERENCE_IMG_S = float(os.environ.get("CHAMBERS_BASELINE_IMG_S", "17.2"))
+# TF2 reference pipeline on this host's CPU (see BASELINE.md "Measured" row;
+# produced by tools/measure_tf_baseline.py: fused augment+ViT-B/16 = 0.85
+# img/s on CPU).
+REFERENCE_IMG_S = float(os.environ.get("CHAMBERS_BASELINE_IMG_S", "0.85"))
 
 
 def main():

@@ -9,3 +9,14 @@ from chambers_tpu.models.backbones.vision_transformer import (
     ViTS16,
     VisionTransformer,
 )
+from chambers_tpu.models.backbones.senet import (
+    SENet,
+    SENet154,
+    SEResNet50,
+    SEResNet101,
+    SEResNet152,
+    SEResNeXt50,
+    SEResNeXt101,
+)
+from chambers_tpu.models.backbones.resnext import ResNeXt50, ResNeXt101
+from chambers_tpu.models.backbones.inception import BNInception

@@ -1,0 +1,103 @@
+"""SENet / ResNeXt backbone tests.
+
+Param counts are pinned against the published figures for the architectures
+(SE-ResNet-50 ≈ 28.1M, SE-ResNeXt-50 ≈ 27.6M, ResNeXt-50 ≈ 25.0M), which
+validates the block structure without the (network-bound) released weights.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chambers_tpu.models.backbones import (
+    ResNeXt50,
+    SENet154,
+    SEResNet50,
+    SEResNeXt50,
+)
+from chambers_tpu.models.backbones.senet import MODELS_PARAMS, SENet, SENetModule
+
+
+def test_seresnet50_structure():
+    model = SEResNet50(weights=None, input_shape=(64, 64, 3))
+    n = model.count_params()
+    assert 27_500_000 < n < 29_000_000, n
+    out = model(np.zeros((1, 64, 64, 3), np.float32))
+    assert out.shape == (1, 1000)
+    # softmax head (senet.py:450)
+    np.testing.assert_allclose(np.asarray(out).sum(), 1.0, rtol=1e-4)
+
+
+def test_seresnext50_structure():
+    model = SEResNeXt50(weights=None, input_shape=(64, 64, 3))
+    n = model.count_params()
+    assert 26_500_000 < n < 28_500_000, n
+    out = model(np.zeros((1, 64, 64, 3), np.float32))
+    assert out.shape == (1, 1000)
+
+
+def test_seresnet_no_top_features():
+    model = SENet(
+        MODELS_PARAMS["seresnet50"], input_shape=(64, 64, 3),
+        include_top=False, weights=None,
+    )
+    out = model(np.zeros((2, 64, 64, 3), np.float32))
+    assert out.shape == (2, 2, 2, 2048)
+
+
+def test_senet154_stem_and_dropout():
+    module = SENetModule(model_params=MODELS_PARAMS["senet154"], classes=10)
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    # triple-3x3 stem: first conv kernel is 3x3x3x64
+    first_conv = variables["params"]["_ConvBN_0"]["Conv_0"]["kernel"]
+    assert first_conv.shape == (3, 3, 3, 64)
+    out = module.apply(variables, jnp.zeros((1, 64, 64, 3)),
+                       deterministic=True)
+    assert out.shape == (1, 10)
+
+
+def test_grouped_conv_param_shapes():
+    """feature_group_count halves the input-channel dim of grouped kernels."""
+    model = SEResNeXt50(weights=None, input_shape=(64, 64, 3))
+    params = model.variables["params"]
+    # first bottleneck grouped conv: width 128, groups 32 -> kernel (3,3,4,128)
+    block = params["SEResNeXtBottleneck_0"]["_ConvBN_1"]["Conv_0"]["kernel"]
+    assert block.shape == (3, 3, 4, 128)
+
+
+def test_resnext50_structure():
+    model = ResNeXt50(weights=None, input_shape=(64, 64, 3))
+    n = model.count_params()
+    assert 24_000_000 < n < 26_000_000, n
+    out = model(np.zeros((1, 64, 64, 3), np.float32))
+    assert out.shape == (1, 1000)
+
+
+def test_resnext_pooling_variants():
+    model = ResNeXt50(weights=None, include_top=False, pooling="avg",
+                      input_shape=(64, 64, 3))
+    out = model(np.zeros((1, 64, 64, 3), np.float32))
+    assert out.shape == (1, 2048)
+
+
+def test_senet_weights_validation():
+    with pytest.raises(ValueError, match="classes"):
+        SEResNet50(weights="imagenet", classes=7)
+    with pytest.raises(FileNotFoundError):
+        SEResNet50(weights="imagenet")
+    with pytest.raises(FileNotFoundError):
+        ResNeXt50(weights="imagenet")
+
+
+def test_batchnorm_updates_in_train_mode():
+    model = SEResNet50(weights=None, input_shape=(32, 32, 3))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+    out, mutated = model.module.apply(
+        model.variables, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"],
+    )
+    assert "batch_stats" in mutated
+    flat = jax.tree.leaves(mutated["batch_stats"])
+    assert len(flat) > 0
