@@ -45,6 +45,7 @@ def scaled_dot_product_attention(
     deterministic: bool = True,
     dropout_rng=None,
     precision=None,
+    impl: str = "xla",
 ):
     """Scaled dot-product attention over ``[batch, heads, time, head_dim]``.
 
@@ -64,6 +65,18 @@ def scaled_dot_product_attention(
     if key is None:
         key = value
     head_dim = query.shape[-1]
+
+    use_dropout = dropout_rate > 0.0 and not deterministic
+    if impl == "flash":
+        if use_dropout or q_mask is not None or v_mask is not None:
+            raise NotImplementedError(
+                "attention_impl='flash' supports causal masking but not "
+                "attention dropout or boolean q/v masks; use impl='xla'."
+            )
+        from chambers_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(query, value, key, scale=scale, causal=causal)
+
     if scale is None:
         scale = jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
 
@@ -110,6 +123,7 @@ class MultiHeadAttention(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     precision: Any = None
+    attention_impl: str = "xla"  # 'xla' | 'flash' (Pallas blockwise kernel)
 
     @nn.compact
     def __call__(self, inputs: Sequence[jax.Array], mask=None, deterministic: bool = True):
@@ -149,6 +163,14 @@ class MultiHeadAttention(nn.Module):
         if self.dropout_rate > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
+        # flash kernel requires no dropout and no boolean masks; silently use
+        # the XLA path in those cases so training with dropout "just works"
+        impl = self.attention_impl
+        if impl == "flash" and (
+            dropout_rng is not None or q_mask is not None or v_mask is not None
+        ):
+            impl = "xla"
+
         attention = scaled_dot_product_attention(
             query,
             value,
@@ -160,6 +182,7 @@ class MultiHeadAttention(nn.Module):
             deterministic=deterministic,
             dropout_rng=dropout_rng,
             precision=self.precision,
+            impl=impl,
         )
 
         x = jnp.einsum(

@@ -41,6 +41,7 @@ class EncoderLayer(nn.Module):
     kernel_init: Any = nn.initializers.glorot_uniform()
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    attention_impl: str = "xla"
 
     def setup(self):
         self.multi_head_attention = MultiHeadAttention(
@@ -51,6 +52,7 @@ class EncoderLayer(nn.Module):
             kernel_init=self.kernel_init,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            attention_impl=self.attention_impl,
         )
         self.norm1 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
                                   param_dtype=self.param_dtype)
@@ -97,23 +99,25 @@ class DecoderLayer(nn.Module):
     kernel_init: Any = nn.initializers.glorot_uniform()
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    attention_impl: str = "xla"
 
     def setup(self):
         common = dict(kernel_init=self.kernel_init, dtype=self.dtype,
                       param_dtype=self.param_dtype)
+        mha_common = dict(common, attention_impl=self.attention_impl)
         self.multi_head_attention1 = MultiHeadAttention(
             head_dim=self.embed_dim // self.num_heads,
             num_heads=self.num_heads,
             dropout_rate=self.attention_dropout_rate,
             causal=self.causal,
-            **common,
+            **mha_common,
         )
         self.multi_head_attention2 = MultiHeadAttention(
             head_dim=self.embed_dim // self.num_heads,
             num_heads=self.num_heads,
             dropout_rate=self.attention_dropout_rate,
             causal=False,
-            **common,
+            **mha_common,
         )
         self.norm1 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
                                   param_dtype=self.param_dtype)
@@ -178,6 +182,7 @@ class Encoder(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     remat: bool = False
+    attention_impl: str = "xla"
 
     def setup(self):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
@@ -193,6 +198,7 @@ class Encoder(nn.Module):
                 kernel_init=self.kernel_init,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                attention_impl=self.attention_impl,
             )
             for _ in range(self.num_layers)
         ]
@@ -228,6 +234,7 @@ class Decoder(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     remat: bool = False
+    attention_impl: str = "xla"
 
     def setup(self):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
@@ -244,6 +251,7 @@ class Decoder(nn.Module):
                 kernel_init=self.kernel_init,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                attention_impl=self.attention_impl,
             )
             for _ in range(self.num_layers)
         ]

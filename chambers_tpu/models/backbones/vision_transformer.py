@@ -183,6 +183,7 @@ class VisionTransformer(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     remat: bool = False
+    attention_impl: str = "xla"
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -218,6 +219,7 @@ class VisionTransformer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             remat=self.remat,
+            attention_impl=self.attention_impl,
             name="encoder",
         )
         if self.feature_dim is not None:
@@ -271,6 +273,7 @@ class DistilledVisionTransformer(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     remat: bool = False
+    attention_impl: str = "xla"
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -308,6 +311,7 @@ class DistilledVisionTransformer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             remat=self.remat,
+            attention_impl=self.attention_impl,
             name="encoder",
         )
         if self.include_top:
@@ -384,6 +388,7 @@ def _build(
     feature_dim=None,
     return_dist_token=None,
     dtype=None,
+    attention_impl="xla",
     seed: int = 0,
 ):
     weights_are_pretrained = _are_weights_pretrained(weights, model_name)
@@ -426,6 +431,7 @@ def _build(
         classes=classes,
         classifier_activation=classifier_activation,
         dtype=dtype,
+        attention_impl=attention_impl,
     )
     if module_cls is VisionTransformer:
         kwargs["feature_dim"] = feature_dim
@@ -460,6 +466,7 @@ def _vit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
         classes=1000,
         classifier_activation=None,
         dtype=None,
+        attention_impl="xla",
         seed: int = 0,
     ):
         return _build(
@@ -479,6 +486,7 @@ def _vit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
             classifier_activation=classifier_activation,
             feature_dim=feature_dim,
             dtype=dtype,
+            attention_impl=attention_impl,
             seed=seed,
         )
 
@@ -497,6 +505,7 @@ def _deit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
         classes=1000,
         classifier_activation=None,
         dtype=None,
+        attention_impl="xla",
         seed: int = 0,
     ):
         return _build(
@@ -516,6 +525,7 @@ def _deit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
             classifier_activation=classifier_activation,
             return_dist_token=return_dist_token,
             dtype=dtype,
+            attention_impl=attention_impl,
             seed=seed,
         )
 

@@ -1,0 +1,224 @@
+"""Flash (blockwise) attention Pallas kernel for TPU.
+
+SURVEY.md §5.7: the reference computes dense O(t²) attention as a single
+einsum (attention.py:113-125); the right-sized TPU equivalent is a blockwise
+flash kernel that never materializes the ``[t, t]`` scores matrix. This kernel
+follows the canonical JAX Pallas TPU flash-attention structure: grid over
+(batch·heads, q-blocks, kv-blocks), online softmax with float32 running
+statistics in VMEM scratch, causal tiles skipped above the diagonal, and a
+``custom_vjp`` whose backward recomputes scores from saved (o, l, m) — the
+standard memory-efficient residual trick.
+
+Interface: ``flash_attention(q, v, k, scale, causal, kv_length)`` over
+``[batch, heads, t, head_dim]`` — drop-in for the XLA path in
+``chambers_tpu.layers.attention.scaled_dot_product_attention`` (selected via
+``attention_impl='flash'``).
+"""
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANES = 128
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, m_out_ref,
+                      m_ref, l_ref, acc_ref,
+                      *, scale, causal, block_q, block_k, kv_len, n_k):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if causal:
+        # skip KV blocks fully above the diagonal
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0]  # [block_q, head_dim]
+        k = k_ref[0]  # [block_k, head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
+            + ki * block_k
+        mask = col < kv_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
+                + qi * block_q
+            mask &= col <= row
+        s = jnp.where(mask, s, _MASK_VALUE)
+
+        m_prev = m_ref[...]            # [block_q, LANES] (tiled copies)
+        l_prev = l_ref[...]
+        m_curr = jnp.max(s, axis=1)[:, None]          # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)          # [block_q, LANES]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])                # [block_q, block_k]
+        l_corr = alpha * l_prev
+        l_next = jnp.sum(p, axis=1)[:, None] + l_corr
+
+        m_ref[...] = m_next
+        l_ref[...] = l_next
+
+        l_next_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+        acc_ref[...] = acc_ref[...] * (l_corr * l_next_inv)[:, :1]
+        v = v_ref[0]
+        o_curr = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_ref[...] += o_curr * l_next_inv[:, :1]
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+        l_out_ref[0] = l_ref[...][:, :1]
+        m_out_ref[0] = m_ref[...][:, :1]
+
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_forward(q, k, v, scale, causal, block_q, block_k):
+    """Core padded pallas call over [bn, t, h] operands; returns (o, l, m)."""
+    bn, tq, h = q.shape
+    tk = k.shape[1]
+
+    q_p = _pad_to(q, 1, block_q)
+    k_p = _pad_to(k, 1, block_k)
+    v_p = _pad_to(v, 1, block_k)
+    n_q = q_p.shape[1] // block_q
+    n_k = k_p.shape[1] // block_k
+
+    kernel = functools.partial(
+        _flash_fwd_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, kv_len=tk, n_k=n_k,
+    )
+    # Mosaic kernels compile only for TPU; CPU (tests / simulated meshes)
+    # runs the interpreter, which is numerically identical.
+    interpret = jax.default_backend() == "cpu"
+    out_shapes = (
+        jax.ShapeDtypeStruct(q_p.shape, q.dtype),                 # o
+        jax.ShapeDtypeStruct((bn, q_p.shape[1], 1), jnp.float32),  # l
+        jax.ShapeDtypeStruct((bn, q_p.shape[1], 1), jnp.float32),  # m
+    )
+    o, l, m = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid=(bn, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, h), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, h), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, h), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, h), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b, qi, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
+            pltpu.VMEM((block_q, h), jnp.float32),       # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p)
+    return o[:, :tq], l[:, :tq], m[:, :tq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, causal, block_q, block_k):
+    o, _, _ = _flash_forward(q, k, v, scale, causal, block_q, block_k)
+    return o
+
+
+def _flash_fwd(q, k, v, scale, causal, block_q, block_k):
+    o, l, m = _flash_forward(q, k, v, scale, causal, block_q, block_k)
+    return o, (q, k, v, o, l, m)
+
+
+def _flash_bwd(scale, causal, block_q, block_k, residuals, do):
+    """Backward from saved (o, l, m): recompute p blockwise-free in XLA.
+
+    p = exp(s - m) / l reproduces the softmax without renormalizing;
+    standard flash-attention gradient identities follow:
+        dv = pᵀ · do
+        dp = do · vᵀ ;  ds = p * (dp - Σ(do·o))
+        dq = ds · k · scale ; dk = dsᵀ · q · scale
+    """
+    q, k, v, o, l, m = residuals
+    q32, k32, v32 = (x.astype(jnp.float32) for x in (q, k, v))
+    do32 = do.astype(jnp.float32)
+
+    s = jnp.einsum("bqh,bkh->bqk", q32, k32) * scale
+    if causal:
+        tq, tk = s.shape[-2], s.shape[-1]
+        tri = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+        s = jnp.where(tri[None], s, _MASK_VALUE)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    p = jnp.exp(s - m) / l_safe                      # [b, tq, tk]
+
+    dv = jnp.einsum("bqk,bqh->bkh", p, do32)
+    dp = jnp.einsum("bqh,bkh->bqk", do32, v32)
+    di = jnp.sum(do32 * o.astype(jnp.float32), axis=-1, keepdims=True)
+    ds = p * (dp - di)
+    dq = jnp.einsum("bqk,bkh->bqh", ds, k32) * scale
+    dk = jnp.einsum("bqk,bqh->bkh", ds, q32) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    query,
+    value,
+    key=None,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    block_q: int = 128,
+    block_k: int = 128,
+):
+    """Blockwise attention over ``[batch, heads, t, head_dim]`` tensors.
+
+    Numerically equivalent to softmax(q·kᵀ/√h)·v (float32 statistics); the
+    ``[t, t]`` scores matrix is never materialized in the forward pass.
+    Differentiable via custom VJP.
+    """
+    if key is None:
+        key = value
+    b, n, tq, h = query.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(h)
+    else:
+        scale = 1.0 / float(scale)  # must be a static Python scalar
+
+    fold = lambda x: x.reshape(b * n, x.shape[2], h)
+    out = _flash(fold(query), fold(key), fold(value),
+                 scale, causal, block_q, block_k)
+    return out.reshape(b, n, tq, h)

@@ -1,0 +1,142 @@
+"""Flash attention kernel tests (interpret mode on CPU; numerics identical).
+
+Pinned against the XLA reference path of
+chambers_tpu.layers.attention.scaled_dot_product_attention.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chambers_tpu.layers.attention import scaled_dot_product_attention
+from chambers_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.fixture
+def qkv():
+    rng = np.random.RandomState(0)
+    shape = (2, 3, 197, 64)  # ViT-ish: batch 2, 3 heads, 197 tokens
+    q = rng.randn(*shape).astype(np.float32)
+    k = rng.randn(*shape).astype(np.float32)
+    v = rng.randn(*shape).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_matches_xla_attention(qkv):
+    q, k, v = qkv
+    out_flash = flash_attention(q, v, k)
+    out_xla = scaled_dot_product_attention(q, v, k)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=2e-5
+    )
+
+
+def test_causal_matches_xla(qkv):
+    q, k, v = qkv
+    out_flash = flash_attention(q, v, k, causal=True)
+    out_xla = scaled_dot_product_attention(q, v, k, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=2e-5
+    )
+
+
+def test_non_multiple_block_sizes(qkv):
+    """197 and 577 are not multiples of 128 — padding must be exact."""
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 2, 577, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 577, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 577, 64).astype(np.float32))
+    out_flash = flash_attention(q, v, k)
+    out_xla = scaled_dot_product_attention(q, v, k)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=2e-5
+    )
+
+
+def test_cross_attention_lengths():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 2, 130, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 260, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 260, 64).astype(np.float32))
+    out_flash = flash_attention(q, v, k)
+    out_xla = scaled_dot_product_attention(q, v, k)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=2e-5
+    )
+
+
+def test_bfloat16(qkv):
+    q, k, v = (x.astype(jnp.bfloat16) for x in qkv)
+    out_flash = np.asarray(flash_attention(q, v, k), np.float32)
+    out_xla = np.asarray(scaled_dot_product_attention(q, v, k), np.float32)
+    np.testing.assert_allclose(out_flash, out_xla, atol=3e-2)
+
+
+def test_gradients_match_xla(qkv):
+    q, k, v = qkv
+    q, k, v = q[:, :1, :64], k[:, :1, :64], v[:, :1, :64]
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, v, k) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(scaled_dot_product_attention(q, v, k) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-3)
+
+
+def test_causal_gradients_match_xla(qkv):
+    q, k, v = qkv
+    q, k, v = q[:1, :1, :130], k[:1, :1, :130], v[:1, :1, :130]
+
+    gf = jax.grad(
+        lambda q: jnp.sum(flash_attention(q, v, k, causal=True) ** 2)
+    )(q)
+    gx = jax.grad(
+        lambda q: jnp.sum(
+            scaled_dot_product_attention(q, v, k, causal=True) ** 2
+        )
+    )(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=1e-3,
+                               rtol=1e-3)
+
+
+def test_mha_flash_impl_matches_xla():
+    from chambers_tpu.layers import MultiHeadAttention
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 140, 32).astype(np.float32)
+    mha_xla = MultiHeadAttention(head_dim=8, num_heads=4, dropout_rate=0.0)
+    mha_flash = MultiHeadAttention(head_dim=8, num_heads=4, dropout_rate=0.0,
+                                   attention_impl="flash")
+    variables = mha_xla.init(jax.random.PRNGKey(0), [x, x])
+    out_xla = np.asarray(mha_xla.apply(variables, [x, x]))
+    out_flash = np.asarray(mha_flash.apply(variables, [x, x]))
+    np.testing.assert_allclose(out_flash, out_xla, atol=2e-5)
+
+
+def test_mha_flash_falls_back_with_masks():
+    from chambers_tpu.layers import MultiHeadAttention
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 10, 32).astype(np.float32)
+    mask = rng.rand(2, 10) > 0.3
+    mha = MultiHeadAttention(head_dim=8, num_heads=4, dropout_rate=0.0,
+                             attention_impl="flash")
+    variables = mha.init(jax.random.PRNGKey(0), [x, x], mask=[mask, mask])
+    out = mha.apply(variables, [x, x], mask=[mask, mask])  # xla fallback
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vit_preset_with_flash():
+    from chambers_tpu.models.backbones import ViTS16
+
+    model = ViTS16(weights=None, input_shape=(32, 32, 3),
+                   attention_impl="flash")
+    out = model(np.zeros((1, 32, 32, 3), np.float32))
+    assert out.shape == (1, 1000)
