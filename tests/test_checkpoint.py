@@ -1,0 +1,104 @@
+"""Orbax checkpoint/resume and profiling-helper tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from flax import linen as nn
+
+from chambers_tpu.models import Model
+from chambers_tpu.training import Trainer
+from chambers_tpu.training.checkpoint import CheckpointCallback, CheckpointManager
+from chambers_tpu.utils.profiling import benchmark, device_memory_stats
+
+
+class _Net(nn.Module):
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        return nn.Dense(1)(nn.relu(nn.Dense(8)(x)))
+
+
+def _trainer(seed=0):
+    module = _Net()
+    variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 4)))
+    model = Model(module, variables)
+    return Trainer(model, loss=lambda yt, yp: jnp.mean((yt - yp) ** 2),
+                   optimizer=optax.adam(1e-2), seed=seed)
+
+
+def _data(n=4):
+    rng = np.random.RandomState(0)
+    return [
+        (rng.randn(8, 4).astype(np.float32), rng.randn(8, 1).astype(np.float32))
+        for _ in range(n)
+    ]
+
+
+def test_save_restore_roundtrip(tmp_path):
+    trainer = _trainer()
+    trainer.fit(_data(), epochs=2, verbose=False)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    step = int(trainer.state.step)
+    ckpt.save(step, trainer.state)
+    ckpt.wait()
+    assert ckpt.latest_step() == step
+
+    trainer2 = _trainer(seed=1)
+    restored = ckpt.restore_latest(trainer2.state)
+    assert restored is not None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        restored.params, trainer.state.params,
+    )
+    assert int(restored.step) == step
+    ckpt.close()
+
+
+def test_restore_latest_none_when_empty(tmp_path):
+    ckpt = CheckpointManager(str(tmp_path / "empty"))
+    assert ckpt.restore_latest({"x": jnp.zeros(2)}) is None
+    ckpt.close()
+
+
+def test_max_to_keep(tmp_path):
+    ckpt = CheckpointManager(str(tmp_path / "keep"), max_to_keep=2)
+    state = {"w": jnp.ones(3)}
+    for step in range(5):
+        ckpt.save(step, state)
+    ckpt.wait()
+    assert ckpt.latest_step() == 4
+    assert len(ckpt.all_steps()) <= 2
+    ckpt.close()
+
+
+def test_checkpoint_callback_resume(tmp_path):
+    trainer = _trainer()
+    callback = CheckpointCallback(str(tmp_path / "cb"), trainer)
+    trainer.fit(_data(), epochs=2, callbacks=[callback], verbose=False)
+    step_after = int(trainer.state.step)
+
+    # new trainer resumes exactly
+    trainer2 = _trainer(seed=9)
+    callback2 = CheckpointCallback(str(tmp_path / "cb"), trainer2)
+    assert callback2.restore_into(trainer2)
+    assert int(trainer2.state.step) == step_after
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        trainer2.state.params, trainer.state.params,
+    )
+    callback.manager.close()
+    callback2.manager.close()
+
+
+def test_benchmark_helper():
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones((128, 128))
+    stats = benchmark(f, x, warmup=1, iters=3)
+    assert stats["p50_s"] >= 0
+    assert len(stats["times_s"]) == 3
+
+
+def test_device_memory_stats_shape():
+    stats = device_memory_stats()
+    assert stats is None or isinstance(stats, dict)
