@@ -143,17 +143,21 @@ class AutoAugment:
         # Deduplicate op instances: policy entries index into a unique table.
         self._unique = {}  # (name, magnitude) -> index
         self._ops = []
+        self._op_specs = []  # [(name, magnitude), ...] parallel to _ops
         self.policies = []  # [((op_idx, p), (op_idx, p)), ...]
         for (t1, p1, m1), (t2, p2, m2) in _AUTO_AUGMENT_POLICY_V0:
             self.policies.append(
                 ((self._intern(t1, m1), p1), (self._intern(t2, m2), p2))
             )
 
+    _PROJECTIVE_NAMES = ("ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate")
+
     def _intern(self, name, magnitude):
         key = (name, magnitude)
         if key not in self._unique:
             self._unique[key] = len(self._ops)
             self._ops.append(_get_transform(name, magnitude))
+            self._op_specs.append((name, magnitude))
         return self._unique[key]
 
     def __call__(self, images, key=None, training: bool = True):
@@ -183,12 +187,16 @@ class AutoAugment:
         return jax.lax.switch(idx, branches, images, key_s1, key_s2)
 
     def _apply_elementwise(self, images, key_policy, key_s1, key_s2):
-        b = images.shape[0]
+        """Per-image sub-policy selection with all projective candidates fused
+        into a single warp per stage (see RandAugment for the rationale:
+        warps are general gathers, the expensive op class on TPU)."""
+        from chambers_tpu.ops import image_ops
+
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
         n_pol = len(self.policies)
         policy_idx = jax.random.randint(key_policy, (b,), 0, n_pol)
 
         for stage, stage_key in ((0, key_s1), (1, key_s2)):
-            # per-image op index and chance probability for this stage
             op_of_policy = jnp.asarray([p[stage][0] for p in self.policies])
             prob_of_policy = jnp.asarray(
                 [p[stage][1] for p in self.policies], jnp.float32
@@ -196,15 +204,53 @@ class AutoAugment:
             op_idx = op_of_policy[policy_idx]          # [b]
             prob = prob_of_policy[policy_idx]          # [b]
 
-            key_chance, key_ops = jax.random.split(stage_key)
+            key_chance, key_sign, key_ops = jax.random.split(stage_key, 3)
             do = jax.random.uniform(key_chance, (b,)) < prob
+            sign = image_ops.random_sign(key_sign, (b,))
 
+            # single fused warp for every projective candidate op
+            mats = image_ops.identity_matrices(b)
+            any_projective = False
+            for k_i, (name, magnitude) in enumerate(self._op_specs):
+                if name not in self._PROJECTIVE_NAMES:
+                    continue
+                any_projective = True
+                if name == "Rotate":
+                    rad = (magnitude or 0) / _MAX_MAGNITUDE * 30.0 * math.pi / 180.0
+                    cand = image_ops.rotation_matrices(sign * rad, h, w)
+                elif name == "ShearX":
+                    lvl = (magnitude or 0) / _MAX_MAGNITUDE * 0.3
+                    cand = image_ops.shear_x_matrices(sign * lvl)
+                elif name == "ShearY":
+                    lvl = (magnitude or 0) / _MAX_MAGNITUDE * 0.3
+                    cand = image_ops.shear_y_matrices(sign * lvl)
+                elif name == "TranslateX":
+                    px = (magnitude or 0) / _MAX_MAGNITUDE * 100
+                    cand = image_ops.translate_x_matrices(sign * px)
+                else:  # TranslateY
+                    px = (magnitude or 0) / _MAX_MAGNITUDE * 100
+                    cand = image_ops.translate_y_matrices(sign * px)
+                mats = jnp.where((op_idx == k_i)[:, None], cand, mats)
+
+            if any_projective:
+                result = image_ops.transform(
+                    images, mats, interpolation=_INTERPOLATION_MODE,
+                    fill_value=_FILL_VALUE,
+                )
+            else:
+                result = images
+
+            # pointwise candidates mask-selected over the warp result
             op_keys = jax.random.split(key_ops, len(self._ops))
-            outs = jnp.stack(
-                [op(images, key=k) for op, k in zip(self._ops, op_keys)], axis=0
-            )  # [n_ops, b, h, w, c]
-            chosen = outs[op_idx, jnp.arange(b)]
-            images = jnp.where(do[:, None, None, None], chosen, images)
+            for k_i, ((name, _), op, op_key) in enumerate(
+                zip(self._op_specs, self._ops, op_keys)
+            ):
+                if name in self._PROJECTIVE_NAMES:
+                    continue
+                sel = (op_idx == k_i)[:, None, None, None]
+                result = jnp.where(sel, op(images, key=op_key), result)
+
+            images = jnp.where(do[:, None, None, None], result, images)
         return images
 
 
