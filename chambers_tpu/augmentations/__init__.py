@@ -21,3 +21,19 @@ from chambers_tpu.augmentations.image_augmentations import (
     TranslateY,
 )
 from chambers_tpu.augmentations.augmentation_schemes import AutoAugment, RandAugment
+
+# Keras-preprocessing-layer equivalents (the reference re-exports Keras's,
+# augmentations/__init__.py:1-13)
+from chambers_tpu.augmentations.preprocessing import (
+    CenterCrop,
+    RandomContrast,
+    RandomCrop,
+    RandomFlip,
+    RandomHeight,
+    RandomRotation,
+    RandomTranslation,
+    RandomWidth,
+    RandomZoom,
+    Rescaling,
+    Resizing,
+)

@@ -1,4 +1,9 @@
-from chambers_tpu.layers.attention import MultiHeadAttention, scaled_dot_product_attention
+from chambers_tpu.layers.attention import (
+    MultiHeadAttention,
+    ScaledAttention,
+    scaled_attention,
+    scaled_dot_product_attention,
+)
 from chambers_tpu.layers.transformer import Decoder, DecoderLayer, Encoder, EncoderLayer
 from chambers_tpu.layers.embedding import (
     ConcatEmbedding,
@@ -18,6 +23,12 @@ from chambers_tpu.layers.distance import (
     L2Distance,
     SqrtCosineSimilarity,
 )
-from chambers_tpu.layers.pooling import GlobalGeneralizedMean, RoiPooling
+from chambers_tpu.layers.pooling import (
+    GlobalGeneralizedMean,
+    RoiPooling,
+    RoiPooling_OG,
+    roi_max_pool,
+    spatial_pyramid_roi_pool,
+)
 from chambers_tpu.layers.descriptors import RMAC, rmac_regions
 from chambers_tpu.layers import ops

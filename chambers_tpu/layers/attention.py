@@ -108,6 +108,39 @@ def scaled_dot_product_attention(
     return out
 
 
+def scaled_attention(query, value, key=None, key_dim=None, causal=False,
+                     q_mask=None, v_mask=None):
+    """Functional equivalent of the reference's ``ScaledAttention`` layer
+    (attention.py:7-23): dot-product attention with scores divided by
+    ``sqrt(key_dim)`` (static if given, else from the key's last dim)."""
+    if key is None:
+        key = value
+    scale = jnp.sqrt(jnp.asarray(
+        key_dim if key_dim is not None else key.shape[-1], jnp.float32
+    ))
+    return scaled_dot_product_attention(
+        query, value, key, scale=scale, causal=causal,
+        q_mask=q_mask, v_mask=v_mask,
+    )
+
+
+# Class-style alias mirroring the reference export surface
+class ScaledAttention:
+    def __init__(self, key_dim=None, causal=False, dropout=0.0):
+        self.key_dim = key_dim
+        self.causal = causal
+        self.dropout = dropout
+
+    def __call__(self, inputs, mask=None):
+        q, v = inputs[0], inputs[1]
+        k = inputs[2] if len(inputs) > 2 else v
+        q_mask, v_mask = mask if mask is not None else (None, None)
+        return scaled_attention(
+            q, v, k, key_dim=self.key_dim, causal=self.causal,
+            q_mask=q_mask, v_mask=v_mask,
+        )
+
+
 class MultiHeadAttention(nn.Module):
     """Multi-head attention with ``(d, num_heads, head_dim)`` weight layout.
 

@@ -88,3 +88,65 @@ class RoiPooling:
     def __call__(self, inputs):
         x, roi_boxes = inputs
         return roi_max_pool(x, roi_boxes)
+
+
+def spatial_pyramid_roi_pool(x, rois, pool_list):
+    """SPP-style multi-scale ROI pooling (the reference's ``RoiPooling_OG``,
+    pooling.py:125-236; He et al., Spatial Pyramid Pooling).
+
+    Each ROI is divided into ``i x i`` grids for every ``i`` in ``pool_list``
+    and each cell max-pooled — fully vectorized masked-max over (batch, roi,
+    cell) instead of the reference's Python cell loops.
+
+    :param x: ``[b, H, W, C]`` feature maps.
+    :param rois: ``[b, R, 4]`` boxes ``(x, y, w, h)``.
+    :return: ``[b, R, C * sum(i*i for i in pool_list)]``.
+    """
+    b, H, W, C = x.shape
+    rois = rois.astype(jnp.float32)
+    bx, by = rois[..., 0], rois[..., 1]   # [b, R]
+    bw, bh = rois[..., 2], rois[..., 3]
+
+    rows = jnp.arange(H)[:, None]  # [H, 1]
+    cols = jnp.arange(W)[None, :]  # [1, W]
+    outputs = []
+    for n in pool_list:
+        # cell edge coordinates, rounded like the reference (K.round)
+        steps = jnp.arange(n + 1, dtype=jnp.float32)  # [n+1]
+        # reference: col_length = h/n applied to y, row_length = w/n to x
+        x_edges = jnp.round(bx[..., None] + steps * (bw[..., None] / n))
+        y_edges = jnp.round(by[..., None] + steps * (bh[..., None] / n))
+        x0, x1 = x_edges[..., :-1], x_edges[..., 1:]   # [b, R, n]
+        y0, y1 = y_edges[..., :-1], y_edges[..., 1:]
+
+        col_in = (cols[None, None, None] >= x0[..., None, None]) & (
+            cols[None, None, None] < x1[..., None, None]
+        )  # [b, R, n, 1, W] -> note broadcasting below
+        row_in = (rows[None, None, None] >= y0[..., None, None]) & (
+            rows[None, None, None] < y1[..., None, None]
+        )  # [b, R, n, H, 1]
+
+        # mask [b, R, ny, nx, H, W]
+        mask = row_in[:, :, :, None] & col_in[:, :, None, :]
+        neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+        masked = jnp.where(
+            mask[..., None], x[:, None, None, None], neg_inf
+        )  # [b, R, ny, nx, H, W, C]
+        pooled = jnp.max(masked, axis=(4, 5))  # [b, R, ny, nx, C]
+        # empty cells (rounding collapse) -> 0 instead of -inf
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+        outputs.append(pooled.reshape(b, rois.shape[1], -1))
+
+    return jnp.concatenate(outputs, axis=-1)
+
+
+class RoiPooling_OG:
+    """SPP ROI-pooling layer over ``[x_img, x_roi]`` (reference name kept)."""
+
+    def __init__(self, pool_list, num_rois=None):
+        self.pool_list = list(pool_list)
+        self.num_rois = num_rois  # kept for signature parity; inferred at call
+
+    def __call__(self, inputs):
+        x, rois = inputs
+        return spatial_pyramid_roi_pool(x, rois, self.pool_list)
