@@ -1,0 +1,232 @@
+"""DETR-style detection losses with Hungarian matching.
+
+BASELINE.json config 5 (stretch beyond the reference — SURVEY.md §2.4 notes
+the reference v1 has no matcher/DETR loss; its DETR lineage is only
+``PositionalEncoding2D`` and ``Decoder(return_sequence=True)``). This module
+supplies the missing pieces TPU-first:
+
+- :func:`hungarian_matcher` — optimal bipartite assignment. The assignment
+  itself is tiny, sequential bookkeeping (O(n³) on ~100 queries), exactly the
+  kind of work that does NOT belong on the MXU; it runs on host via
+  ``jax.pure_callback`` (scipy Jonker-Volgenant) inside jit, outside the
+  gradient path — the cost *matrix* is computed on device.
+- :class:`DETRLoss` — classification CE with no-object down-weighting, L1 box
+  loss, generalized IoU, normalized by the number of target boxes; supports
+  per-decoder-layer auxiliary losses (the reference's
+  ``return_sequence=True`` output, transformer.py:410-426).
+
+Boxes use normalized ``(cx, cy, w, h)``.
+"""
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# box utilities
+# ---------------------------------------------------------------------------
+
+def box_cxcywh_to_xyxy(boxes):
+    cx, cy, w, h = jnp.split(boxes, 4, axis=-1)
+    return jnp.concatenate(
+        [cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], axis=-1
+    )
+
+
+def box_area(boxes_xyxy):
+    return (boxes_xyxy[..., 2] - boxes_xyxy[..., 0]) * (
+        boxes_xyxy[..., 3] - boxes_xyxy[..., 1]
+    )
+
+
+def box_iou(boxes1, boxes2):
+    """Pairwise IoU of ``[n, 4]`` and ``[m, 4]`` xyxy boxes → ``[n, m]``."""
+    area1 = box_area(boxes1)[:, None]
+    area2 = box_area(boxes2)[None, :]
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1 + area2 - inter
+    return inter / jnp.maximum(union, 1e-8), union
+
+
+def generalized_box_iou(boxes1, boxes2):
+    """Pairwise GIoU (Rezatofighi et al.) of xyxy boxes → ``[n, m]``."""
+    iou, union = box_iou(boxes1, boxes2)
+    lt = jnp.minimum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.maximum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    enclosing = jnp.maximum(wh[..., 0] * wh[..., 1], 1e-8)
+    return iou - (enclosing - union) / enclosing
+
+
+# ---------------------------------------------------------------------------
+# Hungarian matching
+# ---------------------------------------------------------------------------
+
+def _lsa_host(cost: np.ndarray) -> np.ndarray:
+    """Host-side optimal assignment: per-row matched column indices."""
+    from scipy.optimize import linear_sum_assignment
+
+    out = np.zeros(cost.shape[:-2] + (cost.shape[-2],), np.int32)
+    flat_cost = cost.reshape((-1,) + cost.shape[-2:])
+    flat_out = out.reshape(-1, cost.shape[-2])
+    for i, c in enumerate(flat_cost):
+        rows, cols = linear_sum_assignment(np.asarray(c, np.float64))
+        flat_out[i, rows] = cols
+    return out
+
+
+def linear_sum_assignment(cost_matrix):
+    """Jit-compatible optimal assignment via host callback.
+
+    :param cost_matrix: ``[..., n, m]`` with ``n <= m``.
+    :return: ``[..., n]`` int32 — column assigned to each row.
+    """
+    n = cost_matrix.shape[-2]
+    result_shape = jax.ShapeDtypeStruct(cost_matrix.shape[:-2] + (n,), jnp.int32)
+    return jax.pure_callback(
+        _lsa_host, result_shape, cost_matrix, vmap_method="sequential"
+    )
+
+
+def hungarian_matcher(
+    pred_logits,
+    pred_boxes,
+    target_labels,
+    target_boxes,
+    target_mask,
+    cost_class: float = 1.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+):
+    """Optimal query↔target assignment per batch element (DETR §3.1 costs).
+
+    Targets are dense-padded: ``target_labels [b, max_t]``,
+    ``target_boxes [b, max_t, 4]``, ``target_mask [b, max_t]`` bool (True for
+    real boxes). Padded columns get +inf-ish cost so real targets always win;
+    the returned assignment ``[b, n_queries]`` maps each *target slot* to a
+    query — consume it together with ``target_mask``.
+
+    :return: ``[b, max_t]`` int32: for each target slot, the matched query.
+    """
+
+    def per_example(logits, boxes, t_labels, t_boxes, t_mask):
+        prob = jax.nn.softmax(logits, axis=-1)          # [q, classes]
+        c_class = -prob[:, t_labels]                    # [q, t]
+        c_bbox = jnp.sum(
+            jnp.abs(boxes[:, None] - t_boxes[None]), axis=-1
+        )
+        c_giou = -generalized_box_iou(
+            box_cxcywh_to_xyxy(boxes), box_cxcywh_to_xyxy(t_boxes)
+        )
+        cost = cost_class * c_class + cost_bbox * c_bbox + cost_giou * c_giou
+        # padded targets: huge constant cost (column still assigned, ignored
+        # downstream via t_mask)
+        cost = jnp.where(t_mask[None, :], cost, 1e6)
+        # assignment over [t, q]: each target row picks a distinct query
+        return linear_sum_assignment(jax.lax.stop_gradient(cost).T)
+
+    return jax.vmap(per_example)(
+        pred_logits, pred_boxes, target_labels, target_boxes, target_mask
+    )
+
+
+# ---------------------------------------------------------------------------
+# DETR loss
+# ---------------------------------------------------------------------------
+
+class DETRLoss:
+    """Set-prediction loss: Hungarian matching + CE / L1 / GIoU terms.
+
+    :param num_classes: number of object classes; class id ``num_classes`` is
+        the no-object class.
+    :param eos_coef: down-weighting of the no-object CE term (DETR: 0.1).
+    """
+
+    def __init__(self, num_classes: int, cost_class=1.0, cost_bbox=5.0,
+                 cost_giou=2.0, weight_ce=1.0, weight_bbox=5.0,
+                 weight_giou=2.0, eos_coef: float = 0.1):
+        self.num_classes = num_classes
+        self.cost_class = cost_class
+        self.cost_bbox = cost_bbox
+        self.cost_giou = cost_giou
+        self.weight_ce = weight_ce
+        self.weight_bbox = weight_bbox
+        self.weight_giou = weight_giou
+        self.eos_coef = eos_coef
+
+    def __call__(self, outputs: Dict, targets: Dict) -> jnp.ndarray:
+        """Total loss.
+
+        :param outputs: ``{"logits": [b, q, classes+1], "boxes": [b, q, 4]}``
+            or with a leading aux-layer axis ``[b, L, q, ...]`` (the
+            ``Decoder(return_sequence=True)`` output) — aux layers get the
+            same loss summed.
+        :param targets: ``{"labels": [b, t], "boxes": [b, t, 4],
+            "mask": [b, t]}``.
+        """
+        logits, boxes = outputs["logits"], outputs["boxes"]
+        if logits.ndim == 4:  # [b, L, q, c] aux losses per decoder layer
+            total = 0.0
+            for layer in range(logits.shape[1]):
+                total = total + self._single(
+                    logits[:, layer], boxes[:, layer], targets
+                )
+            return total
+        return self._single(logits, boxes, targets)
+
+    def _single(self, logits, boxes, targets):
+        t_labels = targets["labels"]
+        t_boxes = targets["boxes"]
+        t_mask = targets["mask"].astype(bool)
+
+        assignment = hungarian_matcher(
+            logits, boxes, t_labels, t_boxes, t_mask,
+            cost_class=self.cost_class, cost_bbox=self.cost_bbox,
+            cost_giou=self.cost_giou,
+        )  # [b, t] query index per target slot
+
+        b, q = logits.shape[0], logits.shape[1]
+        num_boxes = jnp.maximum(jnp.sum(t_mask), 1.0)
+
+        # --- classification: matched queries get the target label, everyone
+        # else the no-object class ---
+        target_classes = jnp.full((b, q), self.num_classes, jnp.int32)
+        batch_idx = jnp.arange(b)[:, None]
+        # scatter only real targets' labels (padded slots write no-object)
+        scatter_labels = jnp.where(t_mask, t_labels, self.num_classes)
+        target_classes = target_classes.at[batch_idx, assignment].set(
+            jnp.where(t_mask, scatter_labels, self.num_classes)
+        )
+        log_p = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(
+            log_p, target_classes[..., None], axis=-1
+        )[..., 0]
+        class_weights = jnp.where(
+            target_classes == self.num_classes, self.eos_coef, 1.0
+        )
+        loss_ce = jnp.sum(ce * class_weights) / jnp.sum(class_weights)
+
+        # --- box losses on matched pairs ---
+        matched_boxes = boxes[batch_idx, assignment]       # [b, t, 4]
+        l1 = jnp.sum(jnp.abs(matched_boxes - t_boxes), axis=-1)
+        loss_bbox = jnp.sum(jnp.where(t_mask, l1, 0.0)) / num_boxes
+
+        giou = jax.vmap(
+            lambda p, t: jnp.diagonal(
+                generalized_box_iou(
+                    box_cxcywh_to_xyxy(p), box_cxcywh_to_xyxy(t)
+                )
+            )
+        )(matched_boxes, t_boxes)
+        loss_giou = jnp.sum(jnp.where(t_mask, 1.0 - giou, 0.0)) / num_boxes
+
+        return (self.weight_ce * loss_ce
+                + self.weight_bbox * loss_bbox
+                + self.weight_giou * loss_giou)
