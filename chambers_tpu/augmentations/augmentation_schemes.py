@@ -22,8 +22,10 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from chambers_tpu.augmentations import image_augmentations
+from chambers_tpu.ops import image_ops
 
 _INTERPOLATION_MODE = "nearest"
 _FILL_MODE = "constant"
@@ -328,13 +330,85 @@ class RandAugment:
                 fill_value=_FILL_VALUE,
             )
 
-            # pointwise candidates, mask-selected over the warp result
+            # LUT-able pointwise candidates (8 of 11): every per-pixel-value
+            # op composes into ONE combined [b*c, 256] table applied by a
+            # single batched lookup instead of 8 full-image passes
+            result = self._apply_lut_ops(images, idx, result)
+
+            # remaining non-LUT pointwise ops (cross-channel / spatial)
             projective_idx = set(self._PROJECTIVE.values())
             op_keys = jax.random.split(ko, len(self.transforms))
             for k_i, (t, op_key) in enumerate(zip(self.transforms, op_keys)):
-                if k_i in projective_idx:
+                if (k_i in projective_idx or k_i in self._LUT_BUILDERS
+                        or k_i == 4):  # 4 = Contrast, LUT'd lazily
                     continue
                 sel = (idx == k_i)[:, None, None, None]
                 result = jnp.where(sel, t(images, key=op_key), result)
             images = result
         return images
+
+    @property
+    def _LUT_BUILDERS(self):
+        """op index -> LUT builder; static tables built in NumPy at first use
+        (they must be trace-independent constants — jnp tables created inside
+        one jit trace would leak as tracers into the next)."""
+        if not hasattr(self, "_lut_builders_cache"):
+            m = self.magnitude
+            factor = np.float32(m / _MAX_MAGNITUDE * 1.8 + 0.1)
+            bits = int(m / _MAX_MAGNITUDE * 4)
+            threshold = int(m / _MAX_MAGNITUDE * 256)
+            addition = int(m / _MAX_MAGNITUDE * 110)
+            shift = 8 - bits
+            v = np.arange(256, dtype=np.float32)
+            vu8 = np.arange(256, dtype=np.uint8)
+
+            def static(table):
+                table = np.asarray(table).astype(np.uint8)[None]  # [1, 256]
+                return lambda images: jnp.asarray(table)
+
+            self._lut_builders_cache = {
+                0: lambda images: image_ops.autocontrast_luts(images),
+                1: lambda images: image_ops.equalize_luts(images),
+                2: static(255 - vu8),                                 # Invert
+                3: static(np.clip(factor * v, 0, 255)),               # Brightness
+                11: static((vu8 >> shift) << shift),                  # Posterize
+                # Solarize/SolarizeAdd thresholds wrap to uint8 (TF semantics:
+                # magnitude 10 gives threshold 256 -> 0 -> full inversion)
+                12: static(np.where(vu8 < np.uint8(threshold % 256),
+                                    v, 255 - v)),                     # Solarize
+                13: static(np.where(                                  # SolarizeAdd
+                    vu8 < np.uint8(128), np.clip(v + addition, 0, 255), v
+                )),
+            }
+            self._contrast_factor = factor
+        return self._lut_builders_cache
+
+    def _contrast_lut(self, images):
+        # Contrast blends toward the reference's content-independent gray
+        # (h*w/256) — an image-size constant, so the table is NumPy-static
+        h, w = images.shape[1], images.shape[2]
+        gray = np.float32(np.uint8(np.clip(h * w / 256.0, 0, 255)))
+        v = np.arange(256, dtype=np.float32)
+        lut = np.clip(gray + self._contrast_factor * (v - gray), 0, 255)
+        return jnp.asarray(lut.astype(np.uint8)[None])
+
+    def _apply_lut_ops(self, images, idx, result):
+        from chambers_tpu.ops import image_ops as iops
+
+        b, c = images.shape[0], images.shape[3]
+        identity = jnp.arange(256, dtype=jnp.uint8)[None]
+        lut = jnp.broadcast_to(identity, (b * c, 256))
+        is_lut_op = jnp.zeros((b,), bool)
+
+        builders = dict(self._LUT_BUILDERS)
+        builders[4] = self._contrast_lut  # Contrast (depends on image size)
+
+        for k_i, builder in builders.items():
+            cand = builder(images)  # [1, 256] or [b*c, 256]
+            sel = idx == k_i
+            sel_bc = jnp.repeat(sel, c)
+            lut = jnp.where(sel_bc[:, None], cand, lut)
+            is_lut_op = is_lut_op | sel
+
+        lut_out = iops.apply_channel_luts(images, lut)
+        return jnp.where(is_lut_op[:, None, None, None], lut_out, result)

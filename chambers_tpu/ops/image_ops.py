@@ -145,43 +145,79 @@ def contrast_true_mean(images, factor):
     return blend(degenerate, images, factor)
 
 
-def equalize(images):
-    """Per-channel histogram equalization (tfa.image.equalize semantics;
-    the AutoAugment-paper ``scale_channel`` algorithm).
+def channel_histograms(images):
+    """Per-(image, channel) 256-bin histograms → ``[b*c, 256]`` int32.
 
-    Vectorized over batch and channels: scatter-add histograms, cumsum-based
-    LUT, batched gather — no per-image loop.
+    Fused compare-and-reduce — XLA streams the [bc, hw, 256] comparison
+    without materializing it; ~50x faster than scatter-add on TPU (scatters
+    serialize on the VPU).
     """
     b, h, w, c = images.shape
-    flat = images.transpose(0, 3, 1, 2).reshape(b * c, h * w)  # [bc, hw]
-
-    # histogram per (image, channel) as a fused compare-and-reduce — XLA
-    # streams the [bc, hw, 256] comparison without materializing it; ~50x
-    # faster than scatter-add on TPU (scatters serialize on the VPU)
+    flat = images.transpose(0, 3, 1, 2).reshape(b * c, h * w)
     vals = jnp.arange(256, dtype=images.dtype)
-    hist = jnp.sum(
+    return jnp.sum(
         flat[:, :, None] == vals[None, None, :], axis=1, dtype=jnp.int32
     )
 
-    # count of the last nonzero bin
+
+def equalize_luts(images, hist=None):
+    """Equalization lookup tables per (image, channel) → ``[b*c, 256]`` uint8
+    (identity where the AutoAugment algorithm's ``step == 0``)."""
+    bc = images.shape[0] * images.shape[3]
+    if hist is None:
+        hist = channel_histograms(images)
+
     nonzero = hist > 0
     last_idx = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)  # [bc]
     last_count = jnp.take_along_axis(hist, last_idx[:, None], axis=1)[:, 0]
-
     step = (jnp.sum(hist, axis=1) - last_count) // 255  # [bc]
 
-    # build LUT: lut[v] = (cumsum(hist)[v-1] + step//2) // step, lut[0] = 0
+    # lut[v] = (cumsum(hist)[v-1] + step//2) // step, lut[0] = 0
     cums = jnp.cumsum(hist, axis=1)
     shifted = jnp.concatenate(
-        [jnp.zeros((b * c, 1), jnp.int32), cums[:, :-1]], axis=1
+        [jnp.zeros((bc, 1), jnp.int32), cums[:, :-1]], axis=1
     )
     safe_step = jnp.where(step == 0, 1, step)
     lut = (shifted + (step // 2)[:, None]) // safe_step[:, None]
     lut = jnp.clip(lut, 0, 255).astype(jnp.uint8)
 
-    eq = jnp.take_along_axis(lut, flat.astype(jnp.int32), axis=1)  # [bc, hw]
-    out = jnp.where((step == 0)[:, None], flat, eq)
+    identity = jnp.arange(256, dtype=jnp.uint8)[None]
+    return jnp.where((step == 0)[:, None], identity, lut)
+
+
+def autocontrast_luts(images):
+    """Autocontrast lookup tables per (image, channel) → ``[b*c, 256]``
+    uint8 (reference float32 arithmetic, image_augmentations.py:63-90)."""
+    lo = jnp.min(images, axis=(1, 2)).astype(jnp.float32).reshape(-1)  # [bc]?
+    hi = jnp.max(images, axis=(1, 2)).astype(jnp.float32).reshape(-1)
+    denom = hi - lo
+    scale = jnp.where(denom > 0, 255.0 / jnp.where(denom == 0, 1.0, denom), 0.0)
+    offset = -lo * scale
+    mask = (hi > lo).astype(jnp.float32)
+    scale = scale * mask + (1 - mask)
+    offset = offset * mask
+
+    v = jnp.arange(256, dtype=jnp.float32)[None]
+    lut = v * scale[:, None] + offset[:, None]
+    return jnp.clip(lut, 0.0, 255.0).astype(jnp.uint8)
+
+
+def apply_channel_luts(images, luts):
+    """Apply per-(image, channel) LUTs: ``out[b,y,x,ch] = lut[b*ch][pixel]``.
+
+    Note: ``channel_histograms``/``*_luts`` index (image, channel) as
+    ``b * c + ch`` after a NCHW transpose — this applies the same layout.
+    """
+    b, h, w, c = images.shape
+    flat = images.transpose(0, 3, 1, 2).reshape(b * c, h * w)
+    out = jnp.take_along_axis(luts, flat.astype(jnp.int32), axis=1)
     return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+
+def equalize(images):
+    """Per-channel histogram equalization (tfa.image.equalize semantics;
+    the AutoAugment-paper ``scale_channel`` algorithm)."""
+    return apply_channel_luts(images, equalize_luts(images))
 
 
 def sharpness(images, factor):
