@@ -22,7 +22,8 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+CONFIG = os.environ.get("BENCH_CONFIG", "randaugment_vitb16_224")
+BATCH = int(os.environ.get("BENCH_BATCH", "0"))  # 0 = config default
 SCAN_STEPS = int(os.environ.get("BENCH_SCAN_STEPS", "20"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 # TF2 reference pipeline on this host's CPU (see BASELINE.md "Measured" row;
@@ -31,58 +32,173 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 REFERENCE_IMG_S = float(os.environ.get("CHAMBERS_BASELINE_IMG_S", "0.85"))
 
 
-def main():
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+def _timed(run_scan, args, batch):
+    import numpy as np
+
+    checksum = float(run_scan(*args))
+    assert np.isfinite(checksum), "non-finite result"
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        float(run_scan(*args))
+        times.append(time.perf_counter() - t0)
+    per_batch = min(times) / SCAN_STEPS
+    return batch / per_batch, per_batch
+
+
+def _bench_randaugment_vitb16(batch):
+    """BASELINE configs 1+2: per-image RandAugment(2,10) -> ViT-B/16 @224."""
     import jax
     import jax.numpy as jnp
 
     from chambers_tpu.augmentations import ImageNetNormalization, RandAugment
     from chambers_tpu.models.backbones import ViTB16
 
+    batch = batch or 32
     model = ViTB16(weights=None, input_shape=(224, 224, 3), dtype=jnp.bfloat16)
     augment = RandAugment(n_transforms=2, magnitude=10, elementwise=True)
     normalize = ImageNetNormalization(mode="tf")
 
-    def pipeline(variables, images_uint8, key):
-        images = augment(images_uint8, key=key)
-        x = normalize(images)
-        return model.apply_fn(variables, x, deterministic=True)
-
     @jax.jit
     def run_scan(variables, images, key):
-        keys = jax.random.split(key, SCAN_STEPS)
-
         def body(carry, k):
-            logits = pipeline(variables, images, k)
+            logits = model.apply_fn(
+                variables, normalize(augment(images, key=k)),
+                deterministic=True,
+            )
             return carry + jnp.sum(logits), None
 
-        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), keys)
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jax.random.split(key, SCAN_STEPS)
+        )
         return total
 
     rng = np.random.RandomState(0)
     images = jax.device_put(
-        rng.randint(0, 256, (BATCH, 224, 224, 3), dtype=np.uint8)
+        rng.randint(0, 256, (batch, 224, 224, 3), dtype=np.uint8)
     )
-    variables = jax.device_put(model.variables)
+    img_s, per_batch = _timed(
+        run_scan,
+        (jax.device_put(model.variables), images, jax.random.PRNGKey(0)),
+        batch,
+    )
+    return (
+        "images/sec/chip (per-image RandAugment(2,10)+ViT-B/16 bf16 infer, "
+        f"224px, batch {batch})", img_s, per_batch,
+    )
 
-    # warmup/compile
-    checksum = float(run_scan(variables, images, jax.random.PRNGKey(0)))
-    assert np.isfinite(checksum), "non-finite logits"
 
-    times = []
-    for i in range(REPEATS):
-        t0 = time.perf_counter()
-        float(run_scan(variables, images, jax.random.PRNGKey(i + 1)))
-        times.append(time.perf_counter() - t0)
+def _bench_autoaugment_vitl16_384(batch):
+    """BASELINE config 3: fused AutoAugment -> ViT-L/16 @384, batch 128."""
+    import jax
+    import jax.numpy as jnp
 
-    best = min(times)  # amortized: SCAN_STEPS batches per call
-    per_batch = best / SCAN_STEPS
-    img_s = BATCH / per_batch
+    from chambers_tpu.augmentations import AutoAugment, ImageNetNormalization
+    from chambers_tpu.models.backbones import ViTL16
+
+    batch = batch or 128
+    model = ViTL16(weights=None, input_shape=(384, 384, 3), dtype=jnp.bfloat16)
+    augment = AutoAugment(elementwise=True)
+    normalize = ImageNetNormalization(mode="tf")
+
+    @jax.jit
+    def run_scan(variables, images, key):
+        def body(carry, k):
+            logits = model.apply_fn(
+                variables, normalize(augment(images, key=k)),
+                deterministic=True,
+            )
+            return carry + jnp.sum(logits), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jax.random.split(key, SCAN_STEPS)
+        )
+        return total
+
+    rng = np.random.RandomState(0)
+    images = jax.device_put(
+        rng.randint(0, 256, (batch, 384, 384, 3), dtype=np.uint8)
+    )
+    img_s, per_batch = _timed(
+        run_scan,
+        (jax.device_put(model.variables), images, jax.random.PRNGKey(0)),
+        batch,
+    )
+    return (
+        "images/sec/chip (per-image AutoAugment+ViT-L/16 bf16 infer, 384px, "
+        f"batch {batch})", img_s, per_batch,
+    )
+
+
+def _bench_metric_learning(batch):
+    """BASELINE config 4: ViT embedder + MS miner + pair loss, batch 256
+    (full training step: forward + loss + backward + AdamW)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from chambers_tpu.layers import l2_normalize
+    from chambers_tpu.losses import MultiSimilarityLoss
+    from chambers_tpu.models.backbones.vision_transformer import VisionTransformer
+    from chambers_tpu.optimizers import AdamW
+
+    batch = batch or 256
+    vit = VisionTransformer(
+        patch_size=16, patch_dim=384, n_encoder_layers=12, n_heads=6,
+        ff_dim=1536, dropout_rate=0.0, include_top=False, pooling="cls",
+        feature_dim=128, dtype=jnp.bfloat16,
+    )  # ViT-S/16 embedder
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 224, 224, 3), jnp.float32)
+    labels = jnp.asarray(np.arange(batch) % (batch // 4))
+    params = vit.init(jax.random.PRNGKey(0), x[:1])["params"]
+    loss_fn = MultiSimilarityLoss()
+    optimizer = AdamW(weight_decay=1e-4, learning_rate=1e-3,
+                      decay_exclude=["bias", "norm"])
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def run_scan(params, opt_state, x, labels):
+        def body(carry, _):
+            params, opt_state = carry
+
+            def loss_of(p):
+                z = vit.apply({"params": p}, x, deterministic=True)
+                return loss_fn(labels, l2_normalize(z, axis=-1))
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, opt_state2 = optimizer.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            return (params2, opt_state2), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=SCAN_STEPS
+        )
+        return jnp.sum(losses)
+
+    img_s, per_batch = _timed(
+        run_scan,
+        (jax.device_put(params), jax.device_put(opt_state), x, labels),
+        batch,
+    )
+    return (
+        "images/sec/chip (metric-learning train step: ViT-S/16 embed + MS "
+        f"miner/loss + AdamW, 224px, batch {batch})", img_s, per_batch,
+    )
+
+
+CONFIGS = {
+    "randaugment_vitb16_224": _bench_randaugment_vitb16,
+    "autoaugment_vitl16_384": _bench_autoaugment_vitl16_384,
+    "metric_learning": _bench_metric_learning,
+}
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    metric, img_s, per_batch = CONFIGS[CONFIG](BATCH)
     result = {
-        "metric": (
-            "images/sec/chip (per-image RandAugment(2,10)+ViT-B/16 bf16 "
-            "infer, 224px, batch %d)" % BATCH
-        ),
+        "metric": metric,
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / REFERENCE_IMG_S, 2),

@@ -24,3 +24,25 @@ Reference parity notes cite ``/root/reference`` file:line in docstrings.
 """
 
 __version__ = "0.1.0"
+
+_SUBMODULES = (
+    "activations", "augmentations", "callbacks", "data", "layers", "losses",
+    "metrics", "miners", "models", "ops", "optimizers", "parallel",
+    "schedules", "training", "utils",
+)
+
+
+def __getattr__(name):
+    """Lazy subpackage import: ``import chambers_tpu; chambers_tpu.losses``
+    works without paying for every subsystem at import time."""
+    if name in _SUBMODULES:
+        import importlib
+
+        module = importlib.import_module(f"chambers_tpu.{name}")
+        globals()[name] = module
+        return module
+    raise AttributeError(f"module 'chambers_tpu' has no attribute '{name}'")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_SUBMODULES))
