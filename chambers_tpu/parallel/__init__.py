@@ -1,4 +1,12 @@
 from chambers_tpu.parallel.mesh import create_mesh
+from chambers_tpu.parallel.distributed import (
+    host_local_batch_to_global,
+    init_distributed,
+)
+from chambers_tpu.parallel.collective_eval import (
+    distributed_pairwise_scores,
+    distributed_recall_at_k,
+)
 from chambers_tpu.parallel.sharding import (
     VIT_TENSOR_PARALLEL_RULES,
     batch_sharding,

@@ -73,13 +73,22 @@ class Trainer:
 
     def __init__(self, model, loss, optimizer, metrics: Optional[Dict[str, Callable]] = None,
                  seed: int = 0, apply_fn: Optional[Callable] = None,
-                 donate: bool = True):
+                 donate: bool = True, mesh=None, param_sharding_rules=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the train/eval steps run
+        data-parallel over its ``data`` axis (batches are sharded per step,
+        params replicated or sharded by ``param_sharding_rules``, and XLA
+        inserts the gradient all-reduce)."""
         self.model = model
         self.loss = loss
         self.optimizer = optimizer
         self.metrics = dict(metrics or {})
+        self.mesh = mesh
 
         params = model.variables["params"]
+        if donate:
+            # the train step donates its state buffers; keep the caller's
+            # model.variables alive by training on a copy
+            params = jax.tree.map(jnp.array, params)
         self._extra_vars = {
             k: v for k, v in model.variables.items() if k != "params"
         }
@@ -89,6 +98,24 @@ class Trainer:
             rng=jax.random.PRNGKey(seed),
             step=jnp.zeros([], jnp.int32),
         )
+
+        if mesh is not None:
+            from chambers_tpu.parallel.sharding import (
+                make_param_shardings, replicate,
+            )
+
+            if param_sharding_rules:
+                shardings = make_param_shardings(params, mesh,
+                                                 param_sharding_rules)
+                params = jax.tree.map(jax.device_put, params, shardings)
+                rest = replicate(
+                    (self.state.opt_state, self.state.rng, self.state.step),
+                    mesh,
+                )
+                self.state = TrainState(params=params, opt_state=rest[0],
+                                        rng=rest[1], step=rest[2])
+            else:
+                self.state = replicate(self.state, mesh)
 
         module = model.module
         if apply_fn is None:
@@ -131,6 +158,13 @@ class Trainer:
         self.train_step = jax.jit(train_step, donate_argnums=donate_args)
         self.eval_step = jax.jit(eval_step)
 
+    def _place_batch(self, x, y):
+        if self.mesh is None:
+            return jnp.asarray(x), jnp.asarray(y)
+        from chambers_tpu.parallel.distributed import host_local_batch_to_global
+
+        return host_local_batch_to_global((x, y), self.mesh)
+
     # -- state access -------------------------------------------------------
     @property
     def variables(self):
@@ -166,9 +200,8 @@ class Trainer:
                 except StopIteration:
                     break
                 callback_list.on_train_batch_begin(step)
-                self.state, loss_value = self.train_step(
-                    self.state, jnp.asarray(x), jnp.asarray(y)
-                )
+                x, y = self._place_batch(x, y)
+                self.state, loss_value = self.train_step(self.state, x, y)
                 loss_f = float(loss_value)
                 losses.append(loss_f)
                 callback_list.on_train_batch_end(step, {"loss": loss_f})
@@ -196,7 +229,8 @@ class Trainer:
         totals: Dict[str, list] = {}
         for step, (x, y) in enumerate(dataset):
             callback_list.on_test_batch_begin(step)
-            logs = self.eval_step(self.state.params, jnp.asarray(x), jnp.asarray(y))
+            x, y = self._place_batch(x, y)
+            logs = self.eval_step(self.state.params, x, y)
             for k, v in logs.items():
                 totals.setdefault(k, []).append(float(v))
             callback_list.on_test_batch_end(step)
