@@ -87,6 +87,28 @@ class Model:
         self._jit_apply = None
         return self
 
+    def export(self, directory: str):
+        """Full-model export: variables plus a JSON config snapshot
+        (the reference's SavedModel-at-train-end equivalent,
+        callbacks.py:103)."""
+        import dataclasses
+        import json
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "model.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(self.variables))
+        config = {"name": self.name, "module": type(self.module).__name__}
+        if dataclasses.is_dataclass(self.module):
+            for field in dataclasses.fields(self.module):
+                value = getattr(self.module, field.name, None)
+                if isinstance(value, (int, float, str, bool, type(None), tuple, list)):
+                    config[field.name] = (
+                        list(value) if isinstance(value, tuple) else value
+                    )
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(config, f, indent=2, default=str)
+
     def replace_variables(self, variables) -> "Model":
         self.variables = variables
         self._jit_apply = None
