@@ -292,10 +292,16 @@ class Dataset:
             if done.is_set():
                 yield from storage
                 return
+            # buffer locally; only a COMPLETE pass commits to the cache —
+            # a partial iteration (downstream .take / break) must not
+            # poison later epochs (tf.data discards incomplete caches too)
+            local: list = []
             for el in self._iter_elements():
-                storage.append(el)
+                local.append(el)
                 yield el
-            done.set()
+            if not done.is_set():
+                storage.extend(local)
+                done.set()
 
         return Dataset(gen)
 

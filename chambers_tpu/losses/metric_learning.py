@@ -125,15 +125,26 @@ class _MultiSimilarityMixin:
     (metric_learning.py:158-178)."""
 
     def compute_loss(self, similarity_matrix, positive_mask, negative_mask):
-        pos_exp = jnp.exp(-self.pos_scale * (similarity_matrix - self.threshold))
-        neg_exp = jnp.exp(self.neg_scale * (similarity_matrix - self.threshold))
+        # log(1 + Σ exp(x)) computed as logaddexp(0, logsumexp(x)) — exactly
+        # the reference math when nothing overflows, but (a) masked pairs
+        # (e.g. the diagonal of unnormalized embeddings) can never poison
+        # values/gradients, and (b) large real similarities saturate to a
+        # finite, correctly-sloped loss instead of inf/NaN at exp overflow
+        # (beta=40 overflows float32 at sim ≈ 2.7).
+        pos = self._row_term(similarity_matrix, positive_mask, -self.pos_scale)
+        neg = self._row_term(similarity_matrix, negative_mask, self.neg_scale)
+        return pos / self.pos_scale + neg / self.neg_scale
 
-        pos_sum = jnp.sum(jnp.where(positive_mask, pos_exp, 0.0), axis=1)
-        neg_sum = jnp.sum(jnp.where(negative_mask, neg_exp, 0.0), axis=1)
-
-        pos_loss = jnp.log1p(pos_sum) / self.pos_scale
-        neg_loss = jnp.log1p(neg_sum) / self.neg_scale
-        return pos_loss + neg_loss
+    def _row_term(self, sim, mask, signed_scale):
+        x = signed_scale * (sim - self.threshold)
+        has_pairs = jnp.any(mask, axis=1)
+        x = jnp.where(mask, x, -jnp.inf)
+        # rows with zero pairs: substitute a dummy row so logsumexp of
+        # all--inf cannot emit NaN gradients, then zero the result
+        x_safe = jnp.where(has_pairs[:, None], x, 0.0)
+        lse = jax.nn.logsumexp(x_safe, axis=1)
+        term = jnp.logaddexp(0.0, lse)  # = log(1 + Σ exp(x))
+        return jnp.where(has_pairs, term, 0.0)
 
 
 class MultiSimilarityLoss(_MultiSimilarityMixin, PairLoss):

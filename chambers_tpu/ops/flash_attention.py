@@ -30,9 +30,13 @@ _LANES = 128
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, m_out_ref,
                       m_ref, l_ref, acc_ref,
-                      *, scale, causal, block_q, block_k, kv_len, n_k):
+                      *, scale, causal, block_q, block_k, kv_len, q_len, n_k):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
+
+    # diagonal aligned at the sequence END (the XLA path's tril(k=tv-tq)
+    # convention): query row r attends keys <= r + causal_offset
+    causal_offset = kv_len - q_len
 
     @pl.when(ki == 0)
     def _init():
@@ -41,8 +45,8 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, m_out_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     if causal:
-        # skip KV blocks fully above the diagonal
-        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+        # skip KV blocks fully above the (offset) diagonal
+        should_run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
     else:
         should_run = True
 
@@ -61,7 +65,7 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, m_out_ref,
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
                 + qi * block_q
-            mask &= col <= row
+            mask &= col <= row + causal_offset
         s = jnp.where(mask, s, _MASK_VALUE)
 
         m_prev = m_ref[...]            # [block_q, LANES] (tiled copies)
@@ -114,7 +118,7 @@ def _flash_forward(q, k, v, scale, causal, block_q, block_k):
 
     kernel = functools.partial(
         _flash_fwd_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, kv_len=tk, n_k=n_k,
+        block_q=block_q, block_k=block_k, kv_len=tk, q_len=tq, n_k=n_k,
     )
     # Mosaic kernels compile only for TPU; CPU (tests / simulated meshes)
     # runs the interpreter, which is numerically identical.

@@ -417,7 +417,6 @@ def translate_x(images, pixels, interpolation="nearest", fill_value=0.0):
     """Reference TranslateX: content moves by ``-pixels`` horizontally
     (image_augmentations.py:419-427 passes ``[-pixels, 0]``)."""
     pixels = jnp.atleast_1d(jnp.asarray(pixels, jnp.float32))
-    tr = jnp.stack([-pixels, jnp.zeros_like(pixels)], axis=1)
     return transform(
         images,
         jnp.stack(

@@ -24,20 +24,7 @@ import optax
 ScalarOrSchedule = Union[float, Callable[[Any], Any]]
 
 
-def _param_paths(params):
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    paths = []
-    for key_path, _ in flat:
-        parts = []
-        for k in key_path:
-            if hasattr(k, "key"):
-                parts.append(str(k.key))
-            elif hasattr(k, "idx"):
-                parts.append(str(k.idx))
-            else:
-                parts.append(str(k))
-        paths.append("/".join(parts))
-    return paths
+from chambers_tpu.utils.pytree import param_paths as _param_paths
 
 
 def decay_mask(params, decay_include=None, decay_exclude=None):

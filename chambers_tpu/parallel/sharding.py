@@ -33,15 +33,7 @@ VIT_TENSOR_PARALLEL_RULES: List[Tuple[str, P]] = [
 ]
 
 
-def _param_paths(params):
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    paths = []
-    for key_path, _ in flat:
-        parts = []
-        for k in key_path:
-            parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
-        paths.append("/".join(parts))
-    return paths
+from chambers_tpu.utils.pytree import param_paths as _param_paths
 
 
 def make_param_shardings(params, mesh: Mesh,

@@ -92,12 +92,6 @@ class Trainer:
         self._extra_vars = {
             k: v for k, v in model.variables.items() if k != "params"
         }
-        self.state = TrainState(
-            params=params,
-            opt_state=optimizer.init(params),
-            rng=jax.random.PRNGKey(seed),
-            step=jnp.zeros([], jnp.int32),
-        )
 
         if mesh is not None:
             from chambers_tpu.parallel.sharding import (
@@ -108,14 +102,24 @@ class Trainer:
                 shardings = make_param_shardings(params, mesh,
                                                  param_sharding_rules)
                 params = jax.tree.map(jax.device_put, params, shardings)
-                rest = replicate(
-                    (self.state.opt_state, self.state.rng, self.state.step),
-                    mesh,
-                )
-                self.state = TrainState(params=params, opt_state=rest[0],
-                                        rng=rest[1], step=rest[2])
             else:
-                self.state = replicate(self.state, mesh)
+                params = replicate(params, mesh)
+            # init AFTER placement: optimizer state (mu/nu etc. via
+            # zeros_like) inherits the params' shardings instead of being
+            # fully replicated on every device
+            self.state = TrainState(
+                params=params,
+                opt_state=optimizer.init(params),
+                rng=replicate(jax.random.PRNGKey(seed), mesh),
+                step=replicate(jnp.zeros([], jnp.int32), mesh),
+            )
+        else:
+            self.state = TrainState(
+                params=params,
+                opt_state=optimizer.init(params),
+                rng=jax.random.PRNGKey(seed),
+                step=jnp.zeros([], jnp.int32),
+            )
 
         module = model.module
         if apply_fn is None:
@@ -171,8 +175,13 @@ class Trainer:
         return {"params": self.state.params, **self._extra_vars}
 
     def sync_model(self):
-        """Copy the trained params back into the wrapped model."""
-        self.model.replace_variables(jax.tree.map(lambda x: x, self.variables))
+        """Copy the trained params back into the wrapped model.
+
+        A real copy (``jnp.array``): aliasing the live train-state buffers
+        would let the next ``fit()`` donate — and delete — the arrays backing
+        ``model.variables``.
+        """
+        self.model.replace_variables(jax.tree.map(jnp.array, self.variables))
         return self.model
 
     # -- loops --------------------------------------------------------------
@@ -188,26 +197,47 @@ class Trainer:
         callback_list.on_train_begin()
 
         history = []
+        # With steps_per_epoch, the iterator persists across epochs (Keras/
+        # tf.data semantics: a repeated stream keeps advancing rather than
+        # re-training the same leading batches each epoch).
+        persistent_it = iter(dataset) if steps_per_epoch is not None else None
+
         for epoch in range(initial_epoch, epochs):
             callback_list.on_epoch_begin(epoch)
             epoch_start = time.perf_counter()
             losses = []
-            it = iter(dataset)
+            it = persistent_it if persistent_it is not None else iter(dataset)
             step = 0
             while steps_per_epoch is None or step < steps_per_epoch:
                 try:
                     x, y = next(it)
                 except StopIteration:
-                    break
+                    if persistent_it is None:
+                        break
+                    persistent_it = it = iter(dataset)  # restart the stream
+                    try:
+                        x, y = next(it)
+                    except StopIteration:
+                        break  # dataset is empty
                 callback_list.on_train_batch_begin(step)
                 x, y = self._place_batch(x, y)
                 self.state, loss_value = self.train_step(self.state, x, y)
-                loss_f = float(loss_value)
-                losses.append(loss_f)
-                callback_list.on_train_batch_end(step, {"loss": loss_f})
+                # keep the loss on device — float()ing here would sync the
+                # host every step and stall async dispatch
+                losses.append(loss_value)
+                callback_list.on_train_batch_end(step, {"loss": loss_value})
                 step += 1
 
-            logs = {"loss": float(np.mean(losses)) if losses else float("nan")}
+            if not losses and epoch > initial_epoch:
+                raise ValueError(
+                    "Dataset yielded no batches after the first epoch — "
+                    "pass a re-iterable dataset, or use `repeats`/"
+                    "`steps_per_epoch` for single-pass generators."
+                )
+            logs = {
+                "loss": float(jnp.mean(jnp.stack(losses)))
+                if losses else float("nan")
+            }
             if validation_data is not None:
                 val_logs = self.evaluate(validation_data, callbacks=callback_list,
                                          verbose=False)

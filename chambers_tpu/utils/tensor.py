@@ -4,24 +4,29 @@ Parity: reference ``chambers/utils/tensor.py:6-34``.
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def remove_indices(x, indices, axis=0):
     """Drop the given ``indices`` along ``axis``.
 
-    Note: ``indices`` must be a static (Python) list for XLA shape inference.
+    ``indices`` must be a static (Python) list; the keep-index set is built
+    in NumPy so the op stays shape-static and jittable.
     """
     length = x.shape[axis]
-    mask = jnp.ones((length,), dtype=bool).at[jnp.asarray(indices)].set(False)
-    keep = jnp.arange(length)[mask]
+    mask = np.ones((length,), dtype=bool)
+    mask[np.asarray(indices)] = False
+    keep = jnp.asarray(np.arange(length)[mask])
     return jnp.take(x, keep, axis=axis)
 
 
 def remove_diagonal(mat):
-    """Remove the diagonal of an ``[n, m]`` matrix, giving ``[n, m-1]``."""
+    """Remove the diagonal of an ``[n, m]`` matrix, giving ``[n, m-1]``
+    (shape-static: indices computed in NumPy, gather under jit)."""
     n, m = mat.shape
-    mask = ~jnp.eye(n, m, dtype=bool)
-    return mat[mask].reshape(n, m - 1)
+    mask = ~np.eye(n, m, dtype=bool)
+    rows, cols = np.nonzero(mask)
+    return mat[jnp.asarray(rows), jnp.asarray(cols)].reshape(n, m - 1)
 
 
 def take_along_rows(mat, indices):

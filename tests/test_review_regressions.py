@@ -1,0 +1,178 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from chambers_tpu.data import Dataset
+from chambers_tpu.losses import MultiSimilarityLoss, soft_dice_coefficient
+from chambers_tpu.models import Model
+from chambers_tpu.training import Trainer
+from chambers_tpu.utils.tensor import remove_diagonal, remove_indices
+
+
+def test_remove_indices_jittable():
+    out = jax.jit(lambda x: remove_indices(x, [1, 3], axis=0))(jnp.arange(5.0))
+    np.testing.assert_array_equal(np.asarray(out), [0.0, 2.0, 4.0])
+
+    out = jax.jit(lambda x: remove_diagonal(x))(jnp.arange(9.0).reshape(3, 3))
+    np.testing.assert_array_equal(
+        np.asarray(out), [[1.0, 2.0], [3.0, 5.0], [6.0, 7.0]]
+    )
+
+    # dice with exclude_classes inside jit (the original failure mode)
+    y = jnp.zeros((1, 4, 4, 3)).at[..., 0].set(1.0)
+    loss = jax.jit(
+        lambda a, b: soft_dice_coefficient(a, b, exclude_classes=[2])
+    )(y, y)
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+
+
+def test_ms_loss_gradients_finite_with_unnormalized_embeddings():
+    """exp over masked (diagonal) similarities must not poison gradients."""
+    rng = np.random.RandomState(0)
+    emb = (rng.randn(8, 16) * 2.0).astype(np.float32)  # ||x||^2 >> 2.7
+    labels = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3])
+    loss = MultiSimilarityLoss()
+
+    value, grads = jax.value_and_grad(
+        lambda e: loss(labels, e)
+    )(jnp.asarray(emb))
+    assert np.isfinite(float(value))
+    assert np.isfinite(np.asarray(grads)).all()
+
+
+def test_dataset_cache_survives_partial_iteration():
+    ds = Dataset.range(5).cache()
+    assert [int(x) for x in ds.take(3)] == [0, 1, 2]  # partial pass
+    assert [int(x) for x in ds] == [0, 1, 2, 3, 4]    # full pass commits
+    assert [int(x) for x in ds] == [0, 1, 2, 3, 4]    # served from cache
+
+
+def test_flash_attention_causal_cross_length():
+    """Causal with tq != tk must match the XLA tril(k=tv-tq) convention,
+    in both forward and backward."""
+    from chambers_tpu.layers.attention import scaled_dot_product_attention
+    from chambers_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 2, 4, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 8, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 8, 64).astype(np.float32))
+
+    out_f = flash_attention(q, v, k, causal=True)
+    out_x = scaled_dot_product_attention(q, v, k, causal=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=2e-5)
+
+    gf = jax.grad(lambda q: jnp.sum(flash_attention(q, v, k, causal=True) ** 2))(q)
+    gx = jax.grad(
+        lambda q: jnp.sum(scaled_dot_product_attention(q, v, k, causal=True) ** 2)
+    )(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=1e-3,
+                               rtol=1e-3)
+
+    # longer, block-crossing case
+    q2 = jnp.asarray(rng.randn(1, 1, 130, 64).astype(np.float32))
+    k2 = jnp.asarray(rng.randn(1, 1, 260, 64).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(1, 1, 260, 64).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(flash_attention(q2, v2, k2, causal=True)),
+        np.asarray(scaled_dot_product_attention(q2, v2, k2, causal=True)),
+        atol=2e-5,
+    )
+
+
+class _Net(nn.Module):
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        return nn.Dense(1)(x)
+
+
+def _model():
+    module = _Net()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    return Model(module, variables)
+
+
+def _data(n=4):
+    rng = np.random.RandomState(0)
+    return [(rng.randn(8, 4).astype(np.float32),
+             rng.randn(8, 1).astype(np.float32)) for _ in range(n)]
+
+
+def test_trainer_refit_after_sync(tmp_path):
+    """sync_model must copy — a second fit() donates the state and would
+    otherwise delete the arrays backing model.variables."""
+    model = _model()
+    trainer = Trainer(model, loss=lambda a, b: jnp.mean((a - b) ** 2),
+                      optimizer=optax.adam(1e-2))
+    trainer.fit(_data(), epochs=1, verbose=False)
+    out1 = model(np.zeros((1, 4), np.float32))  # uses synced variables
+    trainer.fit(_data(), epochs=1, verbose=False)
+    out2 = model(np.zeros((1, 4), np.float32))  # must not raise 'deleted'
+    assert np.isfinite(np.asarray(out1)).all()
+    assert np.isfinite(np.asarray(out2)).all()
+    model.save_weights(str(tmp_path / "w.msgpack"))  # buffers alive
+
+
+def test_trainer_generator_exhaustion_raises():
+    model = _model()
+    trainer = Trainer(model, loss=lambda a, b: jnp.mean((a - b) ** 2),
+                      optimizer=optax.adam(1e-2))
+    gen = (batch for batch in _data())  # single-pass generator
+    import pytest
+
+    with pytest.raises(ValueError, match="re-iterable"):
+        trainer.fit(gen, epochs=3, verbose=False)
+
+
+def test_trainer_steps_per_epoch_advances_stream():
+    """With steps_per_epoch the iterator persists: epochs see different data."""
+    model = _model()
+    seen = []
+
+    def dataset():
+        rng = np.random.RandomState(0)
+        for i in range(100):
+            x = np.full((4, 4), float(i), np.float32)
+            seen.append(i)
+            yield x, np.zeros((4, 1), np.float32)
+
+    class Reiterable:
+        def __iter__(self):
+            return dataset()
+
+    trainer = Trainer(model, loss=lambda a, b: jnp.mean((a - b) ** 2),
+                      optimizer=optax.adam(1e-2))
+    trainer.fit(Reiterable(), epochs=3, steps_per_epoch=5, verbose=False)
+    # 3 epochs x 5 steps consumed 15 *distinct* stream elements
+    assert seen[:15] == list(range(15))
+    assert len(seen) <= 16  # no per-epoch restarts
+
+
+def test_tp_opt_state_sharded_like_params():
+    from chambers_tpu.layers import MultiHeadAttention
+    from chambers_tpu.parallel import VIT_TENSOR_PARALLEL_RULES, create_mesh
+
+    class AttnNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            h = MultiHeadAttention(head_dim=4, num_heads=4, dropout_rate=0.0,
+                                   name="multi_head_attention")([x, x])
+            return nn.Dense(1)(h[:, 0])
+
+    module = AttnNet()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 16)))
+    mesh = create_mesh({"data": 4, "model": 2})
+    trainer = Trainer(
+        Model(module, variables),
+        loss=lambda a, b: jnp.mean((a - b) ** 2),
+        optimizer=optax.adam(1e-2),
+        mesh=mesh,
+        param_sharding_rules=VIT_TENSOR_PARALLEL_RULES,
+    )
+    # Adam mu for w_query must carry the same 'model' sharding as the param
+    mu = trainer.state.opt_state[0].mu["multi_head_attention"]["w_query"]
+    assert mu.sharding.spec == (None, "model", None)
