@@ -15,3 +15,4 @@ from chambers_tpu.data.io import (
 )
 from chambers_tpu.data.records import dataset_to_records, records_to_dataset
 from chambers_tpu.data.persist import load_dataset, save_dataset
+from chambers_tpu.data.loader import device_prefetch

@@ -147,3 +147,28 @@ def test_shuffle_small_buffer_is_local():
     # with a buffer of 5, element i can move at most ~buffer positions early
     for pos, v in enumerate(out):
         assert v <= pos + 5
+
+
+def test_device_prefetch_order_and_placement():
+    import jax
+
+    from chambers_tpu.data.loader import device_prefetch
+
+    batches = [({"x": np.full((2, 2), i, np.float32)}, np.full(2, i)) for i in range(7)]
+    out = list(device_prefetch(batches, size=3))
+    assert len(out) == 7
+    for i, (d, y) in enumerate(out):
+        assert isinstance(d["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(d["x"]), batches[i][0]["x"])
+
+    # with a mesh sharding
+    from chambers_tpu.parallel import batch_sharding, create_mesh
+
+    mesh = create_mesh({"data": 8})
+    out = list(device_prefetch(
+        [np.zeros((16, 4), np.float32)], sharding=batch_sharding(mesh)
+    ))
+    assert out[0].sharding.spec == ("data",)
+
+    with pytest.raises(ValueError):
+        list(device_prefetch(batches, size=0))
