@@ -18,6 +18,7 @@ from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from chambers_tpu.ops import image_ops
 
@@ -76,13 +77,28 @@ class CenterCrop:
 
 
 class RandomCrop:
-    """Random crop per image (same crop size, per-image offsets)."""
+    """Random crop per image (same crop size, per-image offsets).
+
+    Inputs smaller than the crop are first upscaled aspect-preserving so the
+    crop fits (the Keras RandomCrop fallback), instead of feeding negative
+    offset ranges into the RNG.
+    """
 
     def __init__(self, height: int, width: int):
         self.height = height
         self.width = width
 
+    def _fit(self, images):
+        h, w = images.shape[1], images.shape[2]
+        if h >= self.height and w >= self.width:
+            return images
+        scale = max(self.height / h, self.width / w)
+        new_h = max(int(np.ceil(h * scale)), self.height)
+        new_w = max(int(np.ceil(w * scale)), self.width)
+        return Resizing(new_h, new_w)(images)
+
     def __call__(self, images, key=None, training=True):
+        images = self._fit(images)
         if not training or key is None:
             return CenterCrop(self.height, self.width)(images)
         b, h, w, _ = images.shape
@@ -209,11 +225,16 @@ class RandomZoom:
 
 class RandomContrast:
     """Per-image contrast jitter about the per-channel spatial mean
-    (Keras semantics: ``(x - mean) * factor + mean``)."""
+    (Keras semantics: ``(x - mean) * factor + mean`` with the factor drawn
+    from ``[1 - lower, 1 + upper]`` — a tuple gives (lower, upper) as
+    *positive* bounds, per the Keras contract)."""
 
     def __init__(self, factor):
-        lower, upper = _pair(factor)
-        self.lower, self.upper = max(1 + lower, 0.0), 1 + upper
+        if isinstance(factor, (tuple, list)):
+            lower, upper = float(factor[0]), float(factor[1])
+        else:
+            lower = upper = float(factor)
+        self.lower, self.upper = max(1.0 - lower, 0.0), 1.0 + upper
 
     def __call__(self, images, key=None, training=True):
         if not training or key is None:

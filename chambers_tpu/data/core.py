@@ -254,25 +254,44 @@ class Dataset:
             q: queue.Queue = queue.Queue(maxsize=depth)
             sentinel = object()
             error_holder = []
+            stop = threading.Event()
 
             def producer():
                 try:
                     for el in self._iter_elements():
-                        q.put(el)
+                        # bounded put with a stop check so an abandoned
+                        # consumer (break/take) releases the thread instead
+                        # of leaking it blocked on a full queue forever
+                        while not stop.is_set():
+                            try:
+                                q.put(el, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
                 except BaseException as e:  # propagate to consumer
                     error_holder.append(e)
                 finally:
-                    q.put(sentinel)
+                    while not stop.is_set():
+                        try:
+                            q.put(sentinel, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
 
             t = threading.Thread(target=producer, daemon=True)
             t.start()
-            while True:
-                el = q.get()
-                if el is sentinel:
-                    if error_holder:
-                        raise error_holder[0]
-                    return
-                yield el
+            try:
+                while True:
+                    el = q.get()
+                    if el is sentinel:
+                        if error_holder:
+                            raise error_holder[0]
+                        return
+                    yield el
+            finally:
+                stop.set()
 
         return Dataset(gen)
 

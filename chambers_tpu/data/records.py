@@ -44,8 +44,12 @@ def serialize_element(element) -> bytes:
     out = [_U32.pack(len(element))]
     for tensor in element:
         if isinstance(tensor, (str, bytes)):
-            data = tensor.encode() if isinstance(tensor, str) else tensor
-            dtype_name = b"str"
+            if isinstance(tensor, str):
+                data = tensor.encode()
+                dtype_name = b"str"
+            else:
+                data = tensor
+                dtype_name = b"bytes"
             shape = ()
         else:
             arr = np.asarray(tensor)
@@ -78,6 +82,8 @@ def deserialize_element(f: BinaryIO):
         data = f.read(data_len)
         if dtype_name == b"str":
             tensors.append(data.decode())
+        elif dtype_name == b"bytes":
+            tensors.append(data)
         else:
             arr = np.frombuffer(data, dtype=np.dtype(dtype_name.decode()))
             tensors.append(arr.reshape(shape))
@@ -99,7 +105,7 @@ def element_spec(element, set_shape: bool = True,
     specs = []
     for tensor in element:
         if isinstance(tensor, (str, bytes)):
-            specs.append(((), "str"))
+            specs.append(((), "bytes" if isinstance(tensor, bytes) else "str"))
             continue
         arr = np.asarray(tensor)
         if set_shape:
@@ -122,7 +128,7 @@ def check_spec(element, spec):
             f"Element arity {len(element)} does not match spec {len(spec)}"
         )
     for tensor, (shape, dtype) in zip(element, spec):
-        if dtype == "str":
+        if dtype in ("str", "bytes"):
             continue
         arr = np.asarray(tensor)
         if shape is None:

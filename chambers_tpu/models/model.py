@@ -59,6 +59,14 @@ class Model:
             )
         x = np.asarray(x)
         n = x.shape[0]
+        if n == 0:
+            out_tree = jax.eval_shape(
+                lambda v, b: self.module.apply(v, b, deterministic=True),
+                self.variables, jnp.zeros((1,) + x.shape[1:], x.dtype),
+            )
+            return jax.tree.map(
+                lambda s: np.zeros((0,) + s.shape[1:], s.dtype), out_tree
+            )
         n_batches = math.ceil(n / batch_size)
         outs = []
         for i in range(n_batches):

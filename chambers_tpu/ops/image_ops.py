@@ -92,20 +92,26 @@ def posterize(images, bits):
 
 def autocontrast(images):
     """Per-image per-channel rescale to the full [0, 255] range
-    (image_augmentations.py:63-90)."""
-    lo = jnp.min(images, axis=(1, 2)).astype(jnp.float32)  # [b, c]
-    hi = jnp.max(images, axis=(1, 2)).astype(jnp.float32)
+    (image_augmentations.py:63-90). Shares the scale/offset derivation with
+    the fused-LUT path (``autocontrast_luts``) via ``_autocontrast_params``."""
+    scale, offset = _autocontrast_params(images)
+    b, c = images.shape[0], images.shape[3]
+    scale = scale.reshape(b, c)[:, None, None, :]
+    offset = offset.reshape(b, c)[:, None, None, :]
+    x = images.astype(jnp.float32) * scale + offset
+    return jnp.clip(x, 0.0, 255.0).astype(jnp.uint8)
 
+
+def _autocontrast_params(images):
+    """Per-(image, channel) rescale params, flattened ``[b*c]`` each
+    (reference float32 arithmetic, image_augmentations.py:69-78)."""
+    lo = jnp.min(images, axis=(1, 2)).astype(jnp.float32).reshape(-1)
+    hi = jnp.max(images, axis=(1, 2)).astype(jnp.float32).reshape(-1)
     denom = hi - lo
     scale = jnp.where(denom > 0, 255.0 / jnp.where(denom == 0, 1.0, denom), 0.0)
     offset = -lo * scale
-
     mask = (hi > lo).astype(jnp.float32)
-    scale = scale * mask + (1 - mask)
-    offset = offset * mask
-
-    x = images.astype(jnp.float32) * scale[:, None, None, :] + offset[:, None, None, :]
-    return jnp.clip(x, 0.0, 255.0).astype(jnp.uint8)
+    return scale * mask + (1 - mask), offset * mask
 
 
 def brightness(images, factor):
@@ -125,8 +131,8 @@ def contrast(images, factor):
     Compatibility note: the reference computes the blend target as
     ``sum(histogram) / 256`` — i.e. ``h*w/256``, *independent of pixel
     content* (a bug vs. the original AutoAugment code, which averages actual
-    gray values). Replicated faithfully so outputs are bit-identical; pass
-    ``mean_mode="true"`` for the corrected content-dependent mean.
+    gray values). Replicated faithfully so outputs are bit-identical; use
+    :func:`contrast_true_mean` for the corrected content-dependent mean.
     """
     h, w = images.shape[1], images.shape[2]
     mean = jnp.clip(jnp.asarray(h * w / 256.0, jnp.float32), 0.0, 255.0)
@@ -187,16 +193,8 @@ def equalize_luts(images, hist=None):
 
 def autocontrast_luts(images):
     """Autocontrast lookup tables per (image, channel) → ``[b*c, 256]``
-    uint8 (reference float32 arithmetic, image_augmentations.py:63-90)."""
-    lo = jnp.min(images, axis=(1, 2)).astype(jnp.float32).reshape(-1)  # [bc]?
-    hi = jnp.max(images, axis=(1, 2)).astype(jnp.float32).reshape(-1)
-    denom = hi - lo
-    scale = jnp.where(denom > 0, 255.0 / jnp.where(denom == 0, 1.0, denom), 0.0)
-    offset = -lo * scale
-    mask = (hi > lo).astype(jnp.float32)
-    scale = scale * mask + (1 - mask)
-    offset = offset * mask
-
+    uint8 (same derivation as :func:`autocontrast`)."""
+    scale, offset = _autocontrast_params(images)
     v = jnp.arange(256, dtype=jnp.float32)[None]
     lut = v * scale[:, None] + offset[:, None]
     return jnp.clip(lut, 0.0, 255.0).astype(jnp.uint8)
@@ -383,20 +381,14 @@ def rotate(images, radians, interpolation="nearest", fill_value=0.0):
 
 def shear_x(images, level, interpolation="nearest", fill_value=0.0):
     """Horizontal shear (image_augmentations.py:316-355)."""
-    level = jnp.atleast_1d(jnp.asarray(level, jnp.float32))
-    zeros = jnp.zeros_like(level)
-    ones = jnp.ones_like(level)
-    t = jnp.stack([ones, level, zeros, zeros, ones, zeros, zeros, zeros], axis=1)
-    return transform(images, t, interpolation=interpolation, fill_value=fill_value)
+    return transform(images, shear_x_matrices(level),
+                     interpolation=interpolation, fill_value=fill_value)
 
 
 def shear_y(images, level, interpolation="nearest", fill_value=0.0):
     """Vertical shear (image_augmentations.py:359-398)."""
-    level = jnp.atleast_1d(jnp.asarray(level, jnp.float32))
-    zeros = jnp.zeros_like(level)
-    ones = jnp.ones_like(level)
-    t = jnp.stack([ones, zeros, zeros, level, ones, zeros, zeros, zeros], axis=1)
-    return transform(images, t, interpolation=interpolation, fill_value=fill_value)
+    return transform(images, shear_y_matrices(level),
+                     interpolation=interpolation, fill_value=fill_value)
 
 
 def translate(images, translations, interpolation="nearest", fill_value=0.0):
@@ -416,30 +408,14 @@ def translate(images, translations, interpolation="nearest", fill_value=0.0):
 def translate_x(images, pixels, interpolation="nearest", fill_value=0.0):
     """Reference TranslateX: content moves by ``-pixels`` horizontally
     (image_augmentations.py:419-427 passes ``[-pixels, 0]``)."""
-    pixels = jnp.atleast_1d(jnp.asarray(pixels, jnp.float32))
-    return transform(
-        images,
-        jnp.stack(
-            [jnp.ones_like(pixels), jnp.zeros_like(pixels), pixels,
-             jnp.zeros_like(pixels), jnp.ones_like(pixels), jnp.zeros_like(pixels),
-             jnp.zeros_like(pixels), jnp.zeros_like(pixels)], axis=1,
-        ),
-        interpolation=interpolation, fill_value=fill_value,
-    )
+    return transform(images, translate_x_matrices(pixels),
+                     interpolation=interpolation, fill_value=fill_value)
 
 
 def translate_y(images, pixels, interpolation="nearest", fill_value=0.0):
     """Reference TranslateY: content moves by ``-pixels`` vertically."""
-    pixels = jnp.atleast_1d(jnp.asarray(pixels, jnp.float32))
-    return transform(
-        images,
-        jnp.stack(
-            [jnp.ones_like(pixels), jnp.zeros_like(pixels), jnp.zeros_like(pixels),
-             jnp.zeros_like(pixels), jnp.ones_like(pixels), pixels,
-             jnp.zeros_like(pixels), jnp.zeros_like(pixels)], axis=1,
-        ),
-        interpolation=interpolation, fill_value=fill_value,
-    )
+    return transform(images, translate_y_matrices(pixels),
+                     interpolation=interpolation, fill_value=fill_value)
 
 
 def cutout(images, key, mask_size, constant_values=0):

@@ -176,3 +176,52 @@ def test_tp_opt_state_sharded_like_params():
     # Adam mu for w_query must carry the same 'model' sharding as the param
     mu = trainer.state.opt_state[0].mu["multi_head_attention"]["w_query"]
     assert mu.sharding.spec == (None, "model", None)
+
+
+def test_random_contrast_keras_tuple_semantics():
+    from chambers_tpu.augmentations import RandomContrast
+
+    rc = RandomContrast((0.2, 0.3))
+    assert abs(rc.lower - 0.8) < 1e-6 and abs(rc.upper - 1.3) < 1e-6
+    rc = RandomContrast(0.5)
+    assert abs(rc.lower - 0.5) < 1e-6 and abs(rc.upper - 1.5) < 1e-6
+
+
+def test_random_crop_upscales_small_inputs():
+    from chambers_tpu.augmentations import RandomCrop
+
+    small = np.zeros((2, 20, 30, 3), np.uint8)
+    out = RandomCrop(32, 32)(jnp.asarray(small), key=jax.random.PRNGKey(0))
+    assert out.shape == (2, 32, 32, 3)
+    out = RandomCrop(32, 32)(jnp.asarray(small), training=False)
+    assert out.shape == (2, 32, 32, 3)
+
+
+def test_records_bytes_roundtrip(tmp_path):
+    from chambers_tpu.data import dataset_to_records, records_to_dataset
+
+    elements = [(b"\xff\xd8raw-jpeg-bytes\x00", np.int64(1)),
+                ("a string", np.int64(2))]
+    path = str(tmp_path / "b.records")
+    dataset_to_records(Dataset.from_generator(lambda: iter(elements)), path)
+    restored = list(records_to_dataset(path))
+    assert restored[0][0] == elements[0][0] and isinstance(restored[0][0], bytes)
+    assert restored[1][0] == "a string" and isinstance(restored[1][0], str)
+
+
+def test_prefetch_thread_released_on_abandon():
+    import threading
+    import time as _time
+
+    before = threading.active_count()
+    for _ in range(5):
+        for x in Dataset.range(1000).prefetch(2):
+            break  # abandon immediately
+    _time.sleep(0.5)  # give producers time to observe stop + exit
+    after = threading.active_count()
+    assert after <= before + 1  # no accumulation of leaked producers
+
+
+def test_predict_empty_batch():
+    result = _model().predict(np.zeros((0, 4), np.float32))
+    assert result.shape == (0, 1)
