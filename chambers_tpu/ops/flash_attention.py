@@ -166,34 +166,190 @@ def _flash_fwd(q, k, v, scale, causal, block_q, block_k):
     return o, (q, k, v, o, l, m)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, residuals, do):
-    """Backward from saved (o, l, m): recompute p blockwise-free in XLA.
+def _recomputed_p_ds(q, k, v, do, l, m, di, *, scale, causal, causal_offset,
+                     q_base, k_base, kv_len, q_len, block_q, block_k):
+    """Shared tile math for both backward kernels: recompute the softmax
+    probabilities of one (q-block, kv-block) tile from the saved (l, m)
+    residuals and form ds = p * (dp - di)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
 
-    p = exp(s - m) / l reproduces the softmax without renormalizing;
-    standard flash-attention gradient identities follow:
-        dv = pᵀ · do
-        dp = do · vᵀ ;  ds = p * (dp - Σ(do·o))
-        dq = ds · k · scale ; dk = dsᵀ · q · scale
-    """
-    q, k, v, o, l, m = residuals
-    q32, k32, v32 = (x.astype(jnp.float32) for x in (q, k, v))
-    do32 = do.astype(jnp.float32)
-
-    s = jnp.einsum("bqh,bkh->bqk", q32, k32) * scale
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_base
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_base
+    mask = (col < kv_len) & (row < q_len)
     if causal:
-        tq, tk = s.shape[-2], s.shape[-1]
-        tri = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
-        s = jnp.where(tri[None], s, _MASK_VALUE)
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    p = jnp.exp(s - m) / l_safe                      # [b, tq, tk]
+        mask &= col <= row + causal_offset
 
-    dv = jnp.einsum("bqk,bqh->bkh", p, do32)
-    dp = jnp.einsum("bqh,bkh->bqk", do32, v32)
-    di = jnp.sum(do32 * o.astype(jnp.float32), axis=-1, keepdims=True)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    p = jnp.where(mask, jnp.exp(s - m) / l_safe, 0.0)      # [bq, bk]
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     ds = p * (dp - di)
-    dq = jnp.einsum("bqk,bkh->bqh", ds, k32) * scale
-    dk = jnp.einsum("bqk,bqh->bkh", ds, q32) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return p, ds
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc,
+                          *, scale, causal, block_q, block_k, kv_len, q_len,
+                          n_q):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    causal_offset = kv_len - q_len
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    if causal:
+        # this kv block only receives gradient from q rows at/after it
+        should_run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        p, ds = _recomputed_p_ds(
+            q, k, v, do, l_ref[0], m_ref[0], di_ref[0],
+            scale=scale, causal=causal, causal_offset=causal_offset,
+            q_base=qi * block_q, k_base=ki * block_k,
+            kv_len=kv_len, q_len=q_len, block_q=block_q, block_k=block_k,
+        )
+        # dv += pᵀ · do ; dk += dsᵀ · q · scale
+        dv_acc[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(qi == n_q - 1)
+    def _store():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
+                         dq_ref, dq_acc,
+                         *, scale, causal, block_q, block_k, kv_len, q_len,
+                         n_k):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    causal_offset = kv_len - q_len
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    if causal:
+        should_run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        _, ds = _recomputed_p_ds(
+            q, k, v, do, l_ref[0], m_ref[0], di_ref[0],
+            scale=scale, causal=causal, causal_offset=causal_offset,
+            q_base=qi * block_q, k_base=ki * block_k,
+            kv_len=kv_len, q_len=q_len, block_q=block_q, block_k=block_k,
+        )
+        # dq += ds · k · scale
+        dq_acc[...] += jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd(scale, causal, block_q, block_k, residuals, do):
+    """Blockwise backward: recompute each tile's probabilities from the saved
+    (l, m) residuals and accumulate dq/dk/dv in VMEM — the [t, t] matrices are
+    never materialized (guide §7: separate dKV and dQ kernels sharing a
+    precomputed di = Σ(o·do))."""
+    q, k, v, o, l, m = residuals
+    bn, tq, h = q.shape
+    tk = k.shape[1]
+
+    di = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [bn, tq, 1]
+
+    q_p = _pad_to(q, 1, block_q)
+    do_p = _pad_to(do, 1, block_q)
+    l_p = _pad_to(l, 1, block_q)
+    m_p = _pad_to(m, 1, block_q)
+    di_p = _pad_to(di, 1, block_q)
+    k_p = _pad_to(k, 1, block_k)
+    v_p = _pad_to(v, 1, block_k)
+    n_q = q_p.shape[1] // block_q
+    n_k = k_p.shape[1] // block_k
+
+    interpret = jax.default_backend() == "cpu"
+    common = dict(scale=scale, causal=causal, block_q=block_q,
+                  block_k=block_k, kv_len=tk, q_len=tq)
+
+    q_spec = pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, j, 0))
+    kv_spec = pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, i, 0))
+    stat_spec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, j, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, n_q=n_q, **common),
+        out_shape=(
+            jax.ShapeDtypeStruct(k_p.shape, k.dtype),
+            jax.ShapeDtypeStruct(v_p.shape, v.dtype),
+        ),
+        grid=(bn, n_k, n_q),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec,
+                  stat_spec],
+        out_specs=(
+            pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, h), jnp.float32),
+            pltpu.VMEM((block_k, h), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, do_p, l_p, m_p, di_p)
+
+    q_spec2 = pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, i, 0))
+    kv_spec2 = pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, j, 0))
+    stat_spec2 = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, n_k=n_k, **common),
+        out_shape=jax.ShapeDtypeStruct(q_p.shape, q.dtype),
+        grid=(bn, n_q, n_k),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2,
+                  stat_spec2, stat_spec2],
+        out_specs=pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, do_p, l_p, m_p, di_p)
+
+    return dq[:, :tq], dk[:, :tk], dv[:, :tk]
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
