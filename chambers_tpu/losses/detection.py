@@ -95,6 +95,29 @@ def linear_sum_assignment(cost_matrix):
     )
 
 
+def matching_cost_matrix(
+    pred_logits, pred_boxes, target_labels, target_boxes, target_mask,
+    cost_class: float = 1.0, cost_bbox: float = 5.0, cost_giou: float = 2.0,
+):
+    """Per-example DETR matching costs ``[b, t, q]`` (rows = target slots);
+    padded target slots get a large constant cost."""
+
+    def per_example(logits, boxes, t_labels, t_boxes, t_mask):
+        prob = jax.nn.softmax(logits, axis=-1)
+        c_class = -prob[:, t_labels]
+        c_bbox = jnp.sum(jnp.abs(boxes[:, None] - t_boxes[None]), axis=-1)
+        c_giou = -generalized_box_iou(
+            box_cxcywh_to_xyxy(boxes), box_cxcywh_to_xyxy(t_boxes)
+        )
+        cost = cost_class * c_class + cost_bbox * c_bbox + cost_giou * c_giou
+        cost = jnp.where(t_mask[None, :], cost, 1e6)
+        return cost.T  # [t, q]
+
+    return jax.vmap(per_example)(
+        pred_logits, pred_boxes, target_labels, target_boxes, target_mask
+    )
+
+
 def hungarian_matcher(
     pred_logits,
     pred_boxes,
@@ -115,26 +138,25 @@ def hungarian_matcher(
 
     :return: ``[b, max_t]`` int32: for each target slot, the matched query.
     """
-
-    def per_example(logits, boxes, t_labels, t_boxes, t_mask):
-        prob = jax.nn.softmax(logits, axis=-1)          # [q, classes]
-        c_class = -prob[:, t_labels]                    # [q, t]
-        c_bbox = jnp.sum(
-            jnp.abs(boxes[:, None] - t_boxes[None]), axis=-1
-        )
-        c_giou = -generalized_box_iou(
-            box_cxcywh_to_xyxy(boxes), box_cxcywh_to_xyxy(t_boxes)
-        )
-        cost = cost_class * c_class + cost_bbox * c_bbox + cost_giou * c_giou
-        # padded targets: huge constant cost (column still assigned, ignored
-        # downstream via t_mask)
-        cost = jnp.where(t_mask[None, :], cost, 1e6)
-        # assignment over [t, q]: each target row picks a distinct query
-        return linear_sum_assignment(jax.lax.stop_gradient(cost).T)
-
-    return jax.vmap(per_example)(
-        pred_logits, pred_boxes, target_labels, target_boxes, target_mask
+    cost = matching_cost_matrix(
+        pred_logits, pred_boxes, target_labels, target_boxes, target_mask,
+        cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou,
     )
+    return linear_sum_assignment(jax.lax.stop_gradient(cost))
+
+
+def hungarian_matcher_host(
+    pred_logits, pred_boxes, target_labels, target_boxes, target_mask,
+    cost_class: float = 1.0, cost_bbox: float = 5.0, cost_giou: float = 2.0,
+):
+    """Eager host-side matcher (no callbacks at all) — for PJRT backends
+    that reject host callbacks even under vmap/scan. Cost matrices compute
+    on device; scipy assigns on host."""
+    cost = matching_cost_matrix(
+        pred_logits, pred_boxes, target_labels, target_boxes, target_mask,
+        cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou,
+    )
+    return jnp.asarray(_lsa_host(np.asarray(cost)))
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +183,8 @@ class DETRLoss:
         self.weight_giou = weight_giou
         self.eos_coef = eos_coef
 
-    def __call__(self, outputs: Dict, targets: Dict) -> jnp.ndarray:
+    def __call__(self, outputs: Dict, targets: Dict,
+                 assignment=None) -> jnp.ndarray:
         """Total loss.
 
         :param outputs: ``{"logits": [b, q, classes+1], "boxes": [b, q, 4]}``
@@ -170,27 +193,51 @@ class DETRLoss:
             same loss summed.
         :param targets: ``{"labels": [b, t], "boxes": [b, t, 4],
             "mask": [b, t]}``.
+        :param assignment: optional precomputed matching from :meth:`match`
+            (``[b, t]``, or ``[L, b, t]`` with aux layers). Matching runs on
+            host via ``pure_callback``; some PJRT backends reject host
+            callbacks inside jit — there, call ``match`` eagerly outside the
+            jitted step and pass the result here (the loss itself is then
+            fully jittable everywhere).
         """
         logits, boxes = outputs["logits"], outputs["boxes"]
         if logits.ndim == 4:  # [b, L, q, c] aux losses per decoder layer
             total = 0.0
             for layer in range(logits.shape[1]):
                 total = total + self._single(
-                    logits[:, layer], boxes[:, layer], targets
+                    logits[:, layer], boxes[:, layer], targets,
+                    None if assignment is None else assignment[layer],
                 )
             return total
-        return self._single(logits, boxes, targets)
+        return self._single(logits, boxes, targets, assignment)
 
-    def _single(self, logits, boxes, targets):
+    def match(self, outputs: Dict, targets: Dict):
+        """Hungarian assignment(s) for ``outputs``, computed eagerly with
+        the host-side matcher (works on every backend — no callbacks inside
+        compiled code). Feed the result to ``__call__``."""
+        logits, boxes = outputs["logits"], outputs["boxes"]
+        kwargs = dict(cost_class=self.cost_class, cost_bbox=self.cost_bbox,
+                      cost_giou=self.cost_giou)
+        t = (targets["labels"], targets["boxes"],
+             targets["mask"].astype(bool))
+        if logits.ndim == 4:
+            return jnp.stack([
+                hungarian_matcher_host(logits[:, i], boxes[:, i], *t, **kwargs)
+                for i in range(logits.shape[1])
+            ])
+        return hungarian_matcher_host(logits, boxes, *t, **kwargs)
+
+    def _single(self, logits, boxes, targets, assignment=None):
         t_labels = targets["labels"]
         t_boxes = targets["boxes"]
         t_mask = targets["mask"].astype(bool)
 
-        assignment = hungarian_matcher(
-            logits, boxes, t_labels, t_boxes, t_mask,
-            cost_class=self.cost_class, cost_bbox=self.cost_bbox,
-            cost_giou=self.cost_giou,
-        )  # [b, t] query index per target slot
+        if assignment is None:
+            assignment = hungarian_matcher(
+                logits, boxes, t_labels, t_boxes, t_mask,
+                cost_class=self.cost_class, cost_bbox=self.cost_bbox,
+                cost_giou=self.cost_giou,
+            )  # [b, t] query index per target slot
 
         b, q = logits.shape[0], logits.shape[1]
         num_boxes = jnp.maximum(jnp.sum(t_mask), 1.0)

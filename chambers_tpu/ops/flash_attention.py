@@ -6,8 +6,10 @@ flash kernel that never materializes the ``[t, t]`` scores matrix. This kernel
 follows the canonical JAX Pallas TPU flash-attention structure: grid over
 (batch·heads, q-blocks, kv-blocks), online softmax with float32 running
 statistics in VMEM scratch, causal tiles skipped above the diagonal, and a
-``custom_vjp`` whose backward recomputes scores from saved (o, l, m) — the
-standard memory-efficient residual trick.
+``custom_vjp`` whose backward is blockwise too — separate dKV and dQ kernels
+recompute per-tile probabilities from the saved (l, m) residuals with a
+shared precomputed ``di = Σ(o·do)``, so the ``[t, t]`` matrices never
+materialize in forward or backward.
 
 Interface: ``flash_attention(q, v, k, scale, causal, kv_length)`` over
 ``[batch, heads, t, head_dim]`` — drop-in for the XLA path in
