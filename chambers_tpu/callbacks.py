@@ -87,11 +87,13 @@ class CSVLogger(Callback):
     def on_train_begin(self, logs=None):
         os.makedirs(os.path.dirname(self.filename) or ".", exist_ok=True)
         self._file = open(self.filename, "a", newline="")
+        self._writer = None  # rebind to the fresh file handle (refit support)
 
     def on_epoch_end(self, epoch, logs=None):
         logs = dict(logs or {})
         if self._keys is None:
             self._keys = ["epoch"] + sorted(logs.keys())
+        if self._writer is None:
             self._writer = csv.DictWriter(self._file, fieldnames=self._keys,
                                           extrasaction="ignore")
             if self._file.tell() == 0:
@@ -147,7 +149,8 @@ class ScalarLogger(Callback):
 
 class ModelCheckpoint(Callback):
     """Per-epoch weight checkpoints named ``{epoch:02d}-{monitor:.5f}``
-    (callbacks.py:31-38). ``save_best_only`` keeps only improvements."""
+    (callbacks.py:31-38); epoch numbers are 1-based in filenames like Keras.
+    ``save_best_only`` keeps only improvements."""
 
     def __init__(self, filepath, monitor="val_loss", mode="auto",
                  save_best_only=False):
@@ -171,7 +174,7 @@ class ModelCheckpoint(Callback):
             if not improved:
                 return
             self._best = value
-        path = self.filepath.format(epoch=epoch, **{self.monitor: value})
+        path = self.filepath.format(epoch=epoch + 1, **{self.monitor: value})
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.model.save_weights(path)
 

@@ -22,6 +22,12 @@ Mask semantics follow Keras ``Attention``: ``mask=[q_mask, v_mask]`` where
 ``v_mask`` ([batch, tv] bool) suppresses keys with a large negative score
 bias, ``causal=True`` adds a lower-triangular mask, and ``q_mask``
 ([batch, tq] bool) zeroes masked query outputs after the weighted sum.
+
+Documented divergence: when ``tq != tv`` the causal diagonal here is aligned
+at the sequence *end* (``tril(k=tv-tq)``, the standard decoder convention and
+what the flash kernel implements), whereas Keras aligns it at the start
+(row i attends keys ≤ i). The reference only ever uses causal self-attention
+(tq == tv, transformer.py:193-198), where the two are identical.
 """
 
 from typing import Any, Optional, Sequence
@@ -131,10 +137,26 @@ class ScaledAttention:
         self.causal = causal
         self.dropout = dropout
 
-    def __call__(self, inputs, mask=None):
+    def __call__(self, inputs, mask=None, key=None, training: bool = False):
         q, v = inputs[0], inputs[1]
         k = inputs[2] if len(inputs) > 2 else v
         q_mask, v_mask = mask if mask is not None else (None, None)
+        if training and self.dropout > 0.0:
+            if key is None:
+                raise ValueError(
+                    "ScaledAttention(dropout>0) requires a PRNG `key` when "
+                    "training=True."
+                )
+            scale = jnp.sqrt(jnp.asarray(
+                self.key_dim if self.key_dim is not None else k.shape[-1],
+                jnp.float32,
+            ))
+            return scaled_dot_product_attention(
+                q, v, k, scale=scale, causal=self.causal,
+                q_mask=q_mask, v_mask=v_mask,
+                dropout_rate=self.dropout, deterministic=False,
+                dropout_rng=key,
+            )
         return scaled_attention(
             q, v, k, key_dim=self.key_dim, causal=self.causal,
             q_mask=q_mask, v_mask=v_mask,

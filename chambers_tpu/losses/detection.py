@@ -65,17 +65,47 @@ def generalized_box_iou(boxes1, boxes2):
     return iou - (enclosing - union) / enclosing
 
 
+def paired_generalized_box_iou(boxes1, boxes2):
+    """Elementwise GIoU of matched xyxy box pairs ``[..., 4]`` → ``[...]``
+    (O(n), vs. taking the diagonal of the pairwise matrix)."""
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1 + area2 - inter
+    iou = inter / jnp.maximum(union, 1e-8)
+
+    lt_c = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
+    rb_c = jnp.maximum(boxes1[..., 2:], boxes2[..., 2:])
+    wh_c = jnp.clip(rb_c - lt_c, 0.0)
+    enclosing = jnp.maximum(wh_c[..., 0] * wh_c[..., 1], 1e-8)
+    return iou - (enclosing - union) / enclosing
+
+
 # ---------------------------------------------------------------------------
 # Hungarian matching
 # ---------------------------------------------------------------------------
 
 def _lsa_host(cost: np.ndarray) -> np.ndarray:
-    """Host-side optimal assignment: per-row matched column indices."""
+    """Host-side optimal assignment: per-row matched column indices.
+
+    Requires ``n <= m`` (every row/target gets a distinct column/query);
+    ``n > m`` would silently leave zero-initialized rows colliding on
+    column 0 downstream, so it fails loudly instead.
+    """
     from scipy.optimize import linear_sum_assignment
 
-    out = np.zeros(cost.shape[:-2] + (cost.shape[-2],), np.int32)
+    n, m = cost.shape[-2], cost.shape[-1]
+    if n > m:
+        raise ValueError(
+            f"linear_sum_assignment needs rows <= cols; got {n} targets for "
+            f"{m} queries — raise num_queries above max targets per image."
+        )
+    out = np.zeros(cost.shape[:-2] + (n,), np.int32)
     flat_cost = cost.reshape((-1,) + cost.shape[-2:])
-    flat_out = out.reshape(-1, cost.shape[-2])
+    flat_out = out.reshape(-1, n)
     for i, c in enumerate(flat_cost):
         rows, cols = linear_sum_assignment(np.asarray(c, np.float64))
         flat_out[i, rows] = cols
@@ -246,10 +276,10 @@ class DETRLoss:
         # else the no-object class ---
         target_classes = jnp.full((b, q), self.num_classes, jnp.int32)
         batch_idx = jnp.arange(b)[:, None]
-        # scatter only real targets' labels (padded slots write no-object)
+        # padded target slots scatter the no-object class (a no-op write)
         scatter_labels = jnp.where(t_mask, t_labels, self.num_classes)
         target_classes = target_classes.at[batch_idx, assignment].set(
-            jnp.where(t_mask, scatter_labels, self.num_classes)
+            scatter_labels
         )
         log_p = jax.nn.log_softmax(logits, axis=-1)
         ce = -jnp.take_along_axis(
@@ -265,13 +295,9 @@ class DETRLoss:
         l1 = jnp.sum(jnp.abs(matched_boxes - t_boxes), axis=-1)
         loss_bbox = jnp.sum(jnp.where(t_mask, l1, 0.0)) / num_boxes
 
-        giou = jax.vmap(
-            lambda p, t: jnp.diagonal(
-                generalized_box_iou(
-                    box_cxcywh_to_xyxy(p), box_cxcywh_to_xyxy(t)
-                )
-            )
-        )(matched_boxes, t_boxes)
+        giou = paired_generalized_box_iou(
+            box_cxcywh_to_xyxy(matched_boxes), box_cxcywh_to_xyxy(t_boxes)
+        )
         loss_giou = jnp.sum(jnp.where(t_mask, 1.0 - giou, 0.0)) / num_boxes
 
         return (self.weight_ce * loss_ce

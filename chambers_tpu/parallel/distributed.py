@@ -24,15 +24,24 @@ def init_distributed(coordinator_address: Optional[str] = None,
     initialized) environments are left untouched.
 
     :return: summary dict with process_index/process_count/device counts.
+
+    Must run before anything initializes the XLA backend (jax refuses to go
+    distributed afterwards) — call it first in your main. With explicit
+    arguments, failures propagate loudly (a multi-host job silently falling
+    back to per-host training produces wrong gradients); only the
+    auto-detect path tolerates "not a distributed environment".
     """
-    already = jax.process_count() > 1
-    if not already and (coordinator_address or num_processes):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    elif not already:
+    if coordinator_address or num_processes:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
+    else:
         try:
             jax.distributed.initialize()
         except Exception:

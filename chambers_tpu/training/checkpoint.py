@@ -76,7 +76,10 @@ class CheckpointManager:
         self._manager.close()
 
 
-class CheckpointCallback:
+from chambers_tpu.callbacks import Callback
+
+
+class CheckpointCallback(Callback):
     """Trainer callback: Orbax-checkpoint the full train state every epoch.
 
     Unlike :class:`chambers_tpu.callbacks.ModelCheckpoint` (weights-only
@@ -87,20 +90,6 @@ class CheckpointCallback:
     def __init__(self, directory: str, trainer, max_to_keep: int = 3):
         self.manager = CheckpointManager(directory, max_to_keep=max_to_keep)
         self.trainer = trainer
-
-    # Callback protocol subset
-    def set_params(self, params): ...
-    def set_model(self, model): ...
-    def on_train_begin(self, logs=None): ...
-    def on_epoch_begin(self, epoch, logs=None): ...
-    def on_train_batch_begin(self, batch, logs=None): ...
-    def on_train_batch_end(self, batch, logs=None): ...
-    def on_test_begin(self, logs=None): ...
-    def on_test_end(self, logs=None): ...
-    def on_test_batch_begin(self, batch, logs=None): ...
-    def on_test_batch_end(self, batch, logs=None): ...
-    def on_predict_begin(self, logs=None): ...
-    def on_predict_end(self, logs=None): ...
 
     def on_epoch_end(self, epoch, logs=None):
         self.manager.save(int(self.trainer.state.step), self.trainer.state)

@@ -254,18 +254,26 @@ class Trainer:
         return history
 
     def evaluate(self, dataset: Iterable, callbacks=None, verbose: bool = True):
-        callback_list = callbacks or CallbackList([])
+        if callbacks is None:
+            callback_list = CallbackList([])
+        elif isinstance(callbacks, CallbackList):
+            callback_list = callbacks
+        else:
+            callback_list = CallbackList(list(callbacks))
         callback_list.on_test_begin()
         totals: Dict[str, list] = {}
         for step, (x, y) in enumerate(dataset):
             callback_list.on_test_batch_begin(step)
             x, y = self._place_batch(x, y)
             logs = self.eval_step(self.state.params, x, y)
+            # keep scalars on device during the loop; one sync at the end
             for k, v in logs.items():
-                totals.setdefault(k, []).append(float(v))
+                totals.setdefault(k, []).append(v)
             callback_list.on_test_batch_end(step)
         callback_list.on_test_end()
-        result = {k: float(np.mean(v)) for k, v in totals.items()}
+        result = {
+            k: float(jnp.mean(jnp.stack(v))) for k, v in totals.items()
+        }
         if verbose:
             print(" - ".join(f"{k}: {v:.4f}" for k, v in result.items()))
         return result

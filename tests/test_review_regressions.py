@@ -225,3 +225,54 @@ def test_prefetch_thread_released_on_abandon():
 def test_predict_empty_batch():
     result = _model().predict(np.zeros((0, 4), np.float32))
     assert result.shape == (0, 1)
+
+
+def test_evaluate_accepts_plain_callback_list():
+    from chambers_tpu.callbacks import Callback
+
+    events = []
+
+    class Rec(Callback):
+        def on_test_begin(self, logs=None):
+            events.append("begin")
+
+    trainer = Trainer(_model(), loss=lambda a, b: jnp.mean((a - b) ** 2),
+                      optimizer=optax.adam(1e-2))
+    trainer.evaluate(_data(2), callbacks=[Rec()], verbose=False)
+    assert events == ["begin"]
+
+
+def test_csv_logger_supports_refit(tmp_path):
+    from chambers_tpu.callbacks import CSVLogger
+
+    path = str(tmp_path / "log.csv")
+    logger = CSVLogger(path)
+    trainer = Trainer(_model(), loss=lambda a, b: jnp.mean((a - b) ** 2),
+                      optimizer=optax.adam(1e-2))
+    trainer.fit(_data(2), epochs=1, callbacks=[logger], verbose=False)
+    trainer.fit(_data(2), epochs=1, callbacks=[logger], verbose=False)
+    rows = open(path).read().strip().splitlines()
+    assert len(rows) == 3  # header + 2 epochs across two fits
+
+
+def test_lsa_rejects_more_targets_than_queries():
+    import pytest
+
+    from chambers_tpu.losses.detection import _lsa_host
+
+    with pytest.raises(ValueError, match="rows <= cols"):
+        _lsa_host(np.zeros((5, 3), np.float32))
+
+
+def test_paired_giou_matches_pairwise_diagonal():
+    from chambers_tpu.losses.detection import (
+        generalized_box_iou,
+        paired_generalized_box_iou,
+    )
+
+    rng = np.random.RandomState(0)
+    a = np.sort(rng.rand(6, 2, 2), axis=1).reshape(6, 4).astype(np.float32)
+    b = np.sort(rng.rand(6, 2, 2), axis=1).reshape(6, 4).astype(np.float32)
+    paired = np.asarray(paired_generalized_box_iou(jnp.asarray(a), jnp.asarray(b)))
+    diag = np.diagonal(np.asarray(generalized_box_iou(jnp.asarray(a), jnp.asarray(b))))
+    np.testing.assert_allclose(paired, diag, atol=1e-6)

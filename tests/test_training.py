@@ -223,8 +223,9 @@ def test_experiment_callback_directory_layout(tmp_path):
     assert os.path.isfile(os.path.join(root, "logs", "events.jsonl"))
     ckpts = os.listdir(os.path.join(root, "model", "checkpoints"))
     assert "init.msgpack" in ckpts
-    assert any(c.startswith("00-") for c in ckpts)
+    # epoch numbers in filenames are 1-based (Keras convention)
     assert any(c.startswith("01-") for c in ckpts)
+    assert any(c.startswith("02-") for c in ckpts)
     assert os.path.isfile(os.path.join(root, "model", "export", "model.msgpack"))
 
     with open(os.path.join(root, "logs", "epoch_results.txt")) as f:
@@ -249,8 +250,8 @@ def test_model_checkpoint_save_best_only(tmp_path):
     ckpt.on_epoch_end(1, {"val_loss": 2.0})  # worse: skipped
     ckpt.on_epoch_end(2, {"val_loss": 0.5})
     assert len(FakeModel.saves) == 2
-    assert FakeModel.saves[0].endswith("00-1.00000.msgpack")
-    assert FakeModel.saves[1].endswith("02-0.50000.msgpack")
+    assert FakeModel.saves[0].endswith("01-1.00000.msgpack")
+    assert FakeModel.saves[1].endswith("03-0.50000.msgpack")
 
 
 def test_callback_list_dispatch():
