@@ -42,21 +42,21 @@ def _timed(run_scan, args, batch):
         t0 = time.perf_counter()
         float(run_scan(*args))
         times.append(time.perf_counter() - t0)
-    per_batch = min(times) / SCAN_STEPS
+    per_batch = float(np.median(times)) / SCAN_STEPS
     return batch / per_batch, per_batch
 
 
-def _bench_randaugment_vitb16(batch):
-    """BASELINE configs 1+2: per-image RandAugment(2,10) -> ViT-B/16 @224."""
+def _augment_infer_bench(batch, *, model_builder, size, augment, label,
+                         default_batch):
+    """Shared harness: fused on-device augmentation -> bf16 ViT inference."""
     import jax
     import jax.numpy as jnp
 
-    from chambers_tpu.augmentations import ImageNetNormalization, RandAugment
-    from chambers_tpu.models.backbones import ViTB16
+    from chambers_tpu.augmentations import ImageNetNormalization
 
-    batch = batch or 32
-    model = ViTB16(weights=None, input_shape=(224, 224, 3), dtype=jnp.bfloat16)
-    augment = RandAugment(n_transforms=2, magnitude=10, elementwise=True)
+    batch = batch or default_batch
+    model = model_builder(weights=None, input_shape=(size, size, 3),
+                          dtype=jnp.bfloat16)
     normalize = ImageNetNormalization(mode="tf")
 
     @jax.jit
@@ -75,58 +75,39 @@ def _bench_randaugment_vitb16(batch):
 
     rng = np.random.RandomState(0)
     images = jax.device_put(
-        rng.randint(0, 256, (batch, 224, 224, 3), dtype=np.uint8)
+        rng.randint(0, 256, (batch, size, size, 3), dtype=np.uint8)
     )
     img_s, per_batch = _timed(
         run_scan,
         (jax.device_put(model.variables), images, jax.random.PRNGKey(0)),
         batch,
     )
-    return (
-        "images/sec/chip (per-image RandAugment(2,10)+ViT-B/16 bf16 infer, "
-        f"224px, batch {batch})", img_s, per_batch,
+    return f"{label}, batch {batch})", img_s, per_batch
+
+
+def _bench_randaugment_vitb16(batch):
+    """BASELINE configs 1+2: per-image RandAugment(2,10) -> ViT-B/16 @224."""
+    from chambers_tpu.augmentations import RandAugment
+    from chambers_tpu.models.backbones import ViTB16
+
+    return _augment_infer_bench(
+        batch, model_builder=ViTB16, size=224,
+        augment=RandAugment(n_transforms=2, magnitude=10, elementwise=True),
+        label="images/sec/chip (per-image RandAugment(2,10)+ViT-B/16 bf16 "
+              "infer, 224px", default_batch=32,
     )
 
 
 def _bench_autoaugment_vitl16_384(batch):
     """BASELINE config 3: fused AutoAugment -> ViT-L/16 @384, batch 128."""
-    import jax
-    import jax.numpy as jnp
-
-    from chambers_tpu.augmentations import AutoAugment, ImageNetNormalization
+    from chambers_tpu.augmentations import AutoAugment
     from chambers_tpu.models.backbones import ViTL16
 
-    batch = batch or 128
-    model = ViTL16(weights=None, input_shape=(384, 384, 3), dtype=jnp.bfloat16)
-    augment = AutoAugment(elementwise=True)
-    normalize = ImageNetNormalization(mode="tf")
-
-    @jax.jit
-    def run_scan(variables, images, key):
-        def body(carry, k):
-            logits = model.apply_fn(
-                variables, normalize(augment(images, key=k)),
-                deterministic=True,
-            )
-            return carry + jnp.sum(logits), None
-
-        total, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32), jax.random.split(key, SCAN_STEPS)
-        )
-        return total
-
-    rng = np.random.RandomState(0)
-    images = jax.device_put(
-        rng.randint(0, 256, (batch, 384, 384, 3), dtype=np.uint8)
-    )
-    img_s, per_batch = _timed(
-        run_scan,
-        (jax.device_put(model.variables), images, jax.random.PRNGKey(0)),
-        batch,
-    )
-    return (
-        "images/sec/chip (per-image AutoAugment+ViT-L/16 bf16 infer, 384px, "
-        f"batch {batch})", img_s, per_batch,
+    return _augment_infer_bench(
+        batch, model_builder=ViTL16, size=384,
+        augment=AutoAugment(elementwise=True),
+        label="images/sec/chip (per-image AutoAugment+ViT-L/16 bf16 infer, "
+              "384px", default_batch=128,
     )
 
 
@@ -201,7 +182,13 @@ def main():
         "metric": metric,
         "value": round(img_s, 1),
         "unit": "img/s",
-        "vs_baseline": round(img_s / REFERENCE_IMG_S, 2),
+        # only the primary config has a measured reference pipeline (the
+        # TF-CPU fused run, BASELINE.md); other configs report null rather
+        # than a fabricated cross-config ratio
+        "vs_baseline": (
+            round(img_s / REFERENCE_IMG_S, 2)
+            if CONFIG == "randaugment_vitb16_224" else None
+        ),
         "p50_batch_latency_ms": round(per_batch * 1000, 2),
     }
     print(json.dumps(result))

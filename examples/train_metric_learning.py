@@ -56,15 +56,22 @@ def make_dataset(data_dir, p_classes, k_images, image_size, seed):
     labels = list(range(len(class_dirs)))
     print(f"{len(class_dirs)} classes found in {data_dir}")
 
-    from chambers_tpu.augmentations import Resizing
+    from PIL import Image
 
-    resize = Resizing(image_size, image_size)
+    def host_resize(x, y):
+        # PIL on host threads — per-image jax resizes would round-trip the
+        # device serially and starve the input pipeline
+        img = Image.fromarray(np.asarray(x)).resize(
+            (image_size, image_size), Image.BILINEAR
+        )
+        return np.asarray(img, np.uint8), y
+
     ds = InterleaveImageClassDataset(
         class_dirs=class_dirs, labels=labels,
         class_cycle_length=p_classes, images_per_block=k_images,
         sample_block_random=True, shuffle=True, seed=seed, repeats=-1,
     )
-    ds = ds.map(lambda x, y: (np.asarray(resize(x[None]))[0], y))
+    ds = ds.map(host_resize, num_parallel_calls=8)
     return ds.batch(p_classes * k_images, drop_remainder=True).prefetch()
 
 
@@ -116,9 +123,7 @@ def main():
             decay_exclude=["bias", "norm", "embeddings"],
             learning_rate=LinearWarmup(args.lr, warmup_steps=50),
         ),
-        apply_fn=lambda v, x, deterministic, rngs: apply_fn(
-            v, x, deterministic, rngs
-        ),
+        apply_fn=apply_fn,
     )
 
     if args.data:

@@ -23,11 +23,15 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+# model -> (preset fn name, input size, default released-weights spec)
 PRESETS = {
-    "vits16": ("ViTS16", 224), "vitb16": ("ViTB16", 224),
-    "vitb32": ("ViTB32", 384), "vitl16": ("ViTL16", 224),
-    "vitl32": ("ViTL32", 384), "deits16": ("DeiTS16", 224),
-    "deitb16": ("DeiTB16", 224),
+    "vits16": ("ViTS16", 224, "imagenet_224_deit"),
+    "vitb16": ("ViTB16", 224, "imagenet21k+_224"),
+    "vitb32": ("ViTB32", 384, "imagenet21k+_384"),
+    "vitl16": ("ViTL16", 224, "imagenet21k+_224"),
+    "vitl32": ("ViTL32", 384, "imagenet21k+_384"),
+    "deits16": ("DeiTS16", 224, "imagenet_224"),
+    "deitb16": ("DeiTB16", 224, "imagenet_224"),
 }
 
 
@@ -43,7 +47,9 @@ def deterministic_image(size: int) -> np.ndarray:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="vitb16", choices=sorted(PRESETS))
-    parser.add_argument("--weights", default="imagenet21k+_224")
+    parser.add_argument("--weights", default=None,
+                        help="released weight spec; defaults to the model's "
+                             "canonical release")
     parser.add_argument("--golden", default=None,
                         help=".npz with 'logits' to compare against")
     parser.add_argument("--save-golden", default=None)
@@ -53,20 +59,23 @@ def main():
     from chambers_tpu.augmentations import ImageNetNormalization
     from chambers_tpu.models.backbones import vision_transformer as vt
 
-    preset_name, size = PRESETS[args.model]
+    preset_name, size, default_weights = PRESETS[args.model]
+    weights = args.weights or default_weights
     builder = getattr(vt, preset_name)
-    model = builder(weights=args.weights, input_shape=(size, size, 3))
+    model = builder(weights=weights, input_shape=(size, size, 3))
 
     image = deterministic_image(size)
     x = np.asarray(ImageNetNormalization(mode="tf")(image))
-    logits = np.asarray(model(x))
-    if isinstance(logits, list):  # DeiT heads
+    logits = model(x)
+    if isinstance(logits, (list, tuple)):  # DeiT [cls, dist] heads
         logits = np.concatenate([np.asarray(l) for l in logits], axis=-1)
+    else:
+        logits = np.asarray(logits)
 
     top5 = np.argsort(-logits[0])[:5]
     report = {
         "model": args.model,
-        "weights": args.weights,
+        "weights": weights,
         "logit_checksum": float(logits.sum()),
         "top5": top5.tolist(),
         "top5_logits": logits[0][top5].round(4).tolist(),
