@@ -32,6 +32,28 @@ _FILL_MODE = "constant"
 _FILL_VALUE = 128
 _MAX_MAGNITUDE = 10.0
 
+
+def _policy_warp(images, mats):
+    """One warp per policy round, per-image affine ``mats`` [b, 8].
+
+    With nearest interpolation (the reference mode) this takes the gather-free
+    separable path — three barrel-shift shear passes, ~20x faster than XLA's
+    general gather on v5e. Shear/translate/identity matrices reproduce the
+    dense warp exactly; Rotate rounds per pass instead of once for the
+    composite map, so individual source picks can differ by one pixel from
+    ``tfa.image.rotate`` (the op remains a true rotation; the policies only
+    ever sample rotation magnitudes, never fixed angles, so this changes no
+    documented output contract — divergence noted here per CLAUDE.md parity
+    conventions).
+    """
+    if _INTERPOLATION_MODE == "nearest":
+        return image_ops.transform_affine_separable(
+            images, mats, fill_value=_FILL_VALUE
+        )
+    return image_ops.transform(
+        images, mats, interpolation=_INTERPOLATION_MODE, fill_value=_FILL_VALUE
+    )
+
 # [(Transform, Probability, Magnitude), (Transform, Probability, Magnitude)]
 _AUTO_AUGMENT_POLICY_V0 = [
     [("Equalize", 0.8, None), ("ShearY", 0.8, 4)],
@@ -235,10 +257,7 @@ class AutoAugment:
                 mats = jnp.where((op_idx == k_i)[:, None], cand, mats)
 
             if any_projective:
-                result = image_ops.transform(
-                    images, mats, interpolation=_INTERPOLATION_MODE,
-                    fill_value=_FILL_VALUE,
-                )
+                result = _policy_warp(images, mats)
             else:
                 result = images
 
@@ -325,10 +344,7 @@ class RandAugment:
                         image_ops.translate_y_matrices(sign * self._translate_px))
             mats = pick(self._PROJECTIVE["Rotate"],
                         image_ops.rotation_matrices(sign * self._rotate_rad, h, w))
-            result = image_ops.transform(
-                images, mats, interpolation=_INTERPOLATION_MODE,
-                fill_value=_FILL_VALUE,
-            )
+            result = _policy_warp(images, mats)
 
             # LUT-able pointwise candidates (8 of 11): every per-pixel-value
             # op composes into ONE combined [b*c, 256] table applied by a

@@ -329,6 +329,124 @@ def identity_matrices(batch):
     return jnp.broadcast_to(base[None], (batch, 8))
 
 
+# ---------------------------------------------------------------------------
+# separable (gather-free) affine warp
+# ---------------------------------------------------------------------------
+#
+# XLA's general gather runs ~300M elem/s on v5e regardless of index structure,
+# which made the per-round policy warp the dominant cost of the fused
+# AutoAugment/RandAugment pipelines (~16 ms per batch-32 224px warp). Every
+# warp those policies emit is a determinant-1 affine (shear / translate /
+# rotate / identity), and with *nearest* interpolation (the reference default,
+# image_augmentations.py:124/320/406) an axis-aligned resample is an integer
+# per-row (or per-column) shift. Any det-1 affine factors into three shears
+#   M = Sx(A1, B1) . Sy(A2, B2) . Sx(A3, B3)
+# so the warp becomes three shift passes, each implemented as a barrel
+# shifter: ceil(log2(L)) stages of static `jnp.roll` + per-row masked select.
+# That is pure VPU data movement — no gather — and runs ~20x faster.
+#
+# Exactness: shear-x/y and translate-x/y occupy a single pass, so their
+# rounding matches the dense gather warp bit-for-bit. Rotation rounds once
+# per pass instead of once for the composite map, giving occasional ±1-pixel
+# source picks near rounding boundaries (divergence documented where used,
+# augmentation_schemes.py). Intermediate shear passes can carry content
+# beyond the frame, so the x-axis is padded by `pad` columns per side
+# (max excursion = tan(theta/2) * (W-1)/2; 30 deg policy cap -> 0.134 * W).
+
+
+def decompose_affine_shears(transforms):
+    """Factor ``[b, 8]`` det-1 affine transforms into three shear passes.
+
+    Returns ``(A1, B1, A2, B2, A3, B3)``, each ``[b]``, such that applying
+    x-shift pass ``x -> x + A1*y + B1``, then y-shift pass
+    ``y -> y + A2*x + B2``, then x-shift pass ``x -> x + A3*y + B3``
+    reproduces ``source = M @ (x, y, 1)``.
+
+    Preconditions (hold for every matrix the policy schemes build): the
+    projective row is zero, ``det == 1``, and ``a0 == 1`` whenever ``b0 == 0``.
+    """
+    t = jnp.asarray(transforms, jnp.float32)
+    a0, a1, a2 = t[:, 0], t[:, 1], t[:, 2]
+    b0, b1, b2 = t[:, 3], t[:, 4], t[:, 5]
+    nz = jnp.abs(b0) > 1e-8
+    safe = jnp.where(nz, b0, 1.0)
+    A2 = b0
+    A1 = jnp.where(nz, (a0 - 1.0) / safe, 0.0)
+    A3 = jnp.where(nz, (b1 - 1.0) / safe, a1)
+    B3 = jnp.where(nz, 0.0, a2)
+    B2 = b2 - A2 * B3
+    B1 = a2 - a0 * B3 - A1 * B2
+    return A1, B1, A2, B2, A3, B3
+
+
+def _barrel_shift(buf, shifts, axis, valid_len, fill):
+    """``out[..., i, ...] = buf[..., i + shifts, ...]`` along ``axis``.
+
+    ``shifts`` is int32 shaped like ``buf`` with the ``axis`` and channel
+    dims removed (per-image, per-orthogonal-row shift amounts). Reads with
+    ``i + shift`` outside ``[0, valid_len)`` yield ``fill``. Implemented as
+    ceil(log2(L)) conditional static rolls — no gather.
+    """
+    L = buf.shape[axis]
+    # broadcast shape for masks: insert 1s at `axis` and the channel dim
+    expand = list(shifts.shape)
+    expand.insert(axis, 1)
+    expand.append(1)
+    n = jnp.mod(shifts, L)
+    out = buf
+    k = 0
+    while (1 << k) < L:
+        take = ((n >> k) & 1).astype(bool).reshape(expand)
+        out = jnp.where(take, jnp.roll(out, -(1 << k), axis=axis), out)
+        k += 1
+    idx_shape = [1] * buf.ndim
+    idx_shape[axis] = L
+    src = jnp.arange(L, dtype=jnp.int32).reshape(idx_shape) + \
+        shifts.reshape(expand)
+    valid = (src >= 0) & (src < valid_len)
+    return jnp.where(valid, out, jnp.asarray(fill, buf.dtype))
+
+
+def transform_affine_separable(images, transforms, fill_value=0.0, pad=None):
+    """Nearest-neighbor warp for det-1 affine ``[b, 8]`` transforms with no
+    gather: three barrel-shift shear passes (see module notes above).
+
+    Matches :func:`transform`'s nearest path exactly for single-shear maps
+    (shear/translate/identity); rotations differ by per-pass rounding
+    (<= 1 source pixel). ``pad`` columns of fill are kept on each side of the
+    x-axis for intermediate shear excursions; the default covers rotations up
+    to 30 degrees.
+    """
+    b, h, w, c = images.shape
+    t = jnp.asarray(transforms, jnp.float32)
+    if t.ndim == 1:
+        t = jnp.broadcast_to(t[None], (b, 8))
+    A1, B1, A2, B2, A3, B3 = decompose_affine_shears(t)
+
+    if pad is None:
+        pad = int(np.ceil(0.2680 * (max(h, w) - 1) / 2.0)) + 2
+    fill = jnp.asarray(fill_value, images.dtype)
+    buf = jnp.pad(images, ((0, 0), (0, 0), (pad, pad), (0, 0)),
+                  constant_values=fill)
+    wp = w + 2 * pad
+
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :]       # [1, h]
+    xs = jnp.arange(wp, dtype=jnp.float32)[None, :] - pad  # [1, wp] true x
+
+    def x_pass(buf, A, B):
+        n = jnp.floor(A[:, None] * ys + B[:, None] + 0.5).astype(jnp.int32)
+        return _barrel_shift(buf, n, axis=2, valid_len=wp, fill=fill)
+
+    def y_pass(buf, A, B):
+        n = jnp.floor(A[:, None] * xs + B[:, None] + 0.5).astype(jnp.int32)
+        return _barrel_shift(buf, n, axis=1, valid_len=h, fill=fill)
+
+    buf = x_pass(buf, A1, B1)
+    buf = y_pass(buf, A2, B2)
+    buf = x_pass(buf, A3, B3)
+    return buf[:, :, pad:pad + w, :]
+
+
 def rotation_matrices(radians, h, w):
     """tfa ``angles_to_projective_transforms``: rotation about image center."""
     radians = jnp.atleast_1d(jnp.asarray(radians, jnp.float32))
