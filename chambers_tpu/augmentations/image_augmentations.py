@@ -77,6 +77,7 @@ class Rotate(_RandomSignOp):
                  fill_value=0.0):
         if fill_mode != "constant":
             raise NotImplementedError("Only fill_mode='constant' is supported.")
+        self.fill_mode = fill_mode
         self.degrees = degrees
         self.interpolation = interpolation
         self.fill_value = fill_value
@@ -152,6 +153,7 @@ class ShearX(_RandomSignOp):
                  fill_value=0.0):
         if fill_mode != "constant":
             raise NotImplementedError("Only fill_mode='constant' is supported.")
+        self.fill_mode = fill_mode
         self.level = level
         self.interpolation = interpolation
         self.fill_value = fill_value
@@ -169,6 +171,7 @@ class ShearY(_RandomSignOp):
                  fill_value=0.0):
         if fill_mode != "constant":
             raise NotImplementedError("Only fill_mode='constant' is supported.")
+        self.fill_mode = fill_mode
         self.level = level
         self.interpolation = interpolation
         self.fill_value = fill_value
@@ -186,6 +189,7 @@ class TranslateX(_RandomSignOp):
                  fill_value=0.0):
         if fill_mode != "constant":
             raise NotImplementedError("Only fill_mode='constant' is supported.")
+        self.fill_mode = fill_mode
         self.pixels = pixels
         self.interpolation = interpolation
         self.fill_value = fill_value
@@ -203,6 +207,7 @@ class TranslateY(_RandomSignOp):
                  fill_value=0.0):
         if fill_mode != "constant":
             raise NotImplementedError("Only fill_mode='constant' is supported.")
+        self.fill_mode = fill_mode
         self.pixels = pixels
         self.interpolation = interpolation
         self.fill_value = fill_value

@@ -189,6 +189,24 @@ class Dataset:
 
         return Dataset(gen)
 
+    def shard(self, num_shards: int, index: int) -> "Dataset":
+        """Every ``num_shards``-th element starting at ``index`` (tf.data
+        ``Dataset.shard`` semantics). The multi-host input-pipeline primitive
+        (SURVEY.md §2.8 DP row): each process takes
+        ``shard(jax.process_count(), jax.process_index())`` before batching,
+        then feeds ``parallel.distributed.host_local_batch_to_global``."""
+        if num_shards <= 0:
+            raise ValueError(f"num_shards must be positive, got {num_shards}")
+        if not 0 <= index < num_shards:
+            raise ValueError(
+                f"shard index {index} out of range for {num_shards} shards")
+
+        def gen():
+            yield from itertools.islice(
+                self._iter_elements(), index, None, num_shards)
+
+        return Dataset(gen)
+
     def flat_map(self, fn: Callable[..., "Dataset"]) -> "Dataset":
         def gen():
             for el in self._iter_elements():

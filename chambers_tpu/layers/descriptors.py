@@ -17,47 +17,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _axis_offsets(extent: int, side: int, slots: int) -> np.ndarray:
+    """Top-left coordinates of ``slots`` side-``side`` squares spread evenly
+    over ``[0, extent)``: ``floor(k * (extent - side) / (slots - 1))``."""
+    if slots <= 1:
+        return np.zeros(1, dtype=np.int64)
+    stride = (extent - side) / (slots - 1)
+    return np.floor(np.arange(slots) * stride).astype(np.int64)
+
+
 def rmac_regions(W: int, H: int, L: int) -> np.ndarray:
-    """Compute the R-MAC region grid.
+    """Compute the R-MAC region grid (Tolias et al., sec. 3.2).
 
-    :param W: feature-map width.
-    :param H: feature-map height.
+    Scale ``l`` tiles the map with squares of side ``floor(2*min(W,H)/(l+1))``
+    in an ``(l + extra_y) x (l + extra_x)`` grid, where the longer axis gets
+    ``extra`` additional slots chosen so that scale-1 neighbors overlap by
+    ~40% of a square side.
+
+    :param W: feature-map extent along the first grid axis.
+    :param H: extent along the second.
     :param L: number of scales.
-    :return: ``[n_regions, 4]`` int array of ``(x, y, w, h)`` boxes.
+    :return: ``[n_regions, 4]`` int array of ``(x, y, side, side)`` boxes.
     """
-    ovr = 0.4  # desired overlap of neighboring regions
-    steps = np.array([2, 3, 4, 5, 6, 7], dtype=np.float64)
+    short, long_side = min(W, H), max(W, H)
+    # candidate slot counts 2..7 along the long axis at scale 1 (side=short):
+    # stride/side closest to 0.6 == overlap closest to 0.4
+    candidates = np.arange(2, 8)
+    stride_over_side = (long_side - short) / (candidates - 1) / short
+    extra = int(np.argmin(np.abs(stride_over_side - 0.6))) + 1
 
-    w = min(W, H)
-    b = (max(H, W) - w) / (steps - 1)
-    # number of extra regions for the long dimension that best matches overlap
-    idx = np.argmin(np.abs(((w ** 2 - w * b) / w ** 2) - ovr))
+    extra_x = extra if W > H else 0
+    extra_y = extra if H > W else 0
 
-    Wd, Hd = 0, 0
-    if H < W:
-        Wd = idx + 1
-    elif H > W:
-        Hd = idx + 1
-
-    regions = []
-    for l in range(1, L + 1):
-        wl = np.floor(2 * w / (l + 1))
-        wl2 = np.floor(wl / 2 - 1)
-
-        b = 0 if (l + Wd - 1) == 0 else (W - wl) / (l + Wd - 1)
-        cen_w = np.floor(wl2 + np.arange(0, l + Wd) * b) - wl2
-
-        b = 0 if (l + Hd - 1) == 0 else (H - wl) / (l + Hd - 1)
-        cen_h = np.floor(wl2 + np.arange(0, l + Hd) * b) - wl2
-
-        for i_ in cen_h:
-            for j_ in cen_w:
-                box = np.array([j_, i_, wl, wl], dtype=np.int64)
-                if not min(box[2:]):
-                    continue
-                regions.append(box)
-
-    return np.asarray(regions)
+    boxes = []
+    for scale in range(1, L + 1):
+        side = 2 * short // (scale + 1)
+        if side == 0:  # degenerate squares are dropped, not emitted
+            continue
+        xs = _axis_offsets(W, side, scale + extra_x)
+        ys = _axis_offsets(H, side, scale + extra_y)
+        grid_x, grid_y = np.meshgrid(xs, ys)  # y-major, x-minor emission order
+        for x0, y0 in zip(grid_x.ravel(), grid_y.ravel()):
+            boxes.append((x0, y0, side, side))
+    return np.asarray(boxes, dtype=np.int64)
 
 
 def _region_masks(regions: np.ndarray, H: int, W: int) -> np.ndarray:

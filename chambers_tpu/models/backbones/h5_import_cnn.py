@@ -140,3 +140,185 @@ def load_cnn_h5_weights(path: str, variables):
             "mismatch."
         )
     return out
+
+
+def load_convbn_h5_weights(path: str, variables):
+    """Import an auto-named Keras conv/BN DAG by creation order.
+
+    Keras saves functional DAGs in *depth-sorted* layer order, which
+    interleaves parallel branches (an Inception module's 1x1 branch conv can
+    land after another branch's). Auto-assigned layer names (``conv2d_N``,
+    ``batch_normalization_N``) carry the creation order, which for builders
+    that create conv and BN together (every ``_ConvBN``) equals this build's
+    module creation order — so convs and BNs are recovered by natural-sorting
+    their uids and streamed as paired units, shape-checked at every step.
+    Custom-named files fail loudly rather than misassign.
+    """
+    import copy
+
+    import h5py
+
+    convs: List[List[np.ndarray]] = []
+    bns: List[List[np.ndarray]] = []
+    with h5py.File(path, "r") as f:
+        group = f["model_weights"] if "model_weights" in f else f
+        layer_names = [n.decode() if isinstance(n, bytes) else n
+                       for n in group.attrs["layer_names"]]
+        for ln in sorted(layer_names, key=_natural_key):
+            g = group[ln]
+            wnames = [n.decode() if isinstance(n, bytes) else n
+                      for n in g.attrs.get("weight_names", [])]
+            if not wnames:
+                continue
+            arrays = [np.asarray(g[n]) for n in wnames]
+            leaf = wnames[0].split("/")[-1].split(":")[0]
+            if leaf in ("kernel", "depthwise_kernel"):
+                convs.append(arrays)
+            elif leaf in ("gamma", "beta", "moving_mean", "moving_variance"):
+                bns.append(arrays)
+            else:
+                raise ValueError(
+                    f"Unrecognized layer '{ln}' (weights {wnames}) — "
+                    "load_convbn_h5_weights handles conv/BN graphs only."
+                )
+
+    out = copy.deepcopy({k: v for k, v in variables.items()})
+
+    def assign(tree_path, value):
+        node = out[tree_path[0]]
+        for k in tree_path[1:-1]:
+            node = node[k]
+        expected = np.asarray(node[tree_path[-1]]).shape
+        if tuple(expected) != tuple(value.shape):
+            raise ValueError(
+                f"Shape mismatch at {'/'.join(tree_path)}: expected "
+                f"{expected}, got {value.shape}"
+            )
+        node[tree_path[-1]] = value
+
+    leaves = _ordered_param_leaves(variables)
+    conv_pos = bn_pos = 0
+    i = 0
+    while i < len(leaves):
+        path_i, shape = leaves[i]
+        name = path_i[-2]
+        if name.startswith("Conv"):
+            if conv_pos >= len(convs):
+                raise ValueError(f"h5 conv stream exhausted at {path_i}")
+            unit = convs[conv_pos]
+            conv_pos += 1
+            assign(path_i, unit[0])
+            i += 1
+            if i < len(leaves) and leaves[i][0][-1] == "bias":
+                if len(unit) < 2:
+                    raise ValueError(f"{path_i}: model expects a conv bias "
+                                     "but the h5 layer has none")
+                assign(leaves[i][0], unit[1])
+                i += 1
+        elif name.startswith("BatchNorm"):
+            if bn_pos >= len(bns):
+                raise ValueError(f"h5 BN stream exhausted at {path_i}")
+            unit = bns[bn_pos]
+            bn_pos += 1
+            # leaves order per _ordered_param_leaves: scale, bias, mean, var
+            for off, value in enumerate(unit):
+                assign(leaves[i + off][0], value)
+            i += 4
+        else:
+            raise ValueError(f"Unexpected parameter {path_i} for a conv/BN "
+                             "backbone")
+    if conv_pos != len(convs) or bn_pos != len(bns):
+        raise ValueError(
+            f"Unconsumed h5 layers: {len(convs) - conv_pos} convs, "
+            f"{len(bns) - bn_pos} BNs — architecture mismatch."
+        )
+    return out
+
+
+def depthwise_to_grouped_kernel(dw: np.ndarray, groups: int) -> np.ndarray:
+    """Keras ResNeXt grouped-conv kernel conversion.
+
+    Keras ``block3`` emulates a grouped conv with
+    ``DepthwiseConv2D(depth_multiplier=c)`` followed by a reshape +
+    sum-over-within-group-inputs (tf_keras applications/resnet.py block3):
+    output channel ``(g, m) = sum_j conv(in[g*c+j], D[:, :, g*c+j, m])``.
+    The equivalent ``lax``/Flax grouped-conv kernel ``[kh, kw, c, groups*c]``
+    (``feature_group_count=groups``) is ``K[:, :, j, g*c+m] = D[:, :, g*c+j, m]``.
+    """
+    kh, kw, cin, c = dw.shape
+    assert cin % groups == 0 and cin // groups == c, (dw.shape, groups)
+    return (dw.reshape(kh, kw, groups, c, c)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(kh, kw, c, groups * c))
+
+
+def load_resnext_h5_weights(path: str, variables, stage_depths, groups=32):
+    """Name-based import of Keras-applications ResNeXt ``.h5`` weights.
+
+    The reference loads the keras-team release files through Keras's own
+    by-layer loader (reference resnext.py:6-51); their layer names are the
+    deterministic ``conv{stage}_block{i}_{j}_{conv,bn}`` scheme, so a
+    name-keyed mapping is robust where order-based streaming is not (the
+    residual branches interleave in topological save order).
+    """
+    import copy
+
+    weights = load_keras_h5_weights(path)
+    out = copy.deepcopy({k: v for k, v in variables.items()})
+
+    def w(name):
+        key = f"{name}:0"
+        if key not in weights:
+            raise KeyError(f"{key} missing from {path}")
+        return weights[key]
+
+    def assign(tree_path, value):
+        node = out[tree_path[0]]
+        for k in tree_path[1:-1]:
+            node = node[k]
+        expected = np.asarray(node[tree_path[-1]]).shape
+        if tuple(expected) != tuple(value.shape):
+            raise ValueError(
+                f"Shape mismatch at {'/'.join(tree_path)}: expected "
+                f"{expected}, got {value.shape}"
+            )
+        node[tree_path[-1]] = value
+
+    def conv_bn(flax_prefix, keras_conv, keras_bn, kernel):
+        assign(("params",) + flax_prefix + ("Conv_0", "kernel"), kernel)
+        assign(("params",) + flax_prefix + ("BatchNorm_0", "scale"),
+               w(f"{keras_bn}/gamma"))
+        assign(("params",) + flax_prefix + ("BatchNorm_0", "bias"),
+               w(f"{keras_bn}/beta"))
+        assign(("batch_stats",) + flax_prefix + ("BatchNorm_0", "mean"),
+               w(f"{keras_bn}/moving_mean"))
+        assign(("batch_stats",) + flax_prefix + ("BatchNorm_0", "var"),
+               w(f"{keras_bn}/moving_variance"))
+
+    conv_bn(("_ConvBN_0",), "conv1_conv", "conv1_bn", w("conv1_conv/kernel"))
+
+    k = 0  # global _Block3 index in creation order
+    for stage, depth in enumerate(stage_depths):
+        for block in range(depth):
+            name = f"conv{stage + 2}_block{block + 1}"
+            prefix = (f"_Block3_{k}",)
+            # creation order: shortcut (block 0 only), then 1/2/3
+            idx = 0
+            if block == 0:
+                conv_bn(prefix + (f"_ConvBN_{idx}",), f"{name}_0_conv",
+                        f"{name}_0_bn", w(f"{name}_0_conv/kernel"))
+                idx += 1
+            conv_bn(prefix + (f"_ConvBN_{idx}",), f"{name}_1_conv",
+                    f"{name}_1_bn", w(f"{name}_1_conv/kernel"))
+            grouped = depthwise_to_grouped_kernel(
+                w(f"{name}_2_conv/depthwise_kernel"), groups)
+            conv_bn(prefix + (f"_ConvBN_{idx + 1}",), f"{name}_2_conv",
+                    f"{name}_2_bn", grouped)
+            conv_bn(prefix + (f"_ConvBN_{idx + 2}",), f"{name}_3_conv",
+                    f"{name}_3_bn", w(f"{name}_3_conv/kernel"))
+            k += 1
+
+    if "Dense_0" in out["params"]:
+        assign(("params", "Dense_0", "kernel"), w("predictions/kernel"))
+        assign(("params", "Dense_0", "bias"), w("predictions/bias"))
+    return out

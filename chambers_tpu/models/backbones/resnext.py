@@ -88,7 +88,8 @@ class ResNeXtModule(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        x = _ConvBN(64, 7, strides=2, pad=3, use_bias=True,
+        # Keras ResNeXt passes use_bias=False (reference resnext.py:20,41)
+        x = _ConvBN(64, 7, strides=2, pad=3, use_bias=False,
                     dtype=self.dtype)(x, train)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
@@ -105,6 +106,8 @@ class ResNeXtModule(nn.Module):
         if self.include_top:
             x = jnp.mean(x, axis=(1, 2))
             x = nn.Dense(self.classes, dtype=self.dtype)(x)
+            # Keras ResNet classifier_activation="softmax" default
+            x = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
         elif self.pooling == "avg":
             x = jnp.mean(x, axis=(1, 2))
         elif self.pooling == "max":
@@ -125,13 +128,34 @@ def _build(name, depths, input_shape, include_top, weights, pooling, classes,
     )
     model = Model(module, variables, preprocess=preprocess_input, name=name)
     if weights == "imagenet":
-        raise FileNotFoundError(
-            "Pretrained ResNeXt weights require the Keras release files; "
-            "this environment has no network egress. Pass weights=None or a "
-            "local weights path."
+        import os
+
+        from chambers_tpu.models.backbones.vision_transformer import (
+            weights_cache_dir,
         )
+
+        suffix = ".h5" if include_top else "_notop.h5"
+        path = os.path.join(weights_cache_dir(), f"{name}{suffix}")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"Pretrained weights expect {path}; download the keras-team "
+                "release file the reference uses (resnext.py:6-51; no "
+                "network egress here), or pass weights=None."
+            )
+        weights = path
     if weights is not None:
-        model.load_weights(weights)
+        if str(weights).endswith(".h5"):
+            # keras-applications h5: name-keyed import (grouped convs are
+            # stored as depthwise kernels) — validated against real reference
+            # saves in tests/models/test_reference_h5_parity.py
+            from chambers_tpu.models.backbones.h5_import_cnn import (
+                load_resnext_h5_weights,
+            )
+
+            model.variables = load_resnext_h5_weights(
+                str(weights), model.variables, depths)
+        else:
+            model.load_weights(weights)
     return model
 
 

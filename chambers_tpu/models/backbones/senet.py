@@ -119,11 +119,13 @@ class SEResNetBottleneck(nn.Module):
         y = _ConvBN(self.filters // 4, 3, pad=1, dtype=self.dtype)(y, train)
         y = _ConvBN(self.filters, 1, relu=False, dtype=self.dtype)(y, train)
 
+        # SE before the shortcut conv: submodule creation order mirrors the
+        # reference's call order (senet.py:176-218) so the legacy-h5
+        # order-based importer sees tensors in Keras topological order.
+        y = ChannelSE(self.reduction, dtype=self.dtype)(y)
         if self.strides != 1 or y.shape[-1] != residual.shape[-1]:
             residual = _ConvBN(self.filters, 1, strides=self.strides,
                                relu=False, dtype=self.dtype)(residual, train)
-
-        y = ChannelSE(self.reduction, dtype=self.dtype)(y)
         return nn.relu(y + residual)
 
 
@@ -148,11 +150,10 @@ class SEResNeXtBottleneck(nn.Module):
                     pad=1, dtype=self.dtype)(y, train)
         y = _ConvBN(self.filters, 1, relu=False, dtype=self.dtype)(y, train)
 
+        y = ChannelSE(self.reduction, dtype=self.dtype)(y)  # SE before shortcut (import order)
         if self.strides != 1 or y.shape[-1] != residual.shape[-1]:
             residual = _ConvBN(self.filters, 1, strides=self.strides,
                                relu=False, dtype=self.dtype)(residual, train)
-
-        y = ChannelSE(self.reduction, dtype=self.dtype)(y)
         return nn.relu(y + residual)
 
 
@@ -175,6 +176,7 @@ class SEBottleneck(nn.Module):
                     pad=1, dtype=self.dtype)(y, train)
         y = _ConvBN(self.filters, 1, relu=False, dtype=self.dtype)(y, train)
 
+        y = ChannelSE(self.reduction, dtype=self.dtype)(y)  # SE before shortcut (import order)
         if self.strides != 1 or y.shape[-1] != residual.shape[-1]:
             if self.is_first:
                 residual = _ConvBN(self.filters, 1, strides=self.strides,
@@ -182,8 +184,6 @@ class SEBottleneck(nn.Module):
             else:
                 residual = _ConvBN(self.filters, 3, strides=self.strides,
                                    pad=1, relu=False, dtype=self.dtype)(residual, train)
-
-        y = ChannelSE(self.reduction, dtype=self.dtype)(y)
         return nn.relu(y + residual)
 
 
@@ -299,12 +299,19 @@ def SENet(model_params, input_shape=None, include_top=True, classes=1000,
                 "chjort/chambers v1.0 release (no network egress here), or "
                 "pass weights=None."
             )
-        raise NotImplementedError(
-            "SENet .h5 import is not wired up yet; convert the checkpoint or "
-            "pass weights=None."
-        )
-    if weights is not None and weights != "imagenet":
-        model.load_weights(weights)
+        weights = path
+    if weights is not None:
+        if str(weights).endswith(".h5"):
+            # legacy Keras h5 (the reference release format, senet.py:458-472):
+            # order-based stream import, validated against real reference
+            # saves in tests/models/test_reference_h5_parity.py
+            from chambers_tpu.models.backbones.h5_import_cnn import (
+                load_cnn_h5_weights,
+            )
+
+            model.variables = load_cnn_h5_weights(str(weights), model.variables)
+        else:
+            model.load_weights(weights)
     return model
 
 

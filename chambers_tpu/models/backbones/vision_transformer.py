@@ -450,7 +450,14 @@ def _build(
         path = _resolve_weights_path(model_name, weights, include_top)
         model.replace_variables(load_vit_h5_weights(path, variables))
     elif weights is not None:
-        model.load_weights(weights)
+        if str(weights).endswith(".h5"):
+            from chambers_tpu.models.backbones.h5_import import (
+                load_vit_h5_weights,
+            )
+
+            model.replace_variables(load_vit_h5_weights(str(weights), variables))
+        else:
+            model.load_weights(weights)
 
     return model
 

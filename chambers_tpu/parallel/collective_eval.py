@@ -11,7 +11,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map  # stable API (jax.experimental.shard_map is deprecated)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

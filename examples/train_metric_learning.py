@@ -72,6 +72,11 @@ def make_dataset(data_dir, p_classes, k_images, image_size, seed):
         sample_block_random=True, shuffle=True, seed=seed, repeats=-1,
     )
     ds = ds.map(host_resize, num_parallel_calls=8)
+    # multi-host DP: each process reads its own slice of the element stream,
+    # batches host-locally, and the Trainer/mesh path reassembles via
+    # parallel.distributed.host_local_batch_to_global (SURVEY.md §2.8 DP row)
+    if jax.process_count() > 1:
+        ds = ds.shard(jax.process_count(), jax.process_index())
     return ds.batch(p_classes * k_images, drop_remainder=True).prefetch()
 
 

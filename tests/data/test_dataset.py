@@ -102,6 +102,25 @@ class TestImageClassDataset:
         assert _labels(td) == golden
         assert _labels(td.batch(NC * NB), batched=True) == golden
 
+    def test_shard_partitions_interleaved_sequence(self, mnist_dir):
+        """tf.data ``shard`` semantics over the interleaved stream: 2-way
+        sharding partitions the golden sequence into its even/odd elements
+        and loses nothing (SURVEY.md §2.8 multi-host input plan)."""
+        golden = [0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9]
+        shard0 = _labels(self._build(mnist_dir).shard(2, 0))
+        shard1 = _labels(self._build(mnist_dir).shard(2, 1))
+        assert shard0 == golden[0::2]
+        assert shard1 == golden[1::2]
+        merged = [v for pair in zip(shard0, shard1) for v in pair]
+        assert merged == golden
+
+    def test_shard_validates_arguments(self, mnist_dir):
+        td = self._build(mnist_dir)
+        with pytest.raises(ValueError):
+            td.shard(0, 0)
+        with pytest.raises(ValueError):
+            td.shard(2, 2)
+
     def test_block_bound_off_golden(self, mnist_dir):
         """Reference golden (test_dataset.py:124): 3 files/class with K=2
         leaves a 1-image tail round before the next class cohort."""

@@ -1,0 +1,109 @@
+"""Config round-trip across the public API (reference get_config contract,
+SURVEY.md §5.4; e.g. reference layers/attention.py:155-181)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chambers_tpu import serialization as S
+
+
+def _cases():
+    from chambers_tpu import layers as L
+    from chambers_tpu import losses, miners, schedules
+    from chambers_tpu import augmentations as A
+
+    return [
+        L.ScaledAttention(causal=True),
+        L.MultiHeadAttention(head_dim=16, num_heads=4, dropout_rate=0.1),
+        L.EncoderLayer(embed_dim=32, num_heads=2, ff_dim=64, pre_norm=True),
+        L.DecoderLayer(embed_dim=32, num_heads=2, ff_dim=64),
+        L.Encoder(embed_dim=32, num_heads=2, ff_dim=64, num_layers=2,
+                  norm_output=True),
+        L.Decoder(embed_dim=32, num_heads=2, ff_dim=64, num_layers=2,
+                  return_sequence=True),
+        L.PositionalEncoding1D(temperature=5000.0),
+        L.PositionalEncoding2D(normalize=True),
+        L.LearnedEmbedding0D(),
+        L.LearnedEmbedding1D(),
+        L.ConcatEmbedding(n_embeddings=1, embedding_dim=16, side="left"),
+        L.GlobalGeneralizedMean(p=2.5, shared=False),
+        L.L2Normalization(axis=-1),
+        L.L1Distance(),
+        L.L2Distance(),
+        L.CosineSimilarity(),
+        losses.MultiSimilarityLoss(pos_scale=3.0, neg_scale=30.0,
+                                   threshold=0.4),
+        losses.ContrastiveLoss(positive_margin=0.9, negative_margin=0.2),
+        losses.NTXentLoss(temperature=0.3),
+        miners.MultiSimilarityMiner(margin=0.2),
+        schedules.LinearWarmup(0.1, warmup_steps=100),
+        A.Invert(),
+        A.Brightness(factor=1.4),
+        A.Posterize(bits=3),
+        A.Solarize(threshold=100),
+        A.SolarizeAdd(addition=30, threshold=100),
+        A.Color(factor=0.5),
+        A.Contrast(factor=0.5),
+        A.Sharpness(factor=0.5),
+        A.AutoContrast(),
+        A.Equalize(),
+        A.Rotate(degrees=25.0),
+        A.ShearX(level=0.2),
+        A.ShearY(level=0.2),
+        A.TranslateX(pixels=40),
+        A.TranslateY(pixels=40),
+        A.CutOut(mask_size=16),
+        A.ImageNetNormalization(mode="torch"),
+        A.ResizingMinMax(min_side=64),
+        A.RandomChance(A.Invert(), probability=0.25),
+        A.RandomChoice([A.Invert(), A.Brightness(1.2)], n_transforms=1),
+    ]
+
+
+@pytest.mark.parametrize("obj", _cases(), ids=lambda o: type(o).__name__)
+def test_round_trip(obj):
+    spec = S.serialize_object(obj)
+    json.dumps(spec)  # must be JSON-serializable (config_dump contract)
+    rebuilt = S.deserialize_object(spec)
+    assert type(rebuilt) is type(obj)
+    assert S.serialize_object(rebuilt) == spec
+
+
+def test_round_trip_preserves_flax_module_behavior():
+    from chambers_tpu import layers as L
+
+    mha = L.MultiHeadAttention(head_dim=8, num_heads=4, dtype=jnp.bfloat16)
+    rebuilt = S.deserialize_object(S.serialize_object(mha))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 32))
+    v = mha.init(jax.random.PRNGKey(1), [x, x])
+    out1 = mha.apply(v, [x, x])
+    out2 = rebuilt.apply(v, [x, x])  # identical config -> same param tree
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_round_trip_preserves_loss_values():
+    from chambers_tpu import losses
+
+    loss = losses.MultiSimilarityLoss(pos_scale=3.0, neg_scale=30.0,
+                                      threshold=0.4)
+    rebuilt = S.deserialize_object(S.serialize_object(loss))
+    z = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+    z = z / jnp.linalg.norm(z, axis=1, keepdims=True)
+    y = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3])
+    np.testing.assert_allclose(float(loss(y, z)), float(rebuilt(y, z)))
+
+
+def test_nested_augmentation_round_trip_behavior():
+    from chambers_tpu import augmentations as A
+
+    rc = A.RandomChance(A.Brightness(1.3), probability=1.0)
+    rebuilt = S.deserialize_object(S.serialize_object(rc))
+    img = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (2, 16, 16, 3), np.uint8))
+    k = jax.random.PRNGKey(3)
+    np.testing.assert_array_equal(
+        np.asarray(rc(img, key=k)), np.asarray(rebuilt(img, key=k)))
