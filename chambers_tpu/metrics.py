@@ -4,24 +4,63 @@ Parity: reference ``chambers/metrics.py``.
 
 - ``F1`` (metrics.py:10-54): streaming F1 accumulated from precision/recall
   counts. The reference composes Keras ``Precision`` + ``Recall``; this build
-  accumulates TP/FP/FN directly (same math) with ``update_state`` /
-  ``result`` / ``reset_states`` so usage translates 1:1.
+  accumulates TP/FP/FN directly (same math).
 - ``SoftDiceCoefficient`` (metrics.py:58-83): streaming mean of
   ``|dice_loss − 1|``.
+
+TPU design: every metric is a pure functional triple so it can live *inside*
+a jitted step (no per-batch host sync):
+
+    state = metric.init()                       # pytree of device scalars
+    state = metric.update(state, y_true, y_pred)  # pure, jittable
+    value = metric.compute(state)                 # pure, jittable scalar
+
+The reference's Keras-style host API (``update_state`` / ``result`` /
+``reset_states``) is kept as a thin wrapper over the functional core, so
+usage translates 1:1 while `Trainer` streams the same metrics on device.
 """
 
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
-import numpy as np
 
 from chambers_tpu.losses.categorical import soft_dice_coefficient as _dsc_loss
 
 
-class F1:
+class StreamingMetric:
+    """Base: functional ``init/update/compute`` + Keras-style host wrappers."""
+
+    name = "metric"
+
+    # -- functional core (override; all three must be pure/jittable) --------
+    def init(self):
+        raise NotImplementedError
+
+    def update(self, state, y_true, y_pred, sample_weight=None):
+        raise NotImplementedError
+
+    def compute(self, state):
+        raise NotImplementedError
+
+    # -- Keras-parity host API ----------------------------------------------
+    def update_state(self, y_true, y_pred, sample_weight=None):
+        self._state = self.update(
+            self._state, jnp.asarray(y_true), jnp.asarray(y_pred),
+            sample_weight=sample_weight,
+        )
+
+    def result(self):
+        return float(self.compute(self._state))
+
+    def reset_states(self):
+        self._state = self.init()
+
+
+class F1(StreamingMetric):
     """Streaming F1 = 2PR / (P + R) from thresholded predictions.
 
-    :param thresholds: decision threshold(s); default 0.5.
+    :param thresholds: decision threshold; default 0.5.
     :param top_k: if set, only the top-k scored classes per sample count as
         positive predictions.
     :param class_id: if set, restrict to one class column.
@@ -34,14 +73,24 @@ class F1:
         self.name = name or "f1"
         self.reset_states()
 
-    def update_state(self, y_true, y_pred, sample_weight=None):
-        y_true = np.asarray(y_true)
-        y_pred = np.asarray(y_pred)
+    def init(self):
+        # distinct buffers per entry: the Trainer donates metric state, and
+        # donating one aliased buffer twice is an error
+        return {"tp": jnp.zeros((), jnp.float32),
+                "fp": jnp.zeros((), jnp.float32),
+                "fn": jnp.zeros((), jnp.float32)}
+
+    def update(self, state, y_true, y_pred, sample_weight=None):
+        y_true = jnp.asarray(y_true)
+        y_pred = jnp.asarray(y_pred)
 
         if self.top_k is not None:
-            kth = np.argsort(-y_pred, axis=-1)[..., : self.top_k]
-            mask = np.zeros_like(y_pred, dtype=bool)
-            np.put_along_axis(mask, kth, True, axis=-1)
+            # scatter-free top-k mask: one-hot the k winning indices and OR
+            # them (scatters are ~50x slower than compare-reduce on v5e)
+            _, kth = jax.lax.top_k(y_pred, self.top_k)
+            mask = jax.nn.one_hot(
+                kth, y_pred.shape[-1], dtype=jnp.bool_
+            ).any(axis=-2)
             pred_pos = (y_pred > self.thresholds) & mask
         else:
             pred_pos = y_pred > self.thresholds
@@ -51,23 +100,23 @@ class F1:
             pred_pos = pred_pos[..., self.class_id]
 
         true_pos = y_true > 0.5
-        w = 1.0 if sample_weight is None else np.asarray(sample_weight)
+        w = (jnp.float32(1.0) if sample_weight is None
+             else jnp.asarray(sample_weight, jnp.float32))
 
-        self._tp += float(np.sum((pred_pos & true_pos) * w))
-        self._fp += float(np.sum((pred_pos & ~true_pos) * w))
-        self._fn += float(np.sum((~pred_pos & true_pos) * w))
+        return {
+            "tp": state["tp"] + jnp.sum((pred_pos & true_pos) * w),
+            "fp": state["fp"] + jnp.sum((pred_pos & ~true_pos) * w),
+            "fn": state["fn"] + jnp.sum((~pred_pos & true_pos) * w),
+        }
 
-    def result(self):
-        precision = self._tp / (self._tp + self._fp) if (self._tp + self._fp) else 0.0
-        recall = self._tp / (self._tp + self._fn) if (self._tp + self._fn) else 0.0
-        if precision + recall == 0.0:
-            return 0.0
-        return (2 * precision * recall) / (precision + recall)
-
-    def reset_states(self):
-        self._tp = 0.0
-        self._fp = 0.0
-        self._fn = 0.0
+    def compute(self, state):
+        tp, fp, fn = state["tp"], state["fp"], state["fn"]
+        precision = jnp.where(tp + fp > 0, tp / jnp.maximum(tp + fp, 1e-12), 0.0)
+        recall = jnp.where(tp + fn > 0, tp / jnp.maximum(tp + fn, 1e-12), 0.0)
+        denom = precision + recall
+        return jnp.where(
+            denom > 0, 2 * precision * recall / jnp.maximum(denom, 1e-12), 0.0
+        )
 
     def get_config(self):
         return {
@@ -82,7 +131,7 @@ def soft_dice_coefficient(y_true, y_pred, exclude_classes: Optional[List[int]] =
     return jnp.abs(_dsc_loss(y_true, y_pred, exclude_classes=exclude_classes) - 1)
 
 
-class SoftDiceCoefficient:
+class SoftDiceCoefficient(StreamingMetric):
     """Streaming mean of the soft-Dice metric over update calls."""
 
     def __init__(self, exclude_classes: Optional[List[int]] = None,
@@ -91,22 +140,21 @@ class SoftDiceCoefficient:
         self.name = name
         self.reset_states()
 
-    def update_state(self, y_true, y_pred, sample_weight=None):
-        value = float(
-            soft_dice_coefficient(
-                jnp.asarray(y_true), jnp.asarray(y_pred),
-                exclude_classes=self.exclude_classes,
-            )
+    def init(self):
+        return {"total": jnp.zeros((), jnp.float32),
+                "count": jnp.zeros((), jnp.float32)}
+
+    def update(self, state, y_true, y_pred, sample_weight=None):
+        value = soft_dice_coefficient(
+            y_true, y_pred, exclude_classes=self.exclude_classes
         )
-        self._total += value
-        self._count += 1
+        return {"total": state["total"] + value, "count": state["count"] + 1.0}
 
-    def result(self):
-        return self._total / self._count if self._count else 0.0
-
-    def reset_states(self):
-        self._total = 0.0
-        self._count = 0
+    def compute(self, state):
+        return jnp.where(
+            state["count"] > 0,
+            state["total"] / jnp.maximum(state["count"], 1.0), 0.0,
+        )
 
 
 # Aliases (metrics.py:83)

@@ -65,8 +65,13 @@ class Trainer:
         ``module`` and ``variables`` attributes).
     :param loss: callable ``loss(y_true, y_pred) -> scalar``.
     :param optimizer: an optax ``GradientTransformation``.
-    :param metrics: mapping ``name -> fn(y_true, y_pred) -> scalar`` computed
-        per batch and averaged.
+    :param metrics: mapping ``name -> metric`` where metric is either a
+        per-batch callable ``fn(y_true, y_pred) -> scalar`` (averaged over
+        the epoch) or a :class:`chambers_tpu.metrics.StreamingMetric`
+        (accumulated exactly, on device, inside the jitted step — no
+        per-batch host sync). Metrics are computed during *training* (from
+        the same forward pass as the loss, Keras semantics) and during
+        evaluation.
     :param apply_fn: optional override ``apply_fn(variables, x, deterministic,
         rngs)``; defaults to the module's ``__call__``.
     """
@@ -83,6 +88,17 @@ class Trainer:
         self.optimizer = optimizer
         self.metrics = dict(metrics or {})
         self.mesh = mesh
+        # split metrics: streaming (functional init/update/compute, live in
+        # the jitted step) vs per-batch callables (averaged over the epoch)
+        self._streaming = {
+            name: m for name, m in self.metrics.items()
+            if hasattr(m, "init") and hasattr(m, "update")
+            and hasattr(m, "compute")
+        }
+        self._metric_fns = {
+            name: m for name, m in self.metrics.items()
+            if name not in self._streaming
+        }
 
         params = model.variables["params"]
         if donate:
@@ -129,7 +145,15 @@ class Trainer:
                 )
         self._apply_fn = apply_fn
 
-        def train_step(state: TrainState, x, y):
+        def _metric_logs(y, y_pred, metric_states):
+            logs = {name: fn(y, y_pred) for name, fn in self._metric_fns.items()}
+            new_states = {
+                name: m.update(metric_states[name], y, y_pred)
+                for name, m in self._streaming.items()
+            }
+            return logs, new_states
+
+        def train_step(state: TrainState, metric_states, x, y):
             rng, dropout_rng = jax.random.split(state.rng)
 
             def loss_fn(params):
@@ -138,9 +162,11 @@ class Trainer:
                     variables, x, deterministic=False,
                     rngs={"dropout": dropout_rng},
                 )
-                return self.loss(y, y_pred)
+                return self.loss(y, y_pred), y_pred
 
-            loss_value, grads = jax.value_and_grad(loss_fn)(state.params)
+            (loss_value, y_pred), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -148,19 +174,22 @@ class Trainer:
             new_state = TrainState(
                 params=params, opt_state=opt_state, rng=rng, step=state.step + 1
             )
-            return new_state, loss_value
+            # train-time metrics reuse the forward pass already paid for the
+            # loss (Keras semantics); streaming states accumulate on device
+            logs, metric_states = _metric_logs(y, y_pred, metric_states)
+            logs["loss"] = loss_value
+            return new_state, metric_states, logs
 
-        def eval_step(params, x, y):
+        def eval_step(params, metric_states, x, y):
             variables = {"params": params, **self._extra_vars}
             y_pred = self._apply_fn(variables, x, deterministic=True, rngs=None)
-            logs = {"loss": self.loss(y, y_pred)}
-            for name, fn in self.metrics.items():
-                logs[name] = fn(y, y_pred)
-            return logs
+            logs, metric_states = _metric_logs(y, y_pred, metric_states)
+            logs["loss"] = self.loss(y, y_pred)
+            return metric_states, logs
 
-        donate_args = (0,) if donate else ()
+        donate_args = (0, 1) if donate else (1,)
         self.train_step = jax.jit(train_step, donate_argnums=donate_args)
-        self.eval_step = jax.jit(eval_step)
+        self.eval_step = jax.jit(eval_step, donate_argnums=(1,))
 
     def _place_batch(self, x, y):
         if self.mesh is None:
@@ -185,9 +214,18 @@ class Trainer:
         return self.model
 
     # -- loops --------------------------------------------------------------
+    def _init_metric_states(self):
+        # fresh buffer per leaf: the steps donate metric state, and a metric
+        # init() that aliases one array across leaves would fail donation
+        return {
+            name: jax.tree.map(jnp.array, m.init())
+            for name, m in self._streaming.items()
+        }
+
     def fit(self, dataset: Iterable, epochs: int = 1,
             steps_per_epoch: Optional[int] = None,
             validation_data: Optional[Iterable] = None,
+            validation_steps: Optional[int] = None,
             callbacks: Sequence[Callback] = (), verbose: bool = True,
             initial_epoch: int = 0):
         """Train over an iterable of ``(x_batch, y_batch)`` NumPy pairs."""
@@ -205,9 +243,11 @@ class Trainer:
         for epoch in range(initial_epoch, epochs):
             callback_list.on_epoch_begin(epoch)
             epoch_start = time.perf_counter()
-            losses = []
+            batch_logs: Dict[str, list] = {}
+            metric_states = self._init_metric_states()  # reset per epoch
             it = persistent_it if persistent_it is not None else iter(dataset)
             step = 0
+            any_batch = False
             while steps_per_epoch is None or step < steps_per_epoch:
                 try:
                     x, y = next(it)
@@ -221,26 +261,33 @@ class Trainer:
                         break  # dataset is empty
                 callback_list.on_train_batch_begin(step)
                 x, y = self._place_batch(x, y)
-                self.state, loss_value = self.train_step(self.state, x, y)
-                # keep the loss on device — float()ing here would sync the
+                self.state, metric_states, step_logs = self.train_step(
+                    self.state, metric_states, x, y
+                )
+                any_batch = True
+                # keep values on device — float()ing here would sync the
                 # host every step and stall async dispatch
-                losses.append(loss_value)
-                callback_list.on_train_batch_end(step, {"loss": loss_value})
+                for k, v in step_logs.items():
+                    batch_logs.setdefault(k, []).append(v)
+                callback_list.on_train_batch_end(step, step_logs)
                 step += 1
 
-            if not losses and epoch > initial_epoch:
+            if not any_batch and epoch > initial_epoch:
                 raise ValueError(
                     "Dataset yielded no batches after the first epoch — "
                     "pass a re-iterable dataset, or use `repeats`/"
                     "`steps_per_epoch` for single-pass generators."
                 )
             logs = {
-                "loss": float(jnp.mean(jnp.stack(losses)))
-                if losses else float("nan")
+                k: float(jnp.mean(jnp.stack(v))) for k, v in batch_logs.items()
             }
+            if "loss" not in logs:
+                logs["loss"] = float("nan")
+            for name, m in self._streaming.items():
+                logs[name] = float(m.compute(metric_states[name]))
             if validation_data is not None:
                 val_logs = self.evaluate(validation_data, callbacks=callback_list,
-                                         verbose=False)
+                                         steps=validation_steps, verbose=False)
                 logs.update({f"val_{k}": v for k, v in val_logs.items()})
             if verbose:
                 dt = time.perf_counter() - epoch_start
@@ -253,7 +300,8 @@ class Trainer:
         self.sync_model()
         return history
 
-    def evaluate(self, dataset: Iterable, callbacks=None, verbose: bool = True):
+    def evaluate(self, dataset: Iterable, callbacks=None, verbose: bool = True,
+                 steps: Optional[int] = None):
         if callbacks is None:
             callback_list = CallbackList([])
         elif isinstance(callbacks, CallbackList):
@@ -262,10 +310,15 @@ class Trainer:
             callback_list = CallbackList(list(callbacks))
         callback_list.on_test_begin()
         totals: Dict[str, list] = {}
+        metric_states = self._init_metric_states()
         for step, (x, y) in enumerate(dataset):
+            if steps is not None and step >= steps:
+                break
             callback_list.on_test_batch_begin(step)
             x, y = self._place_batch(x, y)
-            logs = self.eval_step(self.state.params, x, y)
+            metric_states, logs = self.eval_step(
+                self.state.params, metric_states, x, y
+            )
             # keep scalars on device during the loop; one sync at the end
             for k, v in logs.items():
                 totals.setdefault(k, []).append(v)
@@ -274,6 +327,8 @@ class Trainer:
         result = {
             k: float(jnp.mean(jnp.stack(v))) for k, v in totals.items()
         }
+        for name, m in self._streaming.items():
+            result[name] = float(m.compute(metric_states[name]))
         if verbose:
             print(" - ".join(f"{k}: {v:.4f}" for k, v in result.items()))
         return result

@@ -97,6 +97,47 @@ def test_f1_top_k():
     np.testing.assert_allclose(f1.result(), 1.0)
 
 
+def test_f1_functional_core_is_jittable():
+    """init/update/compute run inside jit (device-resident streaming)."""
+    import jax
+
+    f1 = F1(top_k=2, thresholds=0.1)
+    y_true = jnp.asarray(np.array([[0, 1, 1, 0], [1, 0, 0, 1]], np.float32))
+    y_pred = jnp.asarray(
+        np.array([[0.2, 0.9, 0.6, 0.05], [0.8, 0.3, 0.1, 0.7]], np.float32)
+    )
+
+    @jax.jit
+    def run(y_true, y_pred):
+        state = f1.init()
+        state = f1.update(state, y_true, y_pred)
+        state = f1.update(state, y_true, y_pred)
+        return f1.compute(state)
+
+    jitted = float(run(y_true, y_pred))
+    host = F1(top_k=2, thresholds=0.1)
+    host.update_state(y_true, y_pred)
+    host.update_state(y_true, y_pred)
+    np.testing.assert_allclose(jitted, host.result(), rtol=1e-6)
+    # top_k=2 picks (0.9, 0.6) and (0.8, 0.7): tp=4, fp=0, fn=0 per batch
+    np.testing.assert_allclose(jitted, 1.0, rtol=1e-6)
+
+
+def test_dice_metric_functional_core_is_jittable():
+    import jax
+
+    m = SoftDiceCoefficient()
+    y = jnp.asarray(np.eye(4, dtype=np.float32)[None, None])
+
+    @jax.jit
+    def run(y):
+        state = m.init()
+        state = m.update(state, y, y)
+        return m.compute(state)
+
+    np.testing.assert_allclose(float(run(y)), 1.0, atol=1e-6)
+
+
 def test_soft_dice_metric_streaming():
     m = SoftDiceCoefficient()
     y = np.zeros((1, 4, 4, 2), np.float32)

