@@ -55,8 +55,12 @@ def _augment_infer_bench(batch, *, model_builder, size, augment, label,
     from chambers_tpu.augmentations import ImageNetNormalization
 
     batch = batch or default_batch
+    # score_dtype=bf16: the bench runs the bf16 mixed-precision pipeline,
+    # so attention scores/softmax stay bf16 too (what the reference does
+    # under Keras mixed_float16); fp32 scores remain the library default
+    # and the pretrained-weight parity gate uses that default.
     model = model_builder(weights=None, input_shape=(size, size, 3),
-                          dtype=jnp.bfloat16)
+                          dtype=jnp.bfloat16, score_dtype=jnp.bfloat16)
     normalize = ImageNetNormalization(mode="tf")
 
     @jax.jit
@@ -127,8 +131,8 @@ def _bench_metric_learning(batch):
     vit = VisionTransformer(
         patch_size=16, patch_dim=384, n_encoder_layers=12, n_heads=6,
         ff_dim=1536, dropout_rate=0.0, include_top=False, pooling="cls",
-        feature_dim=128, dtype=jnp.bfloat16,
-    )  # ViT-S/16 embedder
+        feature_dim=128, dtype=jnp.bfloat16, score_dtype=jnp.bfloat16,
+    )  # ViT-S/16 embedder, full bf16 mixed precision (scores included)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, 224, 224, 3), jnp.float32)
     labels = jnp.asarray(np.arange(batch) % (batch // 4))

@@ -42,6 +42,7 @@ class EncoderLayer(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    score_dtype: Optional[Any] = None
 
     def setup(self):
         self.multi_head_attention = MultiHeadAttention(
@@ -53,6 +54,7 @@ class EncoderLayer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype,
         )
         self.norm1 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
                                   param_dtype=self.param_dtype)
@@ -100,11 +102,13 @@ class DecoderLayer(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    score_dtype: Optional[Any] = None
 
     def setup(self):
         common = dict(kernel_init=self.kernel_init, dtype=self.dtype,
                       param_dtype=self.param_dtype)
-        mha_common = dict(common, attention_impl=self.attention_impl)
+        mha_common = dict(common, attention_impl=self.attention_impl,
+                          score_dtype=self.score_dtype)
         self.multi_head_attention1 = MultiHeadAttention(
             head_dim=self.embed_dim // self.num_heads,
             num_heads=self.num_heads,
@@ -183,6 +187,7 @@ class Encoder(nn.Module):
     param_dtype: Any = jnp.float32
     remat: bool = False
     attention_impl: str = "xla"
+    score_dtype: Optional[Any] = None
 
     def setup(self):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
@@ -199,6 +204,7 @@ class Encoder(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 attention_impl=self.attention_impl,
+                score_dtype=self.score_dtype,
             )
             for _ in range(self.num_layers)
         ]
@@ -235,6 +241,7 @@ class Decoder(nn.Module):
     param_dtype: Any = jnp.float32
     remat: bool = False
     attention_impl: str = "xla"
+    score_dtype: Optional[Any] = None
 
     def setup(self):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
@@ -252,6 +259,7 @@ class Decoder(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 attention_impl=self.attention_impl,
+                score_dtype=self.score_dtype,
             )
             for _ in range(self.num_layers)
         ]

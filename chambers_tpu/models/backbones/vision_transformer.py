@@ -184,6 +184,7 @@ class VisionTransformer(nn.Module):
     param_dtype: Any = jnp.float32
     remat: bool = False
     attention_impl: str = "xla"
+    score_dtype: Optional[Any] = None
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -220,6 +221,7 @@ class VisionTransformer(nn.Module):
             param_dtype=self.param_dtype,
             remat=self.remat,
             attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype,
             name="encoder",
         )
         if self.feature_dim is not None:
@@ -274,6 +276,7 @@ class DistilledVisionTransformer(nn.Module):
     param_dtype: Any = jnp.float32
     remat: bool = False
     attention_impl: str = "xla"
+    score_dtype: Optional[Any] = None
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -312,6 +315,7 @@ class DistilledVisionTransformer(nn.Module):
             param_dtype=self.param_dtype,
             remat=self.remat,
             attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype,
             name="encoder",
         )
         if self.include_top:
@@ -389,6 +393,7 @@ def _build(
     return_dist_token=None,
     dtype=None,
     attention_impl="xla",
+    score_dtype=None,
     seed: int = 0,
 ):
     weights_are_pretrained = _are_weights_pretrained(weights, model_name)
@@ -432,6 +437,7 @@ def _build(
         classifier_activation=classifier_activation,
         dtype=dtype,
         attention_impl=attention_impl,
+        score_dtype=score_dtype,
     )
     if module_cls is VisionTransformer:
         kwargs["feature_dim"] = feature_dim
@@ -474,6 +480,7 @@ def _vit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
         classifier_activation=None,
         dtype=None,
         attention_impl="xla",
+        score_dtype=None,
         seed: int = 0,
     ):
         return _build(
@@ -494,6 +501,7 @@ def _vit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
             feature_dim=feature_dim,
             dtype=dtype,
             attention_impl=attention_impl,
+            score_dtype=score_dtype,
             seed=seed,
         )
 
@@ -513,6 +521,7 @@ def _deit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
         classifier_activation=None,
         dtype=None,
         attention_impl="xla",
+        score_dtype=None,
         seed: int = 0,
     ):
         return _build(
@@ -533,6 +542,7 @@ def _deit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
             return_dist_token=return_dist_token,
             dtype=dtype,
             attention_impl=attention_impl,
+            score_dtype=score_dtype,
             seed=seed,
         )
 

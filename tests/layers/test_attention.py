@@ -92,6 +92,47 @@ def test_mha_cross_attention_and_masks(rng):
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
 
 
+def test_fused_self_attention_matches_split_path(rng):
+    """Self-attention ([x, x, x], same array) takes the single stacked-QKV
+    einsum; passing copies forces the 3-einsum path. Same math, same K-dim
+    accumulation — results must agree to float tolerance."""
+    b, t, d, n, h = 2, 7, 16, 4, 4
+    mha = MultiHeadAttention(head_dim=h, num_heads=n, dropout_rate=0.0)
+    x = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    variables = _init(mha, [x, x])
+    fused = mha.apply(variables, [x, x, x])
+    split = mha.apply(variables, [x, jnp.array(x), jnp.array(x)])
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(split),
+                               atol=1e-6)
+
+
+def test_score_dtype_bf16_close_to_fp32(rng):
+    b, t, d, n, h = 2, 9, 16, 4, 4
+    x = rng.randn(b, t, d).astype(np.float32)
+    ref = MultiHeadAttention(head_dim=h, num_heads=n, dropout_rate=0.0)
+    variables = _init(ref, [x, x])
+    out32 = ref.apply(variables, [x, x])
+    bf = MultiHeadAttention(head_dim=h, num_heads=n, dropout_rate=0.0,
+                            score_dtype=jnp.bfloat16)
+    outbf = bf.apply(variables, [x, x])
+    # bf16 scores/softmax: ~1e-2 relative agreement expected
+    np.testing.assert_allclose(np.asarray(outbf), np.asarray(out32),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_score_dtype_bf16_masks_dont_upcast(rng):
+    b, tq, tv, d, n, h = 2, 5, 9, 16, 2, 8
+    mha = MultiHeadAttention(head_dim=h, num_heads=n, dropout_rate=0.0,
+                             causal=True, score_dtype=jnp.bfloat16)
+    q = rng.randn(b, tq, d).astype(np.float32)
+    v = rng.randn(b, tv, d).astype(np.float32)
+    v_mask = rng.rand(b, tv) > 0.3
+    v_mask[:, 0] = True
+    variables = _init(mha, [q, v], mask=[None, v_mask])
+    out = mha.apply(variables, [q, v], mask=[None, v_mask])
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_causal_attention_ignores_future(rng):
     b, n, t, h = 1, 2, 6, 4
     q = rng.randn(b, n, t, h).astype(np.float32)
