@@ -158,6 +158,43 @@ def _get_transform(transform_name, magnitude):
     return transform_cls(**kwargs)
 
 
+def _static_pointwise_table(name, magnitude, h, w):
+    """uint8 ``[256]`` lookup table for a per-pixel-value op, or None.
+
+    Every op that maps pixel value -> pixel value independently of position
+    composes into a single table lookup; this derives each family's table
+    with the exact arithmetic of its ``image_ops`` counterpart (same
+    trunc/clip/threshold-wrap semantics), so LUT application is bit-identical
+    to running the op. Tables are NumPy (trace-independent constants).
+    Contrast's blend target is the reference's content-independent gray
+    ``h*w/256`` (see image_ops.contrast), hence the image-size arguments.
+    """
+    v = np.arange(256, dtype=np.float32)
+    vu8 = np.arange(256, dtype=np.uint8)
+    if name == "Invert":
+        return 255 - vu8
+    if name == "Brightness":
+        f = np.float32(_magnitude_to_enhance_kwargs(magnitude)["factor"])
+        return np.clip(f * v, 0, 255).astype(np.uint8)
+    if name == "Posterize":
+        shift = 8 - _magnitude_to_posterize_kwargs(magnitude)["bits"]
+        return ((vu8 >> shift) << shift).astype(np.uint8)
+    if name == "Solarize":
+        # thresholds wrap to uint8 (TF semantics: magnitude 10 gives
+        # threshold 256 -> 0 -> full inversion)
+        thr = _magnitude_to_solarize_kwargs(magnitude)["threshold"]
+        return np.where(vu8 < np.uint8(thr % 256), v, 255 - v).astype(np.uint8)
+    if name == "SolarizeAdd":
+        add = _magnitude_to_solarizeadd_kwargs(magnitude)["addition"]
+        return np.where(vu8 < np.uint8(128),
+                        np.clip(v + add, 0, 255), v).astype(np.uint8)
+    if name == "Contrast":
+        f = np.float32(_magnitude_to_enhance_kwargs(magnitude)["factor"])
+        gray = np.float32(np.uint8(np.clip(h * w / 256.0, 0, 255)))
+        return np.clip(gray + f * (v - gray), 0, 255).astype(np.uint8)
+    return None
+
+
 class AutoAugment:
     """Applies one random (chance₁∘chance₂) sub-policy pair per call
     (augmentation_schemes.py:132-171)."""
@@ -261,15 +298,59 @@ class AutoAugment:
             else:
                 result = images
 
-            # pointwise candidates mask-selected over the warp result
+            # pointwise candidates mask-selected over the warp result.
+            # Every per-pixel-value op composes into ONE [b*c, 256] table
+            # applied by a single batched lookup; all Color@m specs share one
+            # grayscale pass with a per-image blend factor — instead of one
+            # full-batch pass per unique (op, magnitude) spec.
+            c = images.shape[3]
             op_keys = jax.random.split(key_ops, len(self._ops))
-            for k_i, ((name, _), op, op_key) in enumerate(
+            identity = jnp.arange(256, dtype=jnp.uint8)[None]
+            lut = jnp.broadcast_to(identity, (b * c, 256))
+            is_lut_op = jnp.zeros((b,), bool)
+            eq_tables = ac_tables = None
+            color_factor = jnp.zeros((b,), jnp.float32)
+            is_color_op = jnp.zeros((b,), bool)
+            for k_i, ((name, magnitude), op, op_key) in enumerate(
                 zip(self._op_specs, self._ops, op_keys)
             ):
                 if name in self._PROJECTIVE_NAMES:
                     continue
-                sel = (op_idx == k_i)[:, None, None, None]
-                result = jnp.where(sel, op(images, key=op_key), result)
+                sel = op_idx == k_i
+                if name == "Equalize":
+                    if eq_tables is None:
+                        eq_tables = image_ops.equalize_luts(images)
+                    cand = eq_tables
+                elif name == "AutoContrast":
+                    if ac_tables is None:
+                        ac_tables = image_ops.autocontrast_luts(images)
+                    cand = ac_tables
+                else:
+                    table = _static_pointwise_table(name, magnitude, h, w)
+                    if table is None:
+                        if name == "Color":
+                            f = _magnitude_to_enhance_kwargs(magnitude)["factor"]
+                            color_factor = jnp.where(sel, f, color_factor)
+                            is_color_op = is_color_op | sel
+                        else:
+                            # spatial / stochastic op (Sharpness, CutOut, ...):
+                            # full-batch pass, masked in
+                            result = jnp.where(
+                                sel[:, None, None, None],
+                                op(images, key=op_key), result,
+                            )
+                        continue
+                    cand = jnp.asarray(table[None])  # [1, 256]
+                lut = jnp.where(jnp.repeat(sel, c)[:, None], cand, lut)
+                is_lut_op = is_lut_op | sel
+
+            lut_out = image_ops.apply_channel_luts(images, lut)
+            result = jnp.where(is_lut_op[:, None, None, None], lut_out, result)
+            if bool(np.any([s[0] == "Color" for s in self._op_specs])):
+                color_out = image_ops.color(images, color_factor)
+                result = jnp.where(
+                    is_color_op[:, None, None, None], color_out, result
+                )
 
             images = jnp.where(do[:, None, None, None], result, images)
         return images
@@ -370,43 +451,31 @@ class RandAugment:
         one jit trace would leak as tracers into the next)."""
         if not hasattr(self, "_lut_builders_cache"):
             m = self.magnitude
-            factor = np.float32(m / _MAX_MAGNITUDE * 1.8 + 0.1)
-            bits = int(m / _MAX_MAGNITUDE * 4)
-            threshold = int(m / _MAX_MAGNITUDE * 256)
-            addition = int(m / _MAX_MAGNITUDE * 110)
-            shift = 8 - bits
-            v = np.arange(256, dtype=np.float32)
-            vu8 = np.arange(256, dtype=np.uint8)
 
-            def static(table):
-                table = np.asarray(table).astype(np.uint8)[None]  # [1, 256]
+            def static(name):
+                # h/w only matter for Contrast, which is built lazily in
+                # _contrast_lut where the image size is known
+                table = _static_pointwise_table(name, m, 0, 0)[None]
                 return lambda images: jnp.asarray(table)
 
             self._lut_builders_cache = {
                 0: lambda images: image_ops.autocontrast_luts(images),
                 1: lambda images: image_ops.equalize_luts(images),
-                2: static(255 - vu8),                                 # Invert
-                3: static(np.clip(factor * v, 0, 255)),               # Brightness
-                11: static((vu8 >> shift) << shift),                  # Posterize
-                # Solarize/SolarizeAdd thresholds wrap to uint8 (TF semantics:
-                # magnitude 10 gives threshold 256 -> 0 -> full inversion)
-                12: static(np.where(vu8 < np.uint8(threshold % 256),
-                                    v, 255 - v)),                     # Solarize
-                13: static(np.where(                                  # SolarizeAdd
-                    vu8 < np.uint8(128), np.clip(v + addition, 0, 255), v
-                )),
+                2: static("Invert"),
+                3: static("Brightness"),
+                11: static("Posterize"),
+                12: static("Solarize"),
+                13: static("SolarizeAdd"),
             }
-            self._contrast_factor = factor
         return self._lut_builders_cache
 
     def _contrast_lut(self, images):
         # Contrast blends toward the reference's content-independent gray
         # (h*w/256) — an image-size constant, so the table is NumPy-static
         h, w = images.shape[1], images.shape[2]
-        gray = np.float32(np.uint8(np.clip(h * w / 256.0, 0, 255)))
-        v = np.arange(256, dtype=np.float32)
-        lut = np.clip(gray + self._contrast_factor * (v - gray), 0, 255)
-        return jnp.asarray(lut.astype(np.uint8)[None])
+        return jnp.asarray(
+            _static_pointwise_table("Contrast", self.magnitude, h, w)[None]
+        )
 
     def _apply_lut_ops(self, images, idx, result):
         from chambers_tpu.ops import image_ops as iops

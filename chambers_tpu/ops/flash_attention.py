@@ -363,18 +363,34 @@ def flash_attention(
     key=None,
     scale: Optional[float] = None,
     causal: bool = False,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
 ):
     """Blockwise attention over ``[batch, heads, t, head_dim]`` tensors.
 
     Numerically equivalent to softmax(q·kᵀ/√h)·v (float32 statistics); the
     ``[t, t]`` scores matrix is never materialized in the forward pass.
     Differentiable via custom VJP.
+
+    Default block sizes (``tools/bench_flash_attention.py``, v5e): one
+    exact-fit block (t rounded up to 128) when that stays ≤1024 — avoiding
+    the padding blow-up of a fixed block size (e.g. t=577 with 512-blocks
+    pads to 1024: 946 ms vs 596 ms on a ViT-L/16@384 forward) — and 512×512
+    for longer sequences, where 512-blocks beat both 128×128 and XLA's dense
+    attention for fwd+bwd at every measured length (13–26%).
     """
+    def _auto_block(t):
+        padded = -(-t // 128) * 128
+        return padded if padded <= 1024 else 512
+
     if key is None:
         key = value
     b, n, tq, h = query.shape
+    tk = value.shape[2]
+    if block_q is None:
+        block_q = _auto_block(tq)
+    if block_k is None:
+        block_k = _auto_block(tk)
     if scale is None:
         scale = 1.0 / math.sqrt(h)
     else:

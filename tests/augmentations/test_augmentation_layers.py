@@ -195,6 +195,23 @@ def test_autoaugment_applies(batch):
     )
 
 
+def test_autoaugment_elementwise_matches_golden():
+    """The fused LUT/shared-Color rewrite of the elementwise path must be
+    bit-identical to the original one-pass-per-op implementation (golden
+    outputs captured from it at the same PRNG keys)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__),
+                        "golden_autoaugment_elementwise.npz")
+    data = np.load(path)
+    aa = AutoAugment(elementwise=True)
+    for seed in (0, 1, 7):
+        out = np.asarray(
+            aa(jnp.asarray(data["batch"]), key=jax.random.PRNGKey(seed))
+        )
+        np.testing.assert_array_equal(out, data[f"seed{seed}"])
+
+
 def test_autoaugment_batch_mode(batch):
     aa = AutoAugment(elementwise=False)
     out = np.asarray(aa(batch, key=jax.random.PRNGKey(0)))

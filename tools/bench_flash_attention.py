@@ -52,8 +52,11 @@ def timed(fn, args, label):
     return ms
 
 
-def bench_length(t, bn=8):
-    """bn = batch*heads (folded); tokens = bn * t held constant-ish."""
+def bench_length(t):
+    """batch*heads chosen so total tokens stay ~64k across lengths — the
+    attention FLOPs then scale linearly with t and fixed costs don't drown
+    the short-t rows."""
+    bn = max(4, 65536 // t)
     scale = 1.0 / math.sqrt(HEAD_DIM)
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
     shape = (bn // 4 if bn >= 4 else 1, 4, t, HEAD_DIM)  # [b, n, t, h]
@@ -62,25 +65,28 @@ def bench_length(t, bn=8):
     v = jax.random.normal(kv, shape, jnp.bfloat16)
 
     results = {}
+    # per-step q perturbation: with loop-invariant inputs XLA hoists the
+    # whole attention computation out of the scan and the timing is bogus
+    eps = jnp.linspace(0.0, 1e-2, STEPS, dtype=jnp.float32)
 
     def scan_of(f):
         def run(q, k, v):
-            def body(c, _):
-                return c + jnp.sum(f(q, k, v).astype(jnp.float32)), None
-            tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
-                                  length=STEPS)
+            def body(c, e):
+                qe = q + e.astype(q.dtype)
+                return c + jnp.sum(f(qe, k, v).astype(jnp.float32)), None
+            tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), eps)
             return tot
         return run
 
     def grad_scan_of(f):
         def run(q, k, v):
-            def body(c, _):
+            def body(c, e):
+                qe = q + e.astype(q.dtype)
                 g = jax.grad(
                     lambda q: jnp.sum(f(q, k, v).astype(jnp.float32))
-                )(q)
+                )(qe)
                 return c + jnp.sum(g.astype(jnp.float32)), None
-            tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
-                                  length=STEPS)
+            tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), eps)
             return tot
         return run
 
