@@ -33,7 +33,7 @@ _FILL_VALUE = 128
 _MAX_MAGNITUDE = 10.0
 
 
-def _policy_warp(images, mats):
+def _policy_warp(images, mats, max_rotation_rad=None):
     """One warp per policy round, per-image affine ``mats`` [b, 8].
 
     With nearest interpolation (the reference mode) this takes the gather-free
@@ -45,10 +45,19 @@ def _policy_warp(images, mats):
     ever sample rotation magnitudes, never fixed angles, so this changes no
     documented output contract — divergence noted here per CLAUDE.md parity
     conventions).
+
+    ``max_rotation_rad`` sizes the fill-padded x-extent that absorbs
+    intermediate shear excursions (pad = tan(θ/2)·(d−1)/2): callers pass
+    their actual rotation cap so magnitudes beyond the standard 10 don't
+    silently clip shear intermediates to fill; default 30° (magnitude 10).
     """
     if _INTERPOLATION_MODE == "nearest":
+        theta = (max_rotation_rad if max_rotation_rad is not None
+                 else 30.0 * math.pi / 180.0)
+        d = max(images.shape[1], images.shape[2])
+        pad = int(np.ceil(np.tan(abs(theta) / 2.0) * (d - 1) / 2.0)) + 2
         return image_ops.transform_affine_separable(
-            images, mats, fill_value=_FILL_VALUE
+            images, mats, fill_value=_FILL_VALUE, pad=pad
         )
     return image_ops.transform(
         images, mats, interpolation=_INTERPOLATION_MODE, fill_value=_FILL_VALUE
@@ -294,7 +303,12 @@ class AutoAugment:
                 mats = jnp.where((op_idx == k_i)[:, None], cand, mats)
 
             if any_projective:
-                result = _policy_warp(images, mats)
+                max_rot = max(
+                    ((m or 0) / _MAX_MAGNITUDE * 30.0 * math.pi / 180.0
+                     for n_, m in self._op_specs if n_ == "Rotate"),
+                    default=0.0,
+                )
+                result = _policy_warp(images, mats, max_rotation_rad=max_rot)
             else:
                 result = images
 
@@ -425,7 +439,8 @@ class RandAugment:
                         image_ops.translate_y_matrices(sign * self._translate_px))
             mats = pick(self._PROJECTIVE["Rotate"],
                         image_ops.rotation_matrices(sign * self._rotate_rad, h, w))
-            result = _policy_warp(images, mats)
+            result = _policy_warp(images, mats,
+                                  max_rotation_rad=self._rotate_rad)
 
             # LUT-able pointwise candidates (8 of 11): every per-pixel-value
             # op composes into ONE combined [b*c, 256] table applied by a

@@ -243,6 +243,15 @@ class MultiHeadAttention(nn.Module):
         if self.dropout_rate > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
+        # flash computes f32 softmax statistics and cannot honor score_dtype;
+        # allowing both would flip numerics between batches whenever a mask/
+        # dropout call takes the silent XLA fallback below
+        if self.attention_impl == "flash" and self.score_dtype is not None:
+            raise ValueError(
+                "attention_impl='flash' always uses float32 softmax "
+                "statistics; score_dtype is an XLA-path option — set one or "
+                "the other."
+            )
         # flash kernel requires no dropout and no boolean masks; silently use
         # the XLA path in those cases so training with dropout "just works"
         impl = self.attention_impl

@@ -17,6 +17,7 @@ per-group kernels along the output-channel axis.
 
 from __future__ import annotations
 
+import copy
 import re
 from typing import Dict, List, Tuple
 
@@ -27,6 +28,25 @@ from chambers_tpu.models.backbones.h5_import import load_keras_h5_weights
 
 def _natural_key(s: str):
     return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", s)]
+
+
+def _copy_variables(variables):
+    """Deep copy of the variables dict the importers mutate in place."""
+    return copy.deepcopy(dict(variables))
+
+
+def _assign_checked(out, tree_path, value):
+    """Write ``value`` at ``tree_path``, shape-checked against the leaf."""
+    node = out[tree_path[0]]
+    for k in tree_path[1:-1]:
+        node = node[k]
+    expected = np.asarray(node[tree_path[-1]]).shape
+    if tuple(expected) != tuple(value.shape):
+        raise ValueError(
+            f"Shape mismatch at {'/'.join(tree_path)}: expected {expected}, "
+            f"got {value.shape}"
+        )
+    node[tree_path[-1]] = value
 
 
 def _ordered_param_leaves(variables) -> List[Tuple[Tuple[str, ...], tuple]]:
@@ -94,18 +114,10 @@ def load_cnn_h5_weights(path: str, variables):
     """Import legacy Keras CNN weights by ordered stream matching."""
     stream = _flat_h5_weights(path)
     leaves = _ordered_param_leaves(variables)
-
-    import copy
-
-    out = copy.deepcopy(
-        {k: v for k, v in variables.items()}
-    )
+    out = _copy_variables(variables)
 
     def assign(tree_path, value):
-        node = out[tree_path[0]]
-        for k in tree_path[1:-1]:
-            node = node[k]
-        node[tree_path[-1]] = value
+        _assign_checked(out, tree_path, value)
 
     pos = 0
     for tree_path, shape in leaves:
@@ -154,8 +166,6 @@ def load_convbn_h5_weights(path: str, variables):
     their uids and streamed as paired units, shape-checked at every step.
     Custom-named files fail loudly rather than misassign.
     """
-    import copy
-
     import h5py
 
     convs: List[List[np.ndarray]] = []
@@ -182,19 +192,10 @@ def load_convbn_h5_weights(path: str, variables):
                     "load_convbn_h5_weights handles conv/BN graphs only."
                 )
 
-    out = copy.deepcopy({k: v for k, v in variables.items()})
+    out = _copy_variables(variables)
 
     def assign(tree_path, value):
-        node = out[tree_path[0]]
-        for k in tree_path[1:-1]:
-            node = node[k]
-        expected = np.asarray(node[tree_path[-1]]).shape
-        if tuple(expected) != tuple(value.shape):
-            raise ValueError(
-                f"Shape mismatch at {'/'.join(tree_path)}: expected "
-                f"{expected}, got {value.shape}"
-            )
-        node[tree_path[-1]] = value
+        _assign_checked(out, tree_path, value)
 
     leaves = _ordered_param_leaves(variables)
     conv_pos = bn_pos = 0
@@ -215,6 +216,12 @@ def load_convbn_h5_weights(path: str, variables):
                                      "but the h5 layer has none")
                 assign(leaves[i][0], unit[1])
                 i += 1
+            elif len(unit) > 1:
+                raise ValueError(
+                    f"{path_i}: h5 conv layer carries {len(unit) - 1} extra "
+                    "weight(s) (a bias?) but the model's conv has no bias "
+                    "leaf — refusing to drop them silently"
+                )
         elif name.startswith("BatchNorm"):
             if bn_pos >= len(bns):
                 raise ValueError(f"h5 BN stream exhausted at {path_i}")
@@ -261,10 +268,8 @@ def load_resnext_h5_weights(path: str, variables, stage_depths, groups=32):
     name-keyed mapping is robust where order-based streaming is not (the
     residual branches interleave in topological save order).
     """
-    import copy
-
     weights = load_keras_h5_weights(path)
-    out = copy.deepcopy({k: v for k, v in variables.items()})
+    out = _copy_variables(variables)
 
     def w(name):
         key = f"{name}:0"
@@ -273,16 +278,7 @@ def load_resnext_h5_weights(path: str, variables, stage_depths, groups=32):
         return weights[key]
 
     def assign(tree_path, value):
-        node = out[tree_path[0]]
-        for k in tree_path[1:-1]:
-            node = node[k]
-        expected = np.asarray(node[tree_path[-1]]).shape
-        if tuple(expected) != tuple(value.shape):
-            raise ValueError(
-                f"Shape mismatch at {'/'.join(tree_path)}: expected "
-                f"{expected}, got {value.shape}"
-            )
-        node[tree_path[-1]] = value
+        _assign_checked(out, tree_path, value)
 
     def conv_bn(flax_prefix, keras_conv, keras_bn, kernel):
         assign(("params",) + flax_prefix + ("Conv_0", "kernel"), kernel)

@@ -50,13 +50,15 @@ class _ConvBN(nn.Module):
 
 
 def _pool2(x, kind):
-    """3x3 stride-2 pool with Caffe ceil-mode output size (pad right/bottom)."""
+    """3x3 stride-2 max pool with Caffe ceil-mode output size (pad
+    right/bottom). Only max pooling exists here: an avg variant would have
+    to exclude the explicit ceil-mode padding from its divisor, which
+    ``nn.avg_pool(count_include_pad=False)`` cannot do (that flag only
+    covers padding the pool op itself adds)."""
+    assert kind == "max", kind
     x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)),
-                mode="constant",
-                constant_values=-jnp.inf if kind == "max" else 0.0)
-    if kind == "max":
-        return nn.max_pool(x, (3, 3), strides=(2, 2))
-    return nn.avg_pool(x, (3, 3), strides=(2, 2), count_include_pad=False)
+                mode="constant", constant_values=-jnp.inf)
+    return nn.max_pool(x, (3, 3), strides=(2, 2))
 
 
 class _Inception(nn.Module):

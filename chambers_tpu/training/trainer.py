@@ -17,6 +17,7 @@ TPU notes:
 
 from __future__ import annotations
 
+import itertools
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, Optional, Sequence
@@ -311,9 +312,11 @@ class Trainer:
         callback_list.on_test_begin()
         totals: Dict[str, list] = {}
         metric_states = self._init_metric_states()
-        for step, (x, y) in enumerate(dataset):
-            if steps is not None and step >= steps:
-                break
+        # islice consumes exactly `steps` batches — a bound check inside the
+        # for-loop would pull (and discard) one extra element from shared or
+        # expensive iterators
+        bounded = itertools.islice(iter(dataset), steps)
+        for step, (x, y) in enumerate(bounded):
             callback_list.on_test_batch_begin(step)
             x, y = self._place_batch(x, y)
             metric_states, logs = self.eval_step(

@@ -158,6 +158,32 @@ def test_decompose_affine_shears_recomposes():
         np.stack([a0, a1, a2, b0, b1, b2], 1), t[:, :6], rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("deg", [45.0, -45.0])
+def test_policy_warp_pad_covers_large_magnitudes(deg):
+    """RandAugment(magnitude=15) rotates up to 45°, whose shear excursions
+    exceed the 30° default pad — _policy_warp must size the pad from the
+    caller's actual rotation cap so intermediates aren't clipped to fill."""
+    from chambers_tpu.augmentations.augmentation_schemes import _policy_warp
+
+    h = w = 64
+    img = _smooth_img(2, h, w, 3)
+    rad = deg * np.pi / 180.0
+    mats = image_ops.rotation_matrices(jnp.full((2,), rad), h, w)
+    want = np.asarray(image_ops.transform(img, mats, "nearest", 128)
+                      ).astype(np.int32)
+    got = np.asarray(_policy_warp(img, mats, max_rotation_rad=abs(rad))
+                     ).astype(np.int32)
+    # same ±1px-source bound as test_rotate_within_one_pixel — in particular
+    # no band of clipped-to-fill content from undersized padding
+    diff = np.abs(want - got)
+    boundary_frac = (diff > 16).mean()
+    assert boundary_frac < 0.06, boundary_frac
+    # and the amount of surviving (non-fill) content matches the dense warp
+    want_fill = (np.asarray(want) == 128).mean()
+    got_fill = (np.asarray(got) == 128).mean()
+    assert abs(want_fill - got_fill) < 0.03, (want_fill, got_fill)
+
+
 def test_policy_warp_used_by_randaugment_still_valid_uint8():
     from chambers_tpu.augmentations.augmentation_schemes import RandAugment
 

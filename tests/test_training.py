@@ -238,7 +238,8 @@ def test_trainer_validation_steps():
     trainer.fit(_batches(n_batches=2), epochs=1,
                 validation_data=CountingData(), validation_steps=3,
                 verbose=False)
-    assert max(seen) <= 3  # iterator stopped after validation_steps batches
+    # exactly validation_steps batches consumed — no extra fetch-and-discard
+    assert max(seen) == 2
 
 
 def test_trainer_callbacks_fire_and_sync_model():
