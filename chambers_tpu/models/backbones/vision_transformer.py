@@ -185,6 +185,7 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     attention_impl: str = "xla"
     score_dtype: Optional[Any] = None
+    gelu_approximate: bool = False
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -222,6 +223,7 @@ class VisionTransformer(nn.Module):
             remat=self.remat,
             attention_impl=self.attention_impl,
             score_dtype=self.score_dtype,
+            gelu_approximate=self.gelu_approximate,
             name="encoder",
         )
         if self.feature_dim is not None:
@@ -277,6 +279,7 @@ class DistilledVisionTransformer(nn.Module):
     remat: bool = False
     attention_impl: str = "xla"
     score_dtype: Optional[Any] = None
+    gelu_approximate: bool = False
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -316,6 +319,7 @@ class DistilledVisionTransformer(nn.Module):
             remat=self.remat,
             attention_impl=self.attention_impl,
             score_dtype=self.score_dtype,
+            gelu_approximate=self.gelu_approximate,
             name="encoder",
         )
         if self.include_top:
@@ -394,6 +398,7 @@ def _build(
     dtype=None,
     attention_impl="xla",
     score_dtype=None,
+    gelu_approximate=False,
     seed: int = 0,
 ):
     weights_are_pretrained = _are_weights_pretrained(weights, model_name)
@@ -438,6 +443,7 @@ def _build(
         dtype=dtype,
         attention_impl=attention_impl,
         score_dtype=score_dtype,
+        gelu_approximate=gelu_approximate,
     )
     if module_cls is VisionTransformer:
         kwargs["feature_dim"] = feature_dim
@@ -481,6 +487,7 @@ def _vit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
         dtype=None,
         attention_impl="xla",
         score_dtype=None,
+        gelu_approximate=False,
         seed: int = 0,
     ):
         return _build(
@@ -502,6 +509,7 @@ def _vit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
             dtype=dtype,
             attention_impl=attention_impl,
             score_dtype=score_dtype,
+            gelu_approximate=gelu_approximate,
             seed=seed,
         )
 
@@ -522,6 +530,7 @@ def _deit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
         dtype=None,
         attention_impl="xla",
         score_dtype=None,
+        gelu_approximate=False,
         seed: int = 0,
     ):
         return _build(
@@ -543,6 +552,7 @@ def _deit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
             dtype=dtype,
             attention_impl=attention_impl,
             score_dtype=score_dtype,
+            gelu_approximate=gelu_approximate,
             seed=seed,
         )
 

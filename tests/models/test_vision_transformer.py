@@ -99,6 +99,24 @@ def test_vitb16_param_count():
     assert 86_000_000 < n < 87_000_000, n
 
 
+def test_gelu_approximate_knob():
+    """gelu_approximate=True (tanh GELU, ~15% faster on the VPU) produces
+    outputs close to — but not identical with — the erf parity default,
+    with the same parameters."""
+    import jax.numpy as jnp
+
+    exact = ViTS16(weights=None, input_shape=(224, 224, 3))
+    approx = ViTS16(weights=None, input_shape=(224, 224, 3),
+                    gelu_approximate=True)
+    x = np.random.RandomState(0).rand(2, 224, 224, 3).astype(np.float32)
+    out_e = np.asarray(exact.module.apply(exact.variables, jnp.asarray(x),
+                                          deterministic=True))
+    out_a = np.asarray(approx.module.apply(exact.variables, jnp.asarray(x),
+                                           deterministic=True))
+    assert not np.array_equal(out_e, out_a)
+    np.testing.assert_allclose(out_a, out_e, atol=0.05)
+
+
 def test_deit_preset_builds():
     model = DeiTS16(weights=None, input_shape=(224, 224, 3))
     out = model(np.zeros((1, 224, 224, 3), np.float32))
