@@ -81,12 +81,20 @@ class Dataset:
     # -- combinators --------------------------------------------------------
     def map(self, fn: Callable, num_parallel_calls: Optional[int] = None) -> "Dataset":
         def gen():
+            import os
+
             it = self._iter_elements()
-            if not num_parallel_calls or num_parallel_calls == 0:
+            workers = (max(os.cpu_count() or 1, 2)
+                       if num_parallel_calls == AUTOTUNE
+                       else num_parallel_calls)
+            # single-core hosts gain nothing from a CPU-bound thread pool;
+            # the per-element future overhead just slows the stream down
+            if (os.cpu_count() or 1) == 1 and num_parallel_calls == AUTOTUNE:
+                workers = 0
+            if not workers:
                 for el in it:
                     yield _apply(fn, el)
                 return
-            workers = 8 if num_parallel_calls == AUTOTUNE else num_parallel_calls
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 window = workers * 2
                 futures = []
