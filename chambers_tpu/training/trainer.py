@@ -39,6 +39,43 @@ class TrainState:
     step: jax.Array
 
 
+class _DevicePrefetcher:
+    """Async host→device double buffering over a batch iterator.
+
+    ``jax.device_put`` only *enqueues* a transfer, so placing the next
+    ``depth`` batches while the current step computes overlaps the copy with
+    the math — without it every step pays the full host→device latency
+    serially (on PCIe ~10s of ms per large batch; far worse over a relay).
+    Keeps at most ``depth`` batches in HBM ahead of the consumer.
+    """
+
+    def __init__(self, it, place, depth: int = 2):
+        from collections import deque
+
+        self._it = it
+        self._place = place
+        self._queue = deque()
+        self._fill(depth)
+
+    def _fill(self, n):
+        for _ in range(n):
+            try:
+                x, y = next(self._it)
+            except StopIteration:
+                return
+            self._queue.append(self._place(x, y))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if not self._queue:
+            raise StopIteration
+        out = self._queue.popleft()
+        self._fill(1)
+        return out
+
+
 class _CallbackModel:
     """The model facade handed to callbacks: save/export current state."""
 
@@ -238,15 +275,21 @@ class Trainer:
         history = []
         # With steps_per_epoch, the iterator persists across epochs (Keras/
         # tf.data semantics: a repeated stream keeps advancing rather than
-        # re-training the same leading batches each epoch).
-        persistent_it = iter(dataset) if steps_per_epoch is not None else None
+        # re-training the same leading batches each epoch). The prefetcher
+        # wraps the raw iterator and keeps 2 batches device_put ahead, so
+        # the host→device copy of batch i+1 overlaps step i's compute.
+        persistent_it = (
+            _DevicePrefetcher(iter(dataset), self._place_batch)
+            if steps_per_epoch is not None else None
+        )
 
         for epoch in range(initial_epoch, epochs):
             callback_list.on_epoch_begin(epoch)
             epoch_start = time.perf_counter()
             batch_logs: Dict[str, list] = {}
             metric_states = self._init_metric_states()  # reset per epoch
-            it = persistent_it if persistent_it is not None else iter(dataset)
+            it = (persistent_it if persistent_it is not None
+                  else _DevicePrefetcher(iter(dataset), self._place_batch))
             step = 0
             any_batch = False
             while steps_per_epoch is None or step < steps_per_epoch:
@@ -255,13 +298,13 @@ class Trainer:
                 except StopIteration:
                     if persistent_it is None:
                         break
-                    persistent_it = it = iter(dataset)  # restart the stream
+                    persistent_it = it = _DevicePrefetcher(  # restart stream
+                        iter(dataset), self._place_batch)
                     try:
                         x, y = next(it)
                     except StopIteration:
                         break  # dataset is empty
                 callback_list.on_train_batch_begin(step)
-                x, y = self._place_batch(x, y)
                 self.state, metric_states, step_logs = self.train_step(
                     self.state, metric_states, x, y
                 )
@@ -315,10 +358,10 @@ class Trainer:
         # islice consumes exactly `steps` batches — a bound check inside the
         # for-loop would pull (and discard) one extra element from shared or
         # expensive iterators
-        bounded = itertools.islice(iter(dataset), steps)
+        bounded = _DevicePrefetcher(
+            itertools.islice(iter(dataset), steps), self._place_batch)
         for step, (x, y) in enumerate(bounded):
             callback_list.on_test_batch_begin(step)
-            x, y = self._place_batch(x, y)
             metric_states, logs = self.eval_step(
                 self.state.params, metric_states, x, y
             )

@@ -149,7 +149,9 @@ def test_trainer_steps_per_epoch_advances_stream():
     trainer.fit(Reiterable(), epochs=3, steps_per_epoch=5, verbose=False)
     # 3 epochs x 5 steps consumed 15 *distinct* stream elements
     assert seen[:15] == list(range(15))
-    assert len(seen) <= 16  # no per-epoch restarts
+    # no per-epoch restarts; the device prefetcher legitimately reads up to
+    # its depth (2) ahead of the last trained step (tf.data prefetch ditto)
+    assert len(seen) <= 17
 
 
 def test_tp_opt_state_sharded_like_params():

@@ -224,6 +224,26 @@ def test_trainer_streaming_metric_on_device():
     np.testing.assert_allclose(history[0]["f1"], ref.result(), rtol=1e-6)
 
 
+def test_device_prefetcher_places_eagerly():
+    """The prefetcher device_puts `depth` batches ahead of consumption so
+    transfers overlap compute (async dispatch)."""
+    from chambers_tpu.training.trainer import _DevicePrefetcher
+
+    placed = []
+
+    def place(x, y):
+        placed.append(x)
+        return x, y
+
+    pf = _DevicePrefetcher(iter([(i, i) for i in range(5)]), place, depth=2)
+    assert placed == [0, 1]  # two batches placed before any consumption
+    assert next(pf) == (0, 0)
+    assert placed == [0, 1, 2]  # refilled on consume
+    assert list(pf) == [(1, 1), (2, 2), (3, 3), (4, 4)]
+    with pytest.raises(StopIteration):
+        next(pf)
+
+
 def test_trainer_validation_steps():
     model = _make_regression_model()
     seen = []
