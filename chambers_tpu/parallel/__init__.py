@@ -7,6 +7,7 @@ from chambers_tpu.parallel.collective_eval import (
     distributed_pairwise_scores,
     distributed_recall_at_k,
 )
+from chambers_tpu.parallel.context_parallel import context_parallel_attention
 from chambers_tpu.parallel.sharding import (
     VIT_TENSOR_PARALLEL_RULES,
     batch_sharding,

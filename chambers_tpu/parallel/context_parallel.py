@@ -1,0 +1,86 @@
+"""Sequence/context-parallel attention over a device mesh.
+
+SURVEY.md §5.7: the reference has no long-context machinery (dense
+single-device attention, t ≤ 578 — layers/attention.py:113-125), but the
+blockwise flash kernel was designed with its query axis left shardable so a
+context-parallel extension stays possible. This module is that extension:
+the token axis of ``q`` is sharded over a mesh axis, K/V shards are
+all-gathered over ICI (one collective per call), and each device runs the
+blockwise Pallas kernel (`chambers_tpu.ops.flash_attention`) on its local
+query rows against the full K/V — attention memory per device is
+O(t·h + t_local·t) blockwise, never the global [t, t].
+
+This is the all-gather (DeepSpeed-Ulysses-adjacent) formulation, the right
+one at flash-kernel lengths where K/V are small relative to the scores they
+generate; ring attention (streaming K/V blocks around the ICI ring) only
+pays off when even gathered K/V exceed HBM — far beyond this model family's
+regime, and out of scope as SURVEY §2.8 documents.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+from jax import shard_map  # stable API (jax.experimental.shard_map deprecated)
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chambers_tpu.ops.flash_attention import flash_attention
+
+
+def context_parallel_attention(
+    query,
+    value,
+    key=None,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+):
+    """Flash attention with the query token axis sharded over ``axis``.
+
+    :param query: ``[b, n, t, h]`` with ``t`` divisible by the mesh axis
+        size; sharded (or shardable) on its token axis.
+    :param value: ``[b, n, t, h]``; same sharding.
+    :param key: optional ``[b, n, t, h]``; defaults to ``value``.
+    :param mesh: the device mesh; ``axis`` names the dimension to shard
+        tokens over.
+    :return: attention output ``[b, n, t, h]``, token axis sharded on
+        ``axis``.
+
+    Numerics: softmax statistics are float32 inside the kernel, but the MXU
+    multiplies f32 operands via bf16 passes under JAX's default precision
+    (as does XLA's dense attention) — expect bf16-class (~1e-3 relative)
+    agreement with an exact f32 reference on real hardware; CPU interpret
+    mode is exact.
+
+    Causal masking is not supported here: the kernel derives its causal
+    offset from (kv_len − q_len), which is only correct when the local
+    query block is the *last* rows — true for exactly one shard. A causal
+    context-parallel form needs per-shard row offsets (ring attention
+    territory); raise rather than silently mis-mask.
+    """
+    if key is None:
+        key = value
+
+    def local(q_shard, k_shard, v_shard):
+        # one tiled all-gather per operand rides ICI; each device then runs
+        # the blockwise kernel on its local query rows vs the full K/V
+        k_full = jax.lax.all_gather(k_shard, axis, axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v_shard, axis, axis=2, tiled=True)
+        return flash_attention(
+            q_shard, v_full, k_full, scale=scale, causal=False,
+            block_q=block_q, block_k=block_k,
+        )
+
+    spec = P(None, None, axis, None)
+    # check_vma=False: the Pallas kernel's out_shape carries no varying-
+    # mesh-axes annotation, which strict shard_map vma checking rejects
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                   out_specs=spec, check_vma=False)
+    sharding = NamedSharding(mesh, spec)
+    query = jax.device_put(query, sharding)
+    key = jax.device_put(key, sharding)
+    value = jax.device_put(value, sharding)
+    return fn(query, key, value)

@@ -133,3 +133,43 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_context_parallel_attention_matches_dense():
+    """CP attention (q token-sharded over 8 devices, K/V all-gathered, flash
+    kernel per shard) must equal single-device dense attention."""
+    import math
+
+    from chambers_tpu.parallel import context_parallel_attention, create_mesh
+
+    mesh = create_mesh()  # 8-way "data"
+    b, n, t, h = 2, 4, 64, 32
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, n, t, h).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, n, t, h).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, n, t, h).astype(np.float32))
+
+    out = context_parallel_attention(q, v, k, mesh=mesh, axis="data")
+
+    s = jnp.einsum("bnqh,bnkh->bnqk", q, k) / math.sqrt(h)
+    want = jnp.einsum("bnqk,bnkh->bnqh", jax.nn.softmax(s, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    # output stays token-sharded over the mesh axis
+    assert len(out.sharding.device_set) == 8
+
+
+def test_context_parallel_attention_is_differentiable():
+    from chambers_tpu.parallel import context_parallel_attention, create_mesh
+
+    mesh = create_mesh()
+    b, n, t, h = 1, 2, 32, 16
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(b, n, t, h).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, n, t, h).astype(np.float32))
+
+    def loss(q):
+        return jnp.sum(context_parallel_attention(q, v, mesh=mesh) ** 2)
+
+    g = jax.grad(loss)(q)
+    assert g.shape == q.shape and np.isfinite(np.asarray(g)).all()
