@@ -84,12 +84,17 @@ class Dataset:
             import os
 
             it = self._iter_elements()
-            workers = (max(os.cpu_count() or 1, 2)
-                       if num_parallel_calls == AUTOTUNE
+            # effective core count respects affinity/cgroup pinning, where
+            # os.cpu_count() reports the whole machine
+            try:
+                cores = len(os.sched_getaffinity(0))
+            except AttributeError:  # non-Linux
+                cores = os.cpu_count() or 1
+            workers = (max(cores, 2) if num_parallel_calls == AUTOTUNE
                        else num_parallel_calls)
             # single-core hosts gain nothing from a CPU-bound thread pool;
             # the per-element future overhead just slows the stream down
-            if (os.cpu_count() or 1) == 1 and num_parallel_calls == AUTOTUNE:
+            if cores == 1 and num_parallel_calls == AUTOTUNE:
                 workers = 0
             if not workers:
                 for el in it:

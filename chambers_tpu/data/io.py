@@ -60,17 +60,22 @@ def read_and_decode_image(file, channels=3):
     """Read + decode an image file to a uint8 ``[h, w, channels]`` array.
 
     Supports png/jpeg/bmp/gif (first frame — the reference's
-    ``expand_animations=False``). Decodes through OpenCV's C++ loader when
-    available (~20% faster than PIL on this host's libjpeg-turbo, verified
-    byte-identical on JPEG/PNG) and falls back to PIL for formats/modes
-    cv2 doesn't cover (animated GIF, L/RGBA channel requests).
+    ``expand_animations=False``). JPEGs decode through OpenCV's C++ loader
+    when available (~20% faster than PIL on this host's libjpeg-turbo) with
+    EXIF auto-rotation disabled (neither PIL here nor the reference's
+    ``tf.io.decode_jpeg`` applies orientation tags); everything else — and
+    the L/RGBA channel requests — takes the PIL path, so formats where the
+    two libraries disagree (16-bit PNGs: cv2 keeps the high byte, PIL
+    clips) decode identically with or without cv2 installed.
     """
     path = os.fspath(file)
-    if channels == 3 and not path.lower().endswith(".gif"):
+    if channels == 3 and path.lower().endswith((".jpg", ".jpeg")):
         try:
             import cv2
 
-            img = cv2.imread(path, cv2.IMREAD_COLOR)
+            img = cv2.imread(
+                path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
+            )
             if img is not None:
                 return np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
         except ImportError:

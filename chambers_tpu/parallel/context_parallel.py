@@ -5,7 +5,7 @@ single-device attention, t ≤ 578 — layers/attention.py:113-125), but the
 blockwise flash kernel was designed with its query axis left shardable so a
 context-parallel extension stays possible. This module is that extension:
 the token axis of ``q`` is sharded over a mesh axis, K/V shards are
-all-gathered over ICI (one collective per call), and each device runs the
+all-gathered over ICI (one tiled collective per operand), and each device runs the
 blockwise Pallas kernel (`chambers_tpu.ops.flash_attention`) on its local
 query rows against the full K/V — attention memory per device is
 O(t·h + t_local·t) blockwise, never the global [t, t].

@@ -55,7 +55,10 @@ class _DevicePrefetcher:
         self._it = it
         self._place = place
         self._queue = deque()
-        self._fill(depth)
+        self._depth = depth
+        self._started = False  # lazy: don't consume the stream until the
+        # first next() — constructing a prefetcher must not pull batches
+        # from a shared iterator for a fit() that runs zero epochs
 
     def _fill(self, n):
         for _ in range(n):
@@ -69,6 +72,9 @@ class _DevicePrefetcher:
         return self
 
     def __next__(self):
+        if not self._started:
+            self._started = True
+            self._fill(self._depth)
         if not self._queue:
             raise StopIteration
         out = self._queue.popleft()

@@ -236,9 +236,9 @@ def test_device_prefetcher_places_eagerly():
         return x, y
 
     pf = _DevicePrefetcher(iter([(i, i) for i in range(5)]), place, depth=2)
-    assert placed == [0, 1]  # two batches placed before any consumption
+    assert placed == []  # lazy: a never-consumed prefetcher pulls nothing
     assert next(pf) == (0, 0)
-    assert placed == [0, 1, 2]  # refilled on consume
+    assert placed == [0, 1, 2]  # depth filled + one refill on first consume
     assert list(pf) == [(1, 1), (2, 2), (3, 3), (4, 4)]
     with pytest.raises(StopIteration):
         next(pf)
