@@ -18,7 +18,8 @@ capability surface TPU-first:
   optax-based AdamW/SGDW with regex decay masks, warmup schedules, and an
   experiment harness.
 - ``chambers_tpu.parallel``     — ``jax.sharding`` mesh utilities for
-  data/model-parallel training over TPU slices.
+  data/model/context-parallel training over TPU slices.
+- ``chambers_tpu.serving``      — AOT StableHLO export/load for deployment.
 
 Reference parity notes cite ``/root/reference`` file:line in docstrings.
 """
@@ -28,7 +29,7 @@ __version__ = "0.1.0"
 _SUBMODULES = (
     "activations", "augmentations", "callbacks", "data", "layers", "losses",
     "metrics", "miners", "models", "ops", "optimizers", "parallel",
-    "schedules", "training", "utils",
+    "schedules", "serving", "training", "utils",
 )
 
 
