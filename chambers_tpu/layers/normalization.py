@@ -1,9 +1,13 @@
-"""L2 normalization.
+"""L2 normalization and a stats-dtype-selectable LayerNorm.
 
 Parity: reference ``chambers/layers/normalization.py:5-24`` wraps
 ``tf.nn.l2_normalize`` (x / max(||x||, eps) with eps=1e-12).
 """
 
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -20,3 +24,43 @@ class L2Normalization:
 
     def __call__(self, inputs):
         return l2_normalize(inputs, axis=self.axis)
+
+
+class FastLayerNorm(nn.Module):
+    """LayerNorm whose mean/variance run in ``stats_dtype``.
+
+    ``flax.linen.LayerNorm`` always promotes statistics to float32; under a
+    bf16 mixed-precision policy that promotion is ~10% of a ViT train step
+    (BASELINE.md). With ``stats_dtype=bfloat16`` the statistics stay in the
+    compute dtype — exactly what the reference does under Keras
+    ``mixed_float16``, where ``LayerNormalization`` computes in the layer's
+    compute dtype. Parameter names/shapes (``scale``, ``bias``) match
+    ``nn.LayerNorm``, so checkpoints are interchangeable; the fp32-stats
+    default path belongs to ``nn.LayerNorm`` itself (see
+    ``chambers_tpu.layers.transformer``), keeping exact parity numerics.
+    """
+
+    epsilon: float = 1e-6
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+    stats_dtype: Any = jnp.bfloat16
+    use_bias: bool = True
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        sd = self.stats_dtype
+        xs = x.astype(sd)
+        mu = xs.mean(-1, keepdims=True)
+        var = ((xs - mu) ** 2).mean(-1, keepdims=True)
+        y = (xs - mu) * jax.lax.rsqrt(var + jnp.asarray(self.epsilon, sd))
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (d,),
+                               self.param_dtype)
+            y = y * scale.astype(sd)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (d,),
+                              self.param_dtype)
+            y = y + bias.astype(sd)
+        return y.astype(self.dtype or x.dtype)

@@ -28,6 +28,18 @@ from flax import linen as nn
 
 from chambers_tpu.activations import gelu
 from chambers_tpu.layers.attention import MultiHeadAttention
+from chambers_tpu.layers.normalization import FastLayerNorm
+
+
+def _make_norm(epsilon, dtype, param_dtype, stats_dtype):
+    """nn.LayerNorm (f32 statistics — the exact parity default) or
+    FastLayerNorm with statistics in ``stats_dtype`` (mixed-precision mode,
+    ~10%% faster per ViT train step). Same param names either way."""
+    if stats_dtype is None:
+        return nn.LayerNorm(epsilon=epsilon, dtype=dtype,
+                            param_dtype=param_dtype)
+    return FastLayerNorm(epsilon=epsilon, dtype=dtype,
+                         param_dtype=param_dtype, stats_dtype=stats_dtype)
 
 
 class EncoderLayer(nn.Module):
@@ -46,6 +58,7 @@ class EncoderLayer(nn.Module):
     # tanh-approximate GELU is ~15% faster on the VPU than the exact-erf
     # form; default False matches the reference encoder (transformer.py:43)
     gelu_approximate: bool = False
+    norm_stats_dtype: Optional[Any] = None
 
     def setup(self):
         self.multi_head_attention = MultiHeadAttention(
@@ -59,10 +72,10 @@ class EncoderLayer(nn.Module):
             attention_impl=self.attention_impl,
             score_dtype=self.score_dtype,
         )
-        self.norm1 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
-                                  param_dtype=self.param_dtype)
-        self.norm2 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
-                                  param_dtype=self.param_dtype)
+        self.norm1 = _make_norm(self.norm_epsilon, self.dtype,
+                                 self.param_dtype, self.norm_stats_dtype)
+        self.norm2 = _make_norm(self.norm_epsilon, self.dtype,
+                                 self.param_dtype, self.norm_stats_dtype)
         self.dense1 = nn.Dense(self.ff_dim, kernel_init=self.kernel_init,
                                dtype=self.dtype, param_dtype=self.param_dtype)
         self.dense2 = nn.Dense(self.embed_dim, kernel_init=self.kernel_init,
@@ -109,6 +122,7 @@ class DecoderLayer(nn.Module):
     # tanh-approximate GELU is ~15% faster on the VPU than the exact-erf
     # form; default False matches the reference encoder (transformer.py:43)
     gelu_approximate: bool = False
+    norm_stats_dtype: Optional[Any] = None
 
     def setup(self):
         common = dict(kernel_init=self.kernel_init, dtype=self.dtype,
@@ -129,12 +143,12 @@ class DecoderLayer(nn.Module):
             causal=False,
             **mha_common,
         )
-        self.norm1 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
-                                  param_dtype=self.param_dtype)
-        self.norm2 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
-                                  param_dtype=self.param_dtype)
-        self.norm3 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
-                                  param_dtype=self.param_dtype)
+        self.norm1 = _make_norm(self.norm_epsilon, self.dtype,
+                                 self.param_dtype, self.norm_stats_dtype)
+        self.norm2 = _make_norm(self.norm_epsilon, self.dtype,
+                                 self.param_dtype, self.norm_stats_dtype)
+        self.norm3 = _make_norm(self.norm_epsilon, self.dtype,
+                                 self.param_dtype, self.norm_stats_dtype)
         self.dense1 = nn.Dense(self.ff_dim, **common)
         self.dense2 = nn.Dense(self.embed_dim, **common)
         self.dropout1 = nn.Dropout(self.dense_dropout_rate)
@@ -197,6 +211,7 @@ class Encoder(nn.Module):
     # tanh-approximate GELU is ~15% faster on the VPU than the exact-erf
     # form; default False matches the reference encoder (transformer.py:43)
     gelu_approximate: bool = False
+    norm_stats_dtype: Optional[Any] = None
 
     def setup(self):
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
@@ -215,12 +230,13 @@ class Encoder(nn.Module):
                 attention_impl=self.attention_impl,
                 score_dtype=self.score_dtype,
                 gelu_approximate=self.gelu_approximate,
+                norm_stats_dtype=self.norm_stats_dtype,
             )
             for _ in range(self.num_layers)
         ]
         self.norm_layer = (
-            nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
-                         param_dtype=self.param_dtype)
+            _make_norm(self.norm_epsilon, self.dtype,
+                       self.param_dtype, self.norm_stats_dtype)
             if self.norm_output
             else None
         )
@@ -255,6 +271,7 @@ class Decoder(nn.Module):
     # tanh-approximate GELU is ~15% faster on the VPU than the exact-erf
     # form; default False matches the reference encoder (transformer.py:43)
     gelu_approximate: bool = False
+    norm_stats_dtype: Optional[Any] = None
 
     def setup(self):
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
@@ -274,12 +291,13 @@ class Decoder(nn.Module):
                 attention_impl=self.attention_impl,
                 score_dtype=self.score_dtype,
                 gelu_approximate=self.gelu_approximate,
+                norm_stats_dtype=self.norm_stats_dtype,
             )
             for _ in range(self.num_layers)
         ]
         self.norm_layer = (
-            nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
-                         param_dtype=self.param_dtype)
+            _make_norm(self.norm_epsilon, self.dtype,
+                       self.param_dtype, self.norm_stats_dtype)
             if self.norm_output
             else None
         )

@@ -186,6 +186,7 @@ class VisionTransformer(nn.Module):
     attention_impl: str = "xla"
     score_dtype: Optional[Any] = None
     gelu_approximate: bool = False
+    norm_stats_dtype: Optional[Any] = None
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -224,6 +225,7 @@ class VisionTransformer(nn.Module):
             attention_impl=self.attention_impl,
             score_dtype=self.score_dtype,
             gelu_approximate=self.gelu_approximate,
+            norm_stats_dtype=self.norm_stats_dtype,
             name="encoder",
         )
         if self.feature_dim is not None:
@@ -280,6 +282,7 @@ class DistilledVisionTransformer(nn.Module):
     attention_impl: str = "xla"
     score_dtype: Optional[Any] = None
     gelu_approximate: bool = False
+    norm_stats_dtype: Optional[Any] = None
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -320,6 +323,7 @@ class DistilledVisionTransformer(nn.Module):
             attention_impl=self.attention_impl,
             score_dtype=self.score_dtype,
             gelu_approximate=self.gelu_approximate,
+            norm_stats_dtype=self.norm_stats_dtype,
             name="encoder",
         )
         if self.include_top:
@@ -399,6 +403,7 @@ def _build(
     attention_impl="xla",
     score_dtype=None,
     gelu_approximate=False,
+    norm_stats_dtype=None,
     seed: int = 0,
 ):
     weights_are_pretrained = _are_weights_pretrained(weights, model_name)
@@ -444,6 +449,7 @@ def _build(
         attention_impl=attention_impl,
         score_dtype=score_dtype,
         gelu_approximate=gelu_approximate,
+        norm_stats_dtype=norm_stats_dtype,
     )
     if module_cls is VisionTransformer:
         kwargs["feature_dim"] = feature_dim
@@ -488,6 +494,7 @@ def _vit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
         attention_impl="xla",
         score_dtype=None,
         gelu_approximate=False,
+        norm_stats_dtype=None,
         seed: int = 0,
     ):
         return _build(
@@ -510,6 +517,7 @@ def _vit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
             attention_impl=attention_impl,
             score_dtype=score_dtype,
             gelu_approximate=gelu_approximate,
+            norm_stats_dtype=norm_stats_dtype,
             seed=seed,
         )
 
@@ -531,6 +539,7 @@ def _deit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
         attention_impl="xla",
         score_dtype=None,
         gelu_approximate=False,
+        norm_stats_dtype=None,
         seed: int = 0,
     ):
         return _build(
@@ -553,6 +562,7 @@ def _deit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
             attention_impl=attention_impl,
             score_dtype=score_dtype,
             gelu_approximate=gelu_approximate,
+            norm_stats_dtype=norm_stats_dtype,
             seed=seed,
         )
 

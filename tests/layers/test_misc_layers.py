@@ -179,3 +179,58 @@ def test_recall_and_map():
     np.testing.assert_allclose(
         float(mean_average_precision(binary)), (1.0 + 1.0 / 3.0) / 2, atol=1e-6
     )
+
+
+def test_fast_layer_norm_matches_nn_layernorm():
+    """FastLayerNorm with f32 stats must equal nn.LayerNorm exactly (same
+    math, same param names so checkpoints interchange)."""
+    import flax.linen as nn
+
+    from chambers_tpu.layers.normalization import FastLayerNorm
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 7, 16)
+                    .astype(np.float32))
+    ref = nn.LayerNorm(epsilon=1e-6)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    fast = FastLayerNorm(epsilon=1e-6, stats_dtype=jnp.float32)
+    vf = fast.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(vf)
+    np.testing.assert_allclose(np.asarray(ref.apply(v, x)),
+                               np.asarray(fast.apply(v, x)), atol=1e-6)
+
+
+def test_fast_layer_norm_bf16_stats_close():
+    from chambers_tpu.layers.normalization import FastLayerNorm
+
+    import flax.linen as nn
+
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 7, 16)
+                    .astype(np.float32))
+    ref = nn.LayerNorm(epsilon=1e-6)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    fast = FastLayerNorm(epsilon=1e-6, stats_dtype=jnp.bfloat16)
+    out = np.asarray(fast.apply(v, x), np.float32)
+    np.testing.assert_allclose(out, np.asarray(ref.apply(v, x)),
+                               atol=0.05, rtol=0.05)
+
+
+def test_norm_stats_dtype_knob_on_encoder():
+    """norm_stats_dtype plumbs through Encoder; param structure unchanged."""
+    from chambers_tpu.layers import Encoder
+
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 9, 16)
+                    .astype(np.float32))
+    exact = Encoder(embed_dim=16, num_heads=2, ff_dim=32, num_layers=2,
+                    pre_norm=True, norm_output=True,
+                    attention_dropout_rate=0.0, dense_dropout_rate=0.0)
+    v = exact.init(jax.random.PRNGKey(0), x)
+    fast = Encoder(embed_dim=16, num_heads=2, ff_dim=32, num_layers=2,
+                   pre_norm=True, norm_output=True,
+                   attention_dropout_rate=0.0, dense_dropout_rate=0.0,
+                   norm_stats_dtype=jnp.bfloat16)
+    vf = fast.init(jax.random.PRNGKey(1), x)
+    assert jax.tree.structure(v) == jax.tree.structure(vf)
+    out_e = np.asarray(exact.apply(v, x))
+    out_f = np.asarray(fast.apply(v, x))  # same params, bf16-stat norms
+    assert not np.array_equal(out_e, out_f)
+    np.testing.assert_allclose(out_f, out_e, atol=0.1, rtol=0.1)
