@@ -192,7 +192,13 @@ class ExperimentCallback(CallbackList):
 
     def __init__(self, experiments_dir, checkpoint_monitor="val_loss",
                  checkpoint_mode="auto", tensorboard_update_freq="epoch",
-                 config_dump: Optional[dict] = None):
+                 config_dump: Optional[dict] = None,
+                 serving_input_shape=None):
+        """``serving_input_shape``: per-example input shape (e.g.
+        ``(224, 224, 3)``); when given, train end also writes
+        ``model/export/model.stablehlo`` — the self-contained AOT serving
+        artifact (``chambers_tpu.serving``), the analog of the reference's
+        train-end SavedModel (callbacks.py:103)."""
         now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
         self.experiment_dir = os.path.join(experiments_dir, now)
         self.log_dir = os.path.join(self.experiment_dir, "logs")
@@ -200,6 +206,7 @@ class ExperimentCallback(CallbackList):
         self.checkpoint_dir = os.path.join(self.model_dir, "checkpoints")
         self.export_dir = os.path.join(self.model_dir, "export")
         self.config_dump = config_dump
+        self.serving_input_shape = serving_input_shape
 
         super().__init__([
             CSVLogger(os.path.join(self.log_dir, "epoch_results.txt")),
@@ -230,6 +237,14 @@ class ExperimentCallback(CallbackList):
 
     def on_train_end(self, logs=None):
         self.model.export(self.export_dir)
+        if self.serving_input_shape is not None:
+            from chambers_tpu.serving import export_serving_artifact
+
+            export_serving_artifact(
+                self.model,
+                os.path.join(self.export_dir, "model.stablehlo"),
+                self.serving_input_shape,
+            )
         for c in self.callbacks:
             c.on_train_end(logs)
 

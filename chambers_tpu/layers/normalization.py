@@ -49,18 +49,27 @@ class FastLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from flax.linen import dtypes as flax_dtypes
+
         d = x.shape[-1]
         sd = self.stats_dtype
         xs = x.astype(sd)
         mu = xs.mean(-1, keepdims=True)
         var = ((xs - mu) ** 2).mean(-1, keepdims=True)
         y = (xs - mu) * jax.lax.rsqrt(var + jnp.asarray(self.epsilon, sd))
+        promote = [x]
         if self.use_scale:
             scale = self.param("scale", nn.initializers.ones, (d,),
                                self.param_dtype)
+            promote.append(scale)
             y = y * scale.astype(sd)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (d,),
                               self.param_dtype)
+            promote.append(bias)
             y = y + bias.astype(sd)
-        return y.astype(self.dtype or x.dtype)
+        # same output-dtype contract as nn.LayerNorm: dtype if given, else
+        # the promotion of input and param dtypes — so enabling bf16 *stats*
+        # never silently changes the activation dtype downstream
+        out_dtype = flax_dtypes.canonicalize_dtype(*promote, dtype=self.dtype)
+        return y.astype(out_dtype)

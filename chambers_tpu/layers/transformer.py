@@ -34,7 +34,7 @@ from chambers_tpu.layers.normalization import FastLayerNorm
 def _make_norm(epsilon, dtype, param_dtype, stats_dtype):
     """nn.LayerNorm (f32 statistics — the exact parity default) or
     FastLayerNorm with statistics in ``stats_dtype`` (mixed-precision mode,
-    ~10%% faster per ViT train step). Same param names either way."""
+    ~10% faster per ViT train step). Same param names either way."""
     if stats_dtype is None:
         return nn.LayerNorm(epsilon=epsilon, dtype=dtype,
                             param_dtype=param_dtype)

@@ -28,7 +28,6 @@ def export_serving_artifact(
     input_shape: Sequence[int],
     batch_size: Optional[int] = None,
     input_dtype=jnp.float32,
-    deterministic: bool = True,
     platforms: Optional[Sequence[str]] = None,
 ):
     """Serialize ``model``'s forward pass (variables baked in) to ``path``.
@@ -46,7 +45,10 @@ def export_serving_artifact(
     variables = model.variables
 
     def fn(x):
-        return model.apply_fn(variables, x, deterministic=deterministic)
+        # serving is inference: always the deterministic path (a training
+        # export would need dropout RNG plumbing that apply_fn(variables, x)
+        # does not carry)
+        return model.apply_fn(variables, x, deterministic=True)
 
     if batch_size is None:
         (b,) = jax_export.symbolic_shape("b")
@@ -66,12 +68,12 @@ def export_serving_artifact(
 def load_serving_artifact(path: str):
     """Load an exported artifact; returns ``fn(images) -> outputs``.
 
-    The returned callable jit-compiles on first use for the local backend.
+    The callable is ``jax.jit``-wrapped: each distinct input shape compiles
+    once and later calls dispatch through the compiled-function cache
+    (eager ``Exported.call`` re-traces per invocation — ~30× dispatch
+    overhead in a request loop).
     """
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
 
-    def fn(x):
-        return exported.call(jnp.asarray(x))
-
-    return fn
+    return jax.jit(exported.call)

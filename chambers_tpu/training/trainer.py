@@ -83,10 +83,22 @@ class _DevicePrefetcher:
 
 
 class _CallbackModel:
-    """The model facade handed to callbacks: save/export current state."""
+    """The model facade handed to callbacks: save/export current state.
+
+    Also exposes ``variables``/``apply_fn`` so serving export
+    (``chambers_tpu.serving.export_serving_artifact``) works on the live
+    train state, e.g. from ``ExperimentCallback(serving_input_shape=...)``.
+    """
 
     def __init__(self, trainer: "Trainer"):
         self._trainer = trainer
+
+    @property
+    def variables(self):
+        return self._trainer.variables
+
+    def apply_fn(self, variables, x, deterministic=True, rngs=None):
+        return self._trainer._apply_fn(variables, x, deterministic, rngs)
 
     def save_weights(self, path):
         with open(path, "wb") as f:

@@ -54,14 +54,61 @@ def test_export_symbolic_batch(tiny_vit, tmp_path):
 
 
 def test_artifact_is_self_contained(tiny_vit, tmp_path):
-    """The artifact bakes the variables: calling it never touches the model
-    object (deleting the model is fine)."""
+    """The artifact bakes the variables: a fresh subprocess with no model
+    code reconstructs the outputs from the file alone."""
+    import subprocess
+    import sys
+
     path = str(tmp_path / "model.stablehlo")
     export_serving_artifact(tiny_vit, path, (32, 32, 3), batch_size=2)
     x = np.random.RandomState(1).rand(2, 32, 32, 3).astype(np.float32)
     want = np.asarray(tiny_vit.module.apply(tiny_vit.variables,
                                             jnp.asarray(x),
                                             deterministic=True))
-    del tiny_vit
-    serve = load_serving_artifact(path)
-    np.testing.assert_allclose(np.asarray(serve(x)), want, atol=1e-5)
+    xfile = str(tmp_path / "x.npy")
+    outfile = str(tmp_path / "out.npy")
+    np.save(xfile, x)
+    script = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from jax import export\n"
+        f"exported = export.deserialize(open({path!r}, 'rb').read())\n"
+        f"out = exported.call(np.load({xfile!r}))\n"
+        f"np.save({outfile!r}, np.asarray(out))\n"
+    )
+    subprocess.run([sys.executable, "-c", script], check=True)
+    np.testing.assert_allclose(np.load(outfile), want, atol=1e-5)
+
+
+def test_experiment_callback_serving_export(tmp_path):
+    """ExperimentCallback(serving_input_shape=...) writes the AOT artifact
+    at train end from the live train state."""
+    import glob
+
+    import flax.linen as nn
+    import optax
+
+    from chambers_tpu.callbacks import ExperimentCallback
+    from chambers_tpu.training import Trainer
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            return nn.Dense(1)(x)
+
+    module = Net()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    model = Model(module, variables)
+    trainer = Trainer(model, loss=lambda a, b: jnp.mean((a - b) ** 2),
+                      optimizer=optax.sgd(1e-2))
+    data = [(np.ones((8, 4), np.float32), np.ones((8, 1), np.float32))] * 2
+    cb = ExperimentCallback(str(tmp_path), serving_input_shape=(4,))
+    trainer.fit(data, epochs=1, callbacks=[cb], verbose=False)
+
+    (artifact,) = glob.glob(str(tmp_path / "*" / "model" / "export"
+                                / "model.stablehlo"))
+    serve = load_serving_artifact(artifact)
+    x = np.random.RandomState(0).rand(8, 4).astype(np.float32)
+    want = np.asarray(trainer.model.module.apply(trainer.variables,
+                                                 jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(serve(x)), want, atol=1e-6)
