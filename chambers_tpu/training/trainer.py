@@ -34,6 +34,8 @@ from chambers_tpu.callbacks import Callback, CallbackList
 @struct.dataclass
 class TrainState:
     params: Any
+    extra_vars: Any  # non-param collections; mutable ones (batch_stats)
+    # are updated by train_step, so they live in the donated state
     opt_state: Any
     rng: jax.Array
     step: jax.Array
@@ -157,13 +159,21 @@ class Trainer:
         }
 
         params = model.variables["params"]
+        extra_vars = {
+            k: dict(v) if hasattr(v, "items") else v
+            for k, v in model.variables.items() if k != "params"
+        }
         if donate:
             # the train step donates its state buffers; keep the caller's
             # model.variables alive by training on a copy
             params = jax.tree.map(jnp.array, params)
-        self._extra_vars = {
-            k: v for k, v in model.variables.items() if k != "params"
-        }
+            extra_vars = jax.tree.map(jnp.array, extra_vars)
+        # collections the train step applies mutably and threads through the
+        # state — BatchNorm running stats. The reference trains BN backbones
+        # through Keras fit, which updates moving_mean/variance implicitly
+        # (e.g. senet.py's compiled models); here the updated collection comes
+        # back explicitly from module.apply(mutable=...) each step.
+        self._mutable = [k for k in extra_vars if k == "batch_stats"]
 
         if mesh is not None:
             from chambers_tpu.parallel.sharding import (
@@ -176,11 +186,17 @@ class Trainer:
                 params = jax.tree.map(jax.device_put, params, shardings)
             else:
                 params = replicate(params, mesh)
+            # batch stats are per-channel vectors — replicate them; under a
+            # sharded global batch the written stats are the global-batch
+            # moments (the mean/var reductions span the full data axis, XLA
+            # inserts the collectives)
+            extra_vars = replicate(extra_vars, mesh)
             # init AFTER placement: optimizer state (mu/nu etc. via
             # zeros_like) inherits the params' shardings instead of being
             # fully replicated on every device
             self.state = TrainState(
                 params=params,
+                extra_vars=extra_vars,
                 opt_state=optimizer.init(params),
                 rng=replicate(jax.random.PRNGKey(seed), mesh),
                 step=replicate(jnp.zeros([], jnp.int32), mesh),
@@ -188,6 +204,7 @@ class Trainer:
         else:
             self.state = TrainState(
                 params=params,
+                extra_vars=extra_vars,
                 opt_state=optimizer.init(params),
                 rng=jax.random.PRNGKey(seed),
                 step=jnp.zeros([], jnp.int32),
@@ -195,11 +212,20 @@ class Trainer:
 
         module = model.module
         if apply_fn is None:
-            def apply_fn(variables, x, deterministic, rngs):
+            def apply_fn(variables, x, deterministic, rngs, mutable=False):
                 return module.apply(
-                    variables, x, deterministic=deterministic, rngs=rngs
+                    variables, x, deterministic=deterministic, rngs=rngs,
+                    mutable=mutable,
                 )
+        import inspect
+
         self._apply_fn = apply_fn
+        # a custom apply_fn opts into batch-stats updates by accepting a
+        # `mutable` kwarg (mirroring module.apply); without it, stats stay
+        # frozen during training (inference-style fine-tuning)
+        self._apply_accepts_mutable = (
+            "mutable" in inspect.signature(apply_fn).parameters
+        )
 
         def _metric_logs(y, y_pred, metric_states):
             logs = {name: fn(y, y_pred) for name, fn in self._metric_fns.items()}
@@ -209,18 +235,29 @@ class Trainer:
             }
             return logs, new_states
 
+        mutable_in_train = self._mutable if self._apply_accepts_mutable else []
+
         def train_step(state: TrainState, metric_states, x, y):
             rng, dropout_rng = jax.random.split(state.rng)
 
             def loss_fn(params):
-                variables = {"params": params, **self._extra_vars}
-                y_pred = self._apply_fn(
-                    variables, x, deterministic=False,
-                    rngs={"dropout": dropout_rng},
-                )
-                return self.loss(y, y_pred), y_pred
+                variables = {"params": params, **state.extra_vars}
+                if mutable_in_train:
+                    y_pred, mutated = self._apply_fn(
+                        variables, x, deterministic=False,
+                        rngs={"dropout": dropout_rng},
+                        mutable=mutable_in_train,
+                    )
+                    extra_vars = {**state.extra_vars, **dict(mutated)}
+                else:
+                    y_pred = self._apply_fn(
+                        variables, x, deterministic=False,
+                        rngs={"dropout": dropout_rng},
+                    )
+                    extra_vars = state.extra_vars
+                return self.loss(y, y_pred), (y_pred, extra_vars)
 
-            (loss_value, y_pred), grads = jax.value_and_grad(
+            (loss_value, (y_pred, extra_vars)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
             updates, opt_state = self.optimizer.update(
@@ -228,7 +265,8 @@ class Trainer:
             )
             params = optax.apply_updates(state.params, updates)
             new_state = TrainState(
-                params=params, opt_state=opt_state, rng=rng, step=state.step + 1
+                params=params, extra_vars=extra_vars, opt_state=opt_state,
+                rng=rng, step=state.step + 1,
             )
             # train-time metrics reuse the forward pass already paid for the
             # loss (Keras semantics); streaming states accumulate on device
@@ -236,8 +274,8 @@ class Trainer:
             logs["loss"] = loss_value
             return new_state, metric_states, logs
 
-        def eval_step(params, metric_states, x, y):
-            variables = {"params": params, **self._extra_vars}
+        def eval_step(params, extra_vars, metric_states, x, y):
+            variables = {"params": params, **extra_vars}
             y_pred = self._apply_fn(variables, x, deterministic=True, rngs=None)
             logs, metric_states = _metric_logs(y, y_pred, metric_states)
             logs["loss"] = self.loss(y, y_pred)
@@ -245,7 +283,7 @@ class Trainer:
 
         donate_args = (0, 1) if donate else (1,)
         self.train_step = jax.jit(train_step, donate_argnums=donate_args)
-        self.eval_step = jax.jit(eval_step, donate_argnums=(1,))
+        self.eval_step = jax.jit(eval_step, donate_argnums=(2,))
 
     def _place_batch(self, x, y):
         if self.mesh is None:
@@ -257,7 +295,7 @@ class Trainer:
     # -- state access -------------------------------------------------------
     @property
     def variables(self):
-        return {"params": self.state.params, **self._extra_vars}
+        return {"params": self.state.params, **self.state.extra_vars}
 
     def sync_model(self):
         """Copy the trained params back into the wrapped model.
@@ -381,7 +419,7 @@ class Trainer:
         for step, (x, y) in enumerate(bounded):
             callback_list.on_test_batch_begin(step)
             metric_states, logs = self.eval_step(
-                self.state.params, metric_states, x, y
+                self.state.params, self.state.extra_vars, metric_states, x, y
             )
             # keep scalars on device during the loop; one sync at the end
             for k, v in logs.items():
