@@ -90,7 +90,11 @@ class Dataset:
                 cores = len(os.sched_getaffinity(0))
             except AttributeError:  # non-Linux
                 cores = os.cpu_count() or 1
-            workers = (max(cores, 2) if num_parallel_calls == AUTOTUNE
+            # cap AUTOTUNE: beyond ~32 threads a GIL-bound map fn gains
+            # nothing and the 2x in-flight window starts costing memory on
+            # big hosts; explicit num_parallel_calls is honored unclamped
+            workers = (min(max(cores, 2), 32)
+                       if num_parallel_calls == AUTOTUNE
                        else num_parallel_calls)
             # single-core hosts gain nothing from a CPU-bound thread pool;
             # the per-element future overhead just slows the stream down

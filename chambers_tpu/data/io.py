@@ -56,6 +56,15 @@ def match_img_files_triplet(dir_path):
     )
 
 
+def _is_jpeg(path):
+    """Sniff the JPEG SOI marker (FFD8) — content, not extension."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(2) == b"\xff\xd8"
+    except OSError:
+        return False
+
+
 def read_and_decode_image(file, channels=3):
     """Read + decode an image file to a uint8 ``[h, w, channels]`` array.
 
@@ -66,18 +75,35 @@ def read_and_decode_image(file, channels=3):
     ``tf.io.decode_jpeg`` applies orientation tags); everything else — and
     the L/RGBA channel requests — takes the PIL path, so formats where the
     two libraries disagree (16-bit PNGs: cv2 keeps the high byte, PIL
-    clips) decode identically with or without cv2 installed.
+    clips) decode identically with or without cv2 installed. Dispatch is by
+    content (the JPEG FFD8 magic), not extension, so a mislabeled ``.jpg``
+    can't silently take a divergent decoder. Note: cv2 and PIL JPEG output
+    can differ by ±1 LSB depending on the libjpeg build, so pixel values are
+    install-dependent on the fast path (byte-identical on this image's
+    libjpeg-turbo — tests/data/test_io.py pins it).
     """
     path = os.fspath(file)
-    if channels == 3 and path.lower().endswith((".jpg", ".jpeg")):
+    if channels == 3 and _is_jpeg(path):
         try:
             import cv2
 
-            img = cv2.imread(
-                path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
-            )
-            if img is not None:
-                return np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
+            # decode straight to RGB when cv2 supports it (OpenCV >= 4.10);
+            # else cvtColor — both in C++. A numpy [..., ::-1] copy here
+            # costs more than 1 ms per 500x375 image (a third of the whole
+            # decode), dominating the Python-side overhead vs tf.data.
+            if hasattr(cv2, "IMREAD_COLOR_RGB"):
+                img = cv2.imread(
+                    path,
+                    cv2.IMREAD_COLOR_RGB | cv2.IMREAD_IGNORE_ORIENTATION,
+                )
+                if img is not None:
+                    return img
+            else:
+                img = cv2.imread(
+                    path, cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION
+                )
+                if img is not None:
+                    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         except ImportError:
             pass
 

@@ -357,6 +357,23 @@ def _flash_bwd(scale, causal, block_q, block_k, residuals, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def _auto_block(t):
+    """Default block size for sequence length ``t`` (see flash_attention)."""
+    padded = -(-t // 128) * 128
+    if padded <= 1024:
+        return padded  # one exact-fit block
+    if padded <= 2048:
+        # a fixed 512 here can pad badly (t=1100 -> 1536, +40%); pick the
+        # 128-multiple block in [384, 1024] minimizing total padded length
+        # (384 floor: 128-blocks lose 13-26% to larger blocks on v5e even
+        # unpadded). Ties -> the largest block.
+        return min(
+            (b for b in range(1024, 383, -128)),
+            key=lambda b: -(-padded // b) * b,
+        )
+    return 512
+
+
 def flash_attention(
     query,
     value,
@@ -379,10 +396,6 @@ def flash_attention(
     for longer sequences, where 512-blocks beat both 128×128 and XLA's dense
     attention for fwd+bwd at every measured length (13–26%).
     """
-    def _auto_block(t):
-        padded = -(-t // 128) * 128
-        return padded if padded <= 1024 else 512
-
     if key is None:
         key = value
     b, n, tq, h = query.shape

@@ -322,7 +322,16 @@ class Trainer:
             validation_steps: Optional[int] = None,
             callbacks: Sequence[Callback] = (), verbose: bool = True,
             initial_epoch: int = 0):
-        """Train over an iterable of ``(x_batch, y_batch)`` NumPy pairs."""
+        """Train over an iterable of ``(x_batch, y_batch)`` NumPy pairs.
+
+        Note: the device prefetcher reads up to 2 batches ahead of the last
+        trained step, so when ``dataset`` is a shared single-pass generator
+        driven with ``steps_per_epoch``, up to 2 batches beyond the trained
+        range are consumed (and dropped) when ``fit`` returns — a second
+        ``fit`` on the same stream resumes after them. Pass a re-iterable
+        dataset (or a fresh generator) when exact stream positioning across
+        ``fit`` calls matters.
+        """
         callback_list = CallbackList(list(callbacks))
         callback_list.set_model(_CallbackModel(self))
         callback_list.set_params({"epochs": epochs})

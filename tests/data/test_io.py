@@ -121,3 +121,19 @@ def test_decode_16bit_png_consistent_without_cv2(image_dir):
     with Image.open(path) as img:
         want = np.asarray(img.convert("RGB"), np.uint8)
     np.testing.assert_array_equal(out, want)
+
+
+def test_decode_dispatches_on_magic_bytes(tmp_path):
+    """ADVICE r2: a non-JPEG misnamed .jpg must take the PIL path (content
+    sniffing), decoding identically with or without cv2 installed."""
+    import numpy as np
+    from PIL import Image
+
+    from chambers_tpu.data.io import read_and_decode_image
+
+    arr = (np.arange(16 * 16 * 3, dtype=np.uint32) % 256).astype(np.uint8)
+    img = arr.reshape(16, 16, 3)
+    path = tmp_path / "actually_png.jpg"
+    Image.fromarray(img).save(path, format="PNG")
+    out = read_and_decode_image(str(path))
+    np.testing.assert_array_equal(out, img)  # lossless PNG round-trip

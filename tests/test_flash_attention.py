@@ -140,3 +140,27 @@ def test_vit_preset_with_flash():
                    attention_impl="flash")
     out = model(np.zeros((1, 32, 32, 3), np.float32))
     assert out.shape == (1, 1000)
+
+
+def test_auto_block_minimizes_padding_midrange():
+    """ADVICE r2: t in (1024, 2048] must not pad to 1.5x (fixed 512 blocks
+    padded t=1100 to 1536); blocks divide the 128-padded length when a
+    [384, 1024] divisor exists."""
+    from chambers_tpu.ops.flash_attention import _auto_block
+
+    # exact-fit single block below the cutoff
+    assert _auto_block(577) == 640
+    assert _auto_block(1024) == 1024
+    # mid-range: minimal total padding
+    assert _auto_block(1100) == 384   # 3x384 = 1152 (the 128-padded length)
+    assert _auto_block(1280) == 640   # exact
+    assert _auto_block(1536) == 768   # exact
+    assert _auto_block(2048) == 1024  # exact
+    for t in range(1025, 2049, 7):
+        b = _auto_block(t)
+        padded128 = -(-t // 128) * 128
+        total = -(-padded128 // b) * b
+        assert total <= padded128 * 1.34, (t, b, total)
+    # long sequences keep the measured 512 default
+    assert _auto_block(4096) == 512
+
