@@ -195,6 +195,23 @@ class SENetModule(nn.Module):
     classes: int = 1000
     dtype: Optional[Any] = None
 
+    def get_config(self):
+        """Config round-trip (``chambers_tpu.serialization``): the
+        ``residual_block`` entry is a class — encode it by name."""
+        params = self.model_params._asdict()
+        params["residual_block"] = params["residual_block"].__name__
+        return {"model_params": params, "include_top": self.include_top,
+                "classes": self.classes, "dtype": self.dtype}
+
+    @classmethod
+    def from_config(cls, config):
+        config = dict(config)
+        params = dict(config.pop("model_params"))
+        blocks = {c.__name__: c for c in
+                  (SEResNetBottleneck, SEResNeXtBottleneck, SEBottleneck)}
+        params["residual_block"] = blocks[params["residual_block"]]
+        return cls(model_params=ModelParams(**params), **config)
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         p = self.model_params

@@ -97,47 +97,104 @@ def extend_with_weight_decay(
     ) if weight_decay else base_optimizer
 
 
-def AdamW(
-    weight_decay: ScalarOrSchedule,
-    decay_include=None,
-    decay_exclude=None,
-    learning_rate: ScalarOrSchedule = 0.001,
-    beta_1: float = 0.9,
-    beta_2: float = 0.999,
-    epsilon: float = 1e-7,
-    amsgrad: bool = False,
-) -> optax.GradientTransformation:
+class _ConfiguredOptimizer:
+    """An optax ``GradientTransformation`` that keeps its constructor config.
+
+    The reference registers ``SGDW``/``AdamW`` as Keras-serializable with a
+    ``get_config`` round-trip (reference optimizers.py:289-290,371-372).
+    optax transformations are anonymous closures, so the named optimizers are
+    classes: instances expose ``init``/``update`` (the transformation
+    protocol) plus ``get_config``/``from_config`` for
+    ``chambers_tpu.serialization``.
+    """
+
+    def __init__(self, **config):
+        self._config = config
+        self._tx = self._build(**config)
+
+    @staticmethod
+    def _build(**config) -> optax.GradientTransformation:
+        raise NotImplementedError
+
+    def init(self, params):
+        return self._tx.init(params)
+
+    def update(self, updates, state, params=None):
+        return self._tx.update(updates, state, params)
+
+    def get_config(self):
+        return dict(self._config)
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(**config)
+
+
+class AdamW(_ConfiguredOptimizer):
     """Adam + decoupled weight decay (optimizers.py:372-464).
 
     Defaults mirror the reference (note Keras's epsilon=1e-7, not 1e-8).
     """
-    base = optax.chain(
-        optax.scale_by_amsgrad(b1=beta_1, b2=beta_2, eps=epsilon)
-        if amsgrad
-        else optax.scale_by_adam(b1=beta_1, b2=beta_2, eps=epsilon),
-        optax.scale_by_learning_rate(learning_rate),
-    )
-    return extend_with_weight_decay(
-        base, weight_decay, decay_include=decay_include,
-        decay_exclude=decay_exclude,
-    )
+
+    def __init__(
+        self,
+        weight_decay: ScalarOrSchedule,
+        decay_include=None,
+        decay_exclude=None,
+        learning_rate: ScalarOrSchedule = 0.001,
+        beta_1: float = 0.9,
+        beta_2: float = 0.999,
+        epsilon: float = 1e-7,
+        amsgrad: bool = False,
+    ):
+        super().__init__(
+            weight_decay=weight_decay, decay_include=decay_include,
+            decay_exclude=decay_exclude, learning_rate=learning_rate,
+            beta_1=beta_1, beta_2=beta_2, epsilon=epsilon, amsgrad=amsgrad,
+        )
+
+    @staticmethod
+    def _build(weight_decay, decay_include, decay_exclude, learning_rate,
+               beta_1, beta_2, epsilon, amsgrad):
+        base = optax.chain(
+            optax.scale_by_amsgrad(b1=beta_1, b2=beta_2, eps=epsilon)
+            if amsgrad
+            else optax.scale_by_adam(b1=beta_1, b2=beta_2, eps=epsilon),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+        return extend_with_weight_decay(
+            base, weight_decay, decay_include=decay_include,
+            decay_exclude=decay_exclude,
+        )
 
 
-def SGDW(
-    weight_decay: ScalarOrSchedule,
-    decay_include=None,
-    decay_exclude=None,
-    learning_rate: ScalarOrSchedule = 0.001,
-    momentum: float = 0.0,
-    nesterov: bool = False,
-) -> optax.GradientTransformation:
+class SGDW(_ConfiguredOptimizer):
     """SGD (+momentum/nesterov) + decoupled weight decay
     (optimizers.py:290-368)."""
-    parts = []
-    if momentum:
-        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
-    parts.append(optax.scale_by_learning_rate(learning_rate))
-    return extend_with_weight_decay(
-        optax.chain(*parts), weight_decay,
-        decay_include=decay_include, decay_exclude=decay_exclude,
-    )
+
+    def __init__(
+        self,
+        weight_decay: ScalarOrSchedule,
+        decay_include=None,
+        decay_exclude=None,
+        learning_rate: ScalarOrSchedule = 0.001,
+        momentum: float = 0.0,
+        nesterov: bool = False,
+    ):
+        super().__init__(
+            weight_decay=weight_decay, decay_include=decay_include,
+            decay_exclude=decay_exclude, learning_rate=learning_rate,
+            momentum=momentum, nesterov=nesterov,
+        )
+
+    @staticmethod
+    def _build(weight_decay, decay_include, decay_exclude, learning_rate,
+               momentum, nesterov):
+        parts = []
+        if momentum:
+            parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+        parts.append(optax.scale_by_learning_rate(learning_rate))
+        return extend_with_weight_decay(
+            optax.chain(*parts), weight_decay,
+            decay_include=decay_include, decay_exclude=decay_exclude,
+        )

@@ -38,13 +38,31 @@ def _register_public_namespaces():
     import chambers_tpu.layers as L
     import chambers_tpu.losses as Lo
     import chambers_tpu.miners as M
+    import chambers_tpu.optimizers as O
     import chambers_tpu.schedules as S
 
-    for mod in (L, Lo, M, A, S):
+    for mod in (L, Lo, M, A, S, O):
         for name in dir(mod):
             obj = getattr(mod, name)
-            if inspect.isclass(obj) and obj.__module__.startswith("chambers_tpu"):
+            if (inspect.isclass(obj) and not name.startswith("_")
+                    and obj.__module__.startswith("chambers_tpu")):
                 _REGISTRY.setdefault(name, obj)
+
+    # model architectures (the reference's model builders return Keras models
+    # whose get_config is the module graph; here the Flax module dataclass IS
+    # the architecture config — reference vision_transformer.py:288)
+    from chambers_tpu.models import Seq2SeqTransformer
+    from chambers_tpu.models.backbones import (
+        DistilledVisionTransformer, VisionTransformer,
+    )
+    from chambers_tpu.models.backbones.inception import BNInceptionModule
+    from chambers_tpu.models.backbones.resnext import ResNeXtModule
+    from chambers_tpu.models.backbones.senet import SENetModule
+    from chambers_tpu.models.detection import DETR
+
+    for cls in (VisionTransformer, DistilledVisionTransformer, SENetModule,
+                ResNeXtModule, BNInceptionModule, Seq2SeqTransformer, DETR):
+        _REGISTRY.setdefault(cls.__name__, cls)
 
 
 def _ensure_registry():
