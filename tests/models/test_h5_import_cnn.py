@@ -113,3 +113,104 @@ def test_stream_mismatch_raises(tmp_path, small_senet):
     _write_stream_h5(path, arrays)
     with pytest.raises(ValueError, match="mismatch"):
         load_cnn_h5_weights(path, variables)
+
+
+def _write_layered_h5(path, units):
+    """Write (conv_arrays, bn_arrays) units as a legacy Keras h5 with one
+    group per layer (conv2d_N / batch_normalization_N naming)."""
+    with h5py.File(path, "w") as f:
+        layer_names = []
+        for i, (conv, bn) in enumerate(units):
+            cname = "conv2d" if i == 0 else f"conv2d_{i}"
+            bname = ("batch_normalization" if i == 0
+                     else f"batch_normalization_{i}")
+            layer_names += [cname, bname]
+            g = f.create_group(cname)
+            wnames = [f"{cname}/kernel:0"] + (
+                [f"{cname}/bias:0"] if len(conv) > 1 else [])
+            g.attrs["weight_names"] = [n.encode() for n in wnames]
+            for n, a in zip(wnames, conv):
+                g.create_dataset(n, data=a)
+            g = f.create_group(bname)
+            wnames = [f"{bname}/{leaf}:0" for leaf in
+                      ("gamma", "beta", "moving_mean", "moving_variance")]
+            g.attrs["weight_names"] = [n.encode() for n in wnames]
+            for n, a in zip(wnames, bn):
+                g.create_dataset(n, data=a)
+        f.attrs["layer_names"] = [n.encode() for n in layer_names]
+
+
+def _convbn_units(variables):
+    """Group ordered leaves into ((kernel, bias), (scale, bias, mean, var))
+    units with fresh random values."""
+    rng = np.random.RandomState(7)
+    leaves = _ordered_param_leaves(variables)
+    units, i = [], 0
+    while i < len(leaves):
+        assert leaves[i][0][-1] == "kernel"
+        conv = [rng.randn(*leaves[i][1]).astype(np.float32),
+                rng.randn(*leaves[i + 1][1]).astype(np.float32)]
+        bn = [rng.randn(*leaves[i + 2 + o][1]).astype(np.float32)
+              for o in range(4)]
+        units.append((conv, bn))
+        i += 6
+    return units
+
+
+def test_convbn_import_in_order(tmp_path):
+    from chambers_tpu.models.backbones.h5_import_cnn import (
+        load_convbn_h5_weights,
+    )
+    from chambers_tpu.models.backbones.inception import BNInceptionModule
+
+    module = BNInceptionModule(modules=((8, 4, 6, 4, 10, 5, "avg"),))
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    units = _convbn_units(variables)
+    path = str(tmp_path / "bninc.h5")
+    _write_layered_h5(path, units)
+    loaded = load_convbn_h5_weights(path, variables)
+    np.testing.assert_array_equal(
+        loaded["params"]["_ConvBN_0"]["Conv_0"]["kernel"], units[0][0][0])
+    np.testing.assert_array_equal(
+        loaded["batch_stats"]["_ConvBN_0"]["BatchNorm_0"]["mean"],
+        units[0][1][2])
+
+
+def test_convbn_import_permuted_creation_order(tmp_path):
+    """VERDICT r2 next #7: the genuine release file's construction order is
+    unknown — a permuted twin must still land via the (kernel shape, bias)
+    signature fallback. Same-shaped units keep relative order (the 1x1
+    b3_reduce/bd_reduce pair here)."""
+    from chambers_tpu.models.backbones.h5_import_cnn import (
+        load_convbn_h5_weights,
+    )
+    from chambers_tpu.models.backbones.inception import BNInceptionModule
+
+    module = BNInceptionModule(modules=((8, 4, 6, 4, 10, 5, "avg"),))
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    units = _convbn_units(variables)
+
+    # permute distinct-shaped units: move the module's b1 conv (unit 3,
+    # 1x1x192->8) behind the double-3x3 branch, and the pool-proj (last)
+    # before it — relative order of the two identical 1x1x192->4 reduces
+    # (units 4 and 6) is preserved
+    order = list(range(len(units)))
+    assert len(units) == 10
+    permuted = [order[0], order[1], order[2], order[4], order[6], order[9],
+                order[3], order[5], order[7], order[8]]
+    assert sorted(permuted) == order and permuted != order
+    path = str(tmp_path / "bninc_perm.h5")
+    _write_layered_h5(path, [units[i] for i in permuted])
+
+    loaded = load_convbn_h5_weights(path, variables)
+    # every model unit must get ITS arrays back despite the permutation
+    leaves = _ordered_param_leaves(variables)
+    flat_expect = []
+    for conv, bn in units:
+        flat_expect += conv + bn
+    for (pth, _), arr in zip(leaves, flat_expect):
+        node = loaded[pth[0]]
+        for k in pth[1:]:
+            node = node[k]
+        np.testing.assert_array_equal(np.asarray(node), arr,
+                                      err_msg="/".join(pth))
