@@ -172,10 +172,94 @@ def _bench_metric_learning(batch):
     )
 
 
+def _bench_detr(batch):
+    """BASELINE config 5: DETR train step (fwd + Hungarian-matching loss +
+    bwd + AdamW) on a COCO-format synthetic batch.
+
+    BENCH_DETR_MATCHER selects the assignment path:
+      - "precomputed": assignment computed once outside the loop (isolates
+        the model+loss compute; the host matcher cost is excluded)
+      - "auction": device-side ε-auction inside the step (fully jittable —
+        the deployable TPU path)
+      - "callback": the exact host matcher via pure_callback inside the step
+        (per-step host round-trip; the relay makes this the worst case)
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from chambers_tpu.losses.detection import DETRLoss
+    from chambers_tpu.models.detection import build_detr
+    from chambers_tpu.optimizers import AdamW
+
+    matcher_mode = os.environ.get("BENCH_DETR_MATCHER", "auction")
+    batch = batch or 8
+    num_classes, num_targets = 91, 20
+    model = build_detr(num_classes=num_classes, input_shape=(224, 224, 3),
+                       aux_loss=True, dtype=jnp.bfloat16)
+    loss_fn = DETRLoss(
+        num_classes=num_classes,
+        matcher="auction" if matcher_mode == "auction" else "hungarian",
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 224, 224, 3), jnp.float32)
+    targets = {
+        "labels": jnp.asarray(rng.randint(0, num_classes,
+                                          (batch, num_targets))),
+        "boxes": jnp.asarray(rng.rand(batch, num_targets, 4), jnp.float32),
+        "mask": jnp.asarray(
+            rng.rand(batch, num_targets) < 0.6),  # ~12 real boxes/image
+    }
+    params = model.variables["params"]
+    optimizer = AdamW(weight_decay=1e-4, learning_rate=1e-4,
+                      decay_exclude=["bias", "norm"])
+    opt_state = optimizer.init(params)
+
+    precomputed = None
+    if matcher_mode == "precomputed":
+        outputs = model.apply_fn({"params": params}, x, deterministic=True)
+        precomputed = loss_fn.match(outputs, targets)
+
+    @jax.jit
+    def run_scan(params, opt_state, x, targets, assignment):
+        def body(carry, eps):
+            params, opt_state = carry
+
+            def loss_of(p):
+                out = model.apply_fn({"params": p}, x + eps,
+                                     deterministic=True)
+                return loss_fn(out, targets, assignment=assignment)
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, opt_state2 = optimizer.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            return (params2, opt_state2), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            1e-4 * jnp.arange(SCAN_STEPS, dtype=jnp.float32)[:, None, None,
+                                                             None, None],
+        )
+        return jnp.sum(losses)
+
+    img_s, per_batch = _timed(
+        run_scan,
+        (jax.device_put(params), jax.device_put(opt_state), x, targets,
+         precomputed),
+        batch,
+    )
+    return (
+        "images/sec/chip (DETR train step: 6enc+6dec aux-loss set "
+        f"prediction, matcher={matcher_mode}, 224px, batch {batch})",
+        img_s, per_batch,
+    )
+
+
 CONFIGS = {
     "randaugment_vitb16_224": _bench_randaugment_vitb16,
     "autoaugment_vitl16_384": _bench_autoaugment_vitl16_384,
     "metric_learning": _bench_metric_learning,
+    "detr": _bench_detr,
 }
 
 

@@ -189,6 +189,99 @@ def hungarian_matcher_host(
     return jnp.asarray(_lsa_host(np.asarray(cost)))
 
 
+def auction_assignment(cost, eps: float = 1e-3, max_iters: int = 200):
+    """Device-side approximate LAP: Bertsekas auction, fully jittable.
+
+    The exact matcher round-trips to the host per step
+    (``linear_sum_assignment``'s ``pure_callback``), which serializes the
+    training loop on host↔device latency — prohibitive on relay-attached
+    chips and inside device-resident ``lax.scan`` loops. The auction runs on
+    device: unassigned rows (targets) bid ``v1 − v2 + eps`` for their best
+    column (query), columns go to the highest bidder, prices rise until all
+    rows hold distinct columns. ε-complementary slackness ⇒ the result is
+    within ``n·eps`` of optimal (exact when cost gaps exceed ``eps``).
+
+    :param cost: ``[..., n, m]`` with ``n <= m`` (vmapped over leading dims).
+    :return: ``[..., n]`` int32 — a distinct column per row. Rows still
+        unassigned at ``max_iters`` (pathological ties) fall back to their
+        current best column, which may collide; raise ``max_iters`` if that
+        matters.
+    """
+    n, m = cost.shape[-2], cost.shape[-1]
+    if n > m:
+        raise ValueError(
+            f"auction_assignment needs rows <= cols; got {n} rows for "
+            f"{m} columns."
+        )
+
+    def single(c):
+        benefit = -c.astype(jnp.float32)
+        cols = jnp.arange(m)
+
+        def cond(state):
+            price, row2col, it = state
+            return jnp.logical_and(it < max_iters, jnp.any(row2col < 0))
+
+        def body(state):
+            price, row2col, it = state
+            unassigned = row2col < 0
+            value = benefit - price[None, :]
+            j1 = jnp.argmax(value, axis=1)
+            v1 = jnp.max(value, axis=1)
+            masked = jnp.where(cols[None, :] == j1[:, None], -jnp.inf, value)
+            v2 = jnp.max(masked, axis=1)
+            # single-column case: no second-best — bid a fixed increment
+            bid = price[j1] + jnp.where(
+                jnp.isfinite(v2), v1 - v2, 0.0) + eps
+            bidding = unassigned
+            bids = jnp.where(
+                (cols[None, :] == j1[:, None]) & bidding[:, None],
+                bid[:, None], -jnp.inf,
+            )  # [n, m]
+            col_best = jnp.max(bids, axis=0)
+            col_winner = jnp.argmax(bids, axis=0)
+            has_bid = col_best > -jnp.inf
+
+            owned = row2col >= 0
+            cur = jnp.clip(row2col, 0)
+            dethroned = owned & has_bid[cur] & (
+                col_winner[cur] != jnp.arange(n))
+            won = bidding & has_bid[j1] & (
+                col_winner[j1] == jnp.arange(n))
+            row2col = jnp.where(won, j1,
+                                jnp.where(dethroned, -1, row2col))
+            price = jnp.where(has_bid, col_best, price)
+            return price, row2col, it + 1
+
+        _, row2col, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((m,), jnp.float32), jnp.full((n,), -1, jnp.int32),
+             jnp.zeros((), jnp.int32)),
+        )
+        # unconverged leftovers: take the current best column (documented)
+        fallback = jnp.argmin(c, axis=1).astype(jnp.int32)
+        return jnp.where(row2col < 0, fallback, row2col).astype(jnp.int32)
+
+    flat = cost.reshape((-1, n, m))
+    out = jax.vmap(single)(flat)
+    return out.reshape(cost.shape[:-2] + (n,))
+
+
+def auction_matcher(
+    pred_logits, pred_boxes, target_labels, target_boxes, target_mask,
+    cost_class: float = 1.0, cost_bbox: float = 5.0, cost_giou: float = 2.0,
+    eps: float = 1e-3, max_iters: int = 200,
+):
+    """Device-side approximate matcher (same contract as
+    :func:`hungarian_matcher`, no host callback)."""
+    cost = matching_cost_matrix(
+        pred_logits, pred_boxes, target_labels, target_boxes, target_mask,
+        cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou,
+    )
+    return auction_assignment(jax.lax.stop_gradient(cost),
+                              eps=eps, max_iters=max_iters)
+
+
 # ---------------------------------------------------------------------------
 # DETR loss
 # ---------------------------------------------------------------------------
@@ -199,11 +292,19 @@ class DETRLoss:
     :param num_classes: number of object classes; class id ``num_classes`` is
         the no-object class.
     :param eos_coef: down-weighting of the no-object CE term (DETR: 0.1).
+    :param matcher: ``"hungarian"`` (exact, host ``pure_callback`` inside
+        jit) or ``"auction"`` (approximate ε-auction, fully on device — use
+        when the per-step host round-trip dominates, e.g. device-resident
+        scan loops or relay-attached chips; see BASELINE.md config 5).
     """
 
     def __init__(self, num_classes: int, cost_class=1.0, cost_bbox=5.0,
                  cost_giou=2.0, weight_ce=1.0, weight_bbox=5.0,
-                 weight_giou=2.0, eos_coef: float = 0.1):
+                 weight_giou=2.0, eos_coef: float = 0.1,
+                 matcher: str = "hungarian"):
+        if matcher not in ("hungarian", "auction"):
+            raise ValueError(f"Unknown matcher '{matcher}'")
+        self.matcher = matcher
         self.num_classes = num_classes
         self.cost_class = cost_class
         self.cost_bbox = cost_bbox
@@ -263,7 +364,9 @@ class DETRLoss:
         t_mask = targets["mask"].astype(bool)
 
         if assignment is None:
-            assignment = hungarian_matcher(
+            match_fn = (auction_matcher if self.matcher == "auction"
+                        else hungarian_matcher)
+            assignment = match_fn(
                 logits, boxes, t_labels, t_boxes, t_mask,
                 cost_class=self.cost_class, cost_bbox=self.cost_bbox,
                 cost_giou=self.cost_giou,

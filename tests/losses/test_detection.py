@@ -167,3 +167,59 @@ def test_detr_model_forward_and_train_step():
     value, grads = jax.value_and_grad(loss_of)(model.variables["params"])
     assert np.isfinite(float(value))
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+
+
+def test_auction_assignment_near_optimal():
+    """Device-side ε-auction vs scipy optimum: distinct columns, total cost
+    within n·eps of optimal on random instances."""
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+    from chambers_tpu.losses.detection import auction_assignment
+
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        n, m = 12, 40
+        cost = rng.rand(n, m).astype(np.float32)
+        got = np.asarray(auction_assignment(jnp.asarray(cost), eps=1e-4,
+                                            max_iters=500))
+        assert len(set(got.tolist())) == n, got  # distinct columns
+        rows, cols = scipy_lsa(cost)
+        opt = cost[rows, cols].sum()
+        ours = cost[np.arange(n), got].sum()
+        assert ours <= opt + n * 1e-4 + 1e-6, (trial, ours, opt)
+
+
+def test_auction_assignment_jittable_and_batched():
+    from chambers_tpu.losses.detection import auction_assignment
+
+    rng = np.random.RandomState(1)
+    cost = jnp.asarray(rng.rand(3, 8, 20).astype(np.float32))
+    out = jax.jit(lambda c: auction_assignment(c))(cost)
+    assert out.shape == (3, 8)
+    for b in range(3):
+        assert len(set(np.asarray(out[b]).tolist())) == 8
+
+
+def test_detr_loss_auction_matcher_close_to_hungarian():
+    """matcher="auction" must be jittable end-to-end and match the exact
+    loss on well-separated instances."""
+    from chambers_tpu.losses.detection import DETRLoss
+
+    rng = np.random.RandomState(2)
+    b, q, t, c = 2, 16, 5, 7
+    outputs = {
+        "logits": jnp.asarray(rng.randn(b, q, c + 1).astype(np.float32)) * 4,
+        "boxes": jax.nn.sigmoid(
+            jnp.asarray(rng.randn(b, q, 4).astype(np.float32))),
+    }
+    targets = {
+        "labels": jnp.asarray(rng.randint(0, c, (b, t))),
+        "boxes": jax.nn.sigmoid(
+            jnp.asarray(rng.randn(b, t, 4).astype(np.float32))),
+        "mask": jnp.asarray(np.ones((b, t), bool)),
+    }
+    exact = DETRLoss(num_classes=c)
+    approx = DETRLoss(num_classes=c, matcher="auction")
+    l_exact = float(exact(outputs, targets))
+    l_auction = float(jax.jit(lambda o, t: approx(o, t))(outputs, targets))
+    np.testing.assert_allclose(l_auction, l_exact, rtol=2e-2)
