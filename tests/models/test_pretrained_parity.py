@@ -31,7 +31,20 @@ def _weight_file(model, spec, include_top=True):
 def test_released_weights_load_and_run(model, spec):
     path = _weight_file(model, spec)
     if not os.path.exists(path):
-        pytest.skip(f"released weights not cached: {path}")
+        # LOUD skip (VERDICT r2 next #10): this is the north-star parity
+        # gate (max |logit Δ| < 1e-3 vs released weights) and it has NEVER
+        # executed in this environment — zero network egress, nothing cached.
+        # Provision the release files to light it up.
+        import sys
+
+        print(
+            f"\n*** RELEASED-WEIGHT PARITY GATE SKIPPED ({model}/{spec}): "
+            f"file missing at {path} — the BASELINE.json north-star gate "
+            "remains unverified on this machine. ***",
+            file=sys.stderr, flush=True,
+        )
+        pytest.skip(
+            f"NORTH-STAR GATE NOT RUN — released weights not cached: {path}")
     import sys
 
     sys.argv = ["parity_check", "--model", model, "--weights", spec]
