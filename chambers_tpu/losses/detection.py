@@ -296,15 +296,22 @@ class DETRLoss:
         jit) or ``"auction"`` (approximate ε-auction, fully on device — use
         when the per-step host round-trip dominates, e.g. device-resident
         scan loops or relay-attached chips; see BASELINE.md config 5).
+    :param matcher_eps: auction bid increment; suboptimality is bounded by
+        ``n_targets · eps``. The 1e-2 default measured 0% actual gap vs the
+        scipy optimum on DETR-scale costs while converging ~2x faster than
+        1e-3 (the padded 1e6-cost rows bid in fixed eps steps).
     """
 
     def __init__(self, num_classes: int, cost_class=1.0, cost_bbox=5.0,
                  cost_giou=2.0, weight_ce=1.0, weight_bbox=5.0,
                  weight_giou=2.0, eos_coef: float = 0.1,
-                 matcher: str = "hungarian"):
+                 matcher: str = "hungarian", matcher_eps: float = 1e-2,
+                 matcher_iters: int = 200):
         if matcher not in ("hungarian", "auction"):
             raise ValueError(f"Unknown matcher '{matcher}'")
         self.matcher = matcher
+        self.matcher_eps = matcher_eps
+        self.matcher_iters = matcher_iters
         self.num_classes = num_classes
         self.cost_class = cost_class
         self.cost_bbox = cost_bbox
@@ -333,14 +340,41 @@ class DETRLoss:
         """
         logits, boxes = outputs["logits"], outputs["boxes"]
         if logits.ndim == 4:  # [b, L, q, c] aux losses per decoder layer
+            n_layers = logits.shape[1]
+            if assignment is None and self.matcher == "auction":
+                # match every aux layer in ONE batched auction: L separate
+                # while_loops run their (tiny [t, q]) iterations serially on
+                # the core; folding the layer axis into the vmap runs them
+                # in lockstep (measured 20.8 -> ~7 ms/step on the config-5
+                # bench, batch 8, 7 layers)
+                assignment = self._auction_all_layers(logits, boxes, targets)
             total = 0.0
-            for layer in range(logits.shape[1]):
+            for layer in range(n_layers):
                 total = total + self._single(
                     logits[:, layer], boxes[:, layer], targets,
                     None if assignment is None else assignment[layer],
                 )
             return total
         return self._single(logits, boxes, targets, assignment)
+
+    def _auction_all_layers(self, logits, boxes, targets):
+        """``[L, b, t]`` device-side assignments for ``[b, L, q, *]``
+        outputs, one lockstep auction over the folded (L·b) batch."""
+        b, n_layers = logits.shape[0], logits.shape[1]
+        t = targets["labels"].shape[1]
+        flat_logits = logits.transpose(1, 0, 2, 3).reshape(
+            (n_layers * b,) + logits.shape[2:])
+        flat_boxes = boxes.transpose(1, 0, 2, 3).reshape(
+            (n_layers * b,) + boxes.shape[2:])
+        tile = lambda x: jnp.concatenate([x] * n_layers, axis=0)
+        flat = auction_matcher(
+            flat_logits, flat_boxes, tile(targets["labels"]),
+            tile(targets["boxes"]), tile(targets["mask"].astype(bool)),
+            cost_class=self.cost_class, cost_bbox=self.cost_bbox,
+            cost_giou=self.cost_giou, eps=self.matcher_eps,
+            max_iters=self.matcher_iters,
+        )
+        return flat.reshape(n_layers, b, t)
 
     def match(self, outputs: Dict, targets: Dict):
         """Hungarian assignment(s) for ``outputs``, computed eagerly with
@@ -364,12 +398,17 @@ class DETRLoss:
         t_mask = targets["mask"].astype(bool)
 
         if assignment is None:
-            match_fn = (auction_matcher if self.matcher == "auction"
-                        else hungarian_matcher)
+            kwargs = dict(cost_class=self.cost_class,
+                          cost_bbox=self.cost_bbox,
+                          cost_giou=self.cost_giou)
+            if self.matcher == "auction":
+                kwargs.update(eps=self.matcher_eps,
+                              max_iters=self.matcher_iters)
+                match_fn = auction_matcher
+            else:
+                match_fn = hungarian_matcher
             assignment = match_fn(
-                logits, boxes, t_labels, t_boxes, t_mask,
-                cost_class=self.cost_class, cost_bbox=self.cost_bbox,
-                cost_giou=self.cost_giou,
+                logits, boxes, t_labels, t_boxes, t_mask, **kwargs,
             )  # [b, t] query index per target slot
 
         b, q = logits.shape[0], logits.shape[1]
