@@ -193,6 +193,12 @@ def _bench_detr(batch):
     from chambers_tpu.optimizers import AdamW
 
     matcher_mode = os.environ.get("BENCH_DETR_MATCHER", "auction")
+    if matcher_mode not in ("precomputed", "auction", "callback"):
+        raise ValueError(
+            f"BENCH_DETR_MATCHER={matcher_mode!r}: use 'precomputed', "
+            "'auction', or 'callback' (a typo would silently bench the "
+            "worst-case callback path under a wrong label)"
+        )
     batch = batch or 8
     num_classes, num_targets = 91, 20
     model = build_detr(num_classes=num_classes, input_shape=(224, 224, 3),

@@ -56,6 +56,21 @@ def match_img_files_triplet(dir_path):
     )
 
 
+_HAS_CV2 = None
+
+
+def _cv2_available():
+    global _HAS_CV2
+    if _HAS_CV2 is None:
+        try:
+            import cv2  # noqa: F401
+
+            _HAS_CV2 = True
+        except ImportError:
+            _HAS_CV2 = False
+    return _HAS_CV2
+
+
 def _is_jpeg(path):
     """Sniff the JPEG SOI marker (FFD8) — content, not extension."""
     try:
@@ -83,7 +98,9 @@ def read_and_decode_image(file, channels=3):
     libjpeg-turbo — tests/data/test_io.py pins it).
     """
     path = os.fspath(file)
-    if channels == 3 and _is_jpeg(path):
+    # cv2 availability first: without it the magic-byte sniff would add a
+    # wasted open()+read per element on the map hot path
+    if channels == 3 and _cv2_available() and _is_jpeg(path):
         try:
             import cv2
 

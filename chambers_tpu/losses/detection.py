@@ -258,9 +258,17 @@ def auction_assignment(cost, eps: float = 1e-3, max_iters: int = 200):
             (jnp.zeros((m,), jnp.float32), jnp.full((n,), -1, jnp.int32),
              jnp.zeros((), jnp.int32)),
         )
-        # unconverged leftovers: take the current best column (documented)
-        fallback = jnp.argmin(c, axis=1).astype(jnp.int32)
-        return jnp.where(row2col < 0, fallback, row2col).astype(jnp.int32)
+        # unconverged leftovers (max_iters pathology): hand out DISTINCT
+        # free columns by rank — a colliding fallback would make the
+        # downstream target-class scatter write duplicate indices in
+        # undefined order (nondeterministic loss)
+        unassigned = row2col < 0
+        owned = jnp.zeros((m,), bool).at[
+            jnp.where(unassigned, m, row2col)].set(True, mode="drop")
+        free_in_order = jnp.argsort(jnp.where(owned, m + cols, cols))
+        rank = jnp.cumsum(unassigned) - 1                  # [n]
+        fallback = free_in_order[jnp.clip(rank, 0)].astype(jnp.int32)
+        return jnp.where(unassigned, fallback, row2col).astype(jnp.int32)
 
     flat = cost.reshape((-1, n, m))
     out = jax.vmap(single)(flat)

@@ -101,8 +101,30 @@ class CheckpointCallback(Callback):
         self.manager.wait()
 
     def restore_into(self, trainer) -> bool:
-        """Restore-on-start: load the latest state into ``trainer``."""
-        restored = self.manager.restore_latest(trainer.state)
+        """Restore-on-start: load the latest state into ``trainer``.
+
+        Migration: checkpoints written before ``TrainState`` gained the
+        ``extra_vars`` field (mutable BatchNorm stats) lack that subtree;
+        they restore through a legacy template and keep the trainer's
+        current (e.g. pretrained-import) batch stats.
+        """
+        try:
+            restored = self.manager.restore_latest(trainer.state)
+        except Exception:
+            state = trainer.state
+            legacy = {"params": state.params, "opt_state": state.opt_state,
+                      "rng": state.rng, "step": state.step}
+            restored_legacy = self.manager.restore_latest(legacy)
+            if restored_legacy is None:
+                return False
+            trainer.state = type(state)(
+                params=restored_legacy["params"],
+                extra_vars=state.extra_vars,
+                opt_state=restored_legacy["opt_state"],
+                rng=restored_legacy["rng"],
+                step=restored_legacy["step"],
+            )
+            return True
         if restored is None:
             return False
         trainer.state = restored

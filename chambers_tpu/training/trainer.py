@@ -221,8 +221,12 @@ class Trainer:
 
         self._apply_fn = apply_fn
         # a custom apply_fn opts into batch-stats updates by accepting a
-        # `mutable` kwarg (mirroring module.apply); without it, stats stay
-        # frozen during training (inference-style fine-tuning)
+        # `mutable` kwarg (mirroring module.apply). Without it, the train
+        # step applies immutably — fine for stats-free models, but a
+        # BatchNorm model whose custom apply_fn trains with
+        # use_running_average=False will raise flax's
+        # ModifyScopeVariableError (accept `mutable` or pin the running
+        # averages in the custom fn)
         self._apply_accepts_mutable = (
             "mutable" in inspect.signature(apply_fn).parameters
         )

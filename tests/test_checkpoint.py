@@ -102,3 +102,40 @@ def test_benchmark_helper():
 def test_device_memory_stats_shape():
     stats = device_memory_stats()
     assert stats is None or isinstance(stats, dict)
+
+
+def test_restore_legacy_checkpoint_without_extra_vars(tmp_path):
+    """Checkpoints written before TrainState gained extra_vars (r3 BN
+    support) must still restore: params/opt_state/rng/step come from the
+    file, batch stats keep the trainer's current values."""
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            return nn.Dense(2)(x)
+
+    module = Net()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+    trainer = Trainer(Model(module, variables),
+                      loss=lambda yt, yp: jnp.mean((yt - yp) ** 2),
+                      optimizer=optax.adam(1e-2))
+
+    # simulate a pre-extra_vars checkpoint: the old 4-field layout
+    legacy_state = {
+        "params": jax.tree.map(lambda p: p + 1.0, trainer.state.params),
+        "opt_state": trainer.state.opt_state,
+        "rng": trainer.state.rng,
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(7, legacy_state)
+    mgr.wait()
+
+    cb = CheckpointCallback(str(tmp_path / "ckpt"), trainer)
+    assert cb.restore_into(trainer)
+    assert int(trainer.state.step) == 7
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(trainer.state.params)[0]),
+        np.asarray(jax.tree.leaves(legacy_state["params"])[0]))
+    cb.manager.close()
+    mgr.close()

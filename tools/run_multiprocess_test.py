@@ -153,7 +153,14 @@ def launch() -> int:
         )
         for i in range(NPROC)
     ]
-    outputs = [p.communicate(timeout=600)[0] for p in procs]
+    try:
+        outputs = [p.communicate(timeout=600)[0] for p in procs]
+    finally:
+        # a hung worker would otherwise keep the coordinator port bound and
+        # poison every later run
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     results = {}
     for i, (p, out) in enumerate(zip(procs, outputs)):
         if p.returncode != 0:
