@@ -11,6 +11,7 @@ from chambers_tpu.data.io import (
     match_img_files_triplet,
     match_nested_set,
     read_and_decode_image,
+    read_and_decode_images,
     url_to_img,
 )
 from chambers_tpu.data.records import dataset_to_records, records_to_dataset

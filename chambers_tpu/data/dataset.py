@@ -194,9 +194,15 @@ def InterleaveImageClassDataset(
     buffer_size=None,
     seed=None,
     repeats=None,
+    decode=True,
 ) -> Dataset:
     """P×K sampling: interleave class dirs with ``cycle_length=P`` classes ×
-    ``block_length=K`` images, then decode (dataset.py:264-308)."""
+    ``block_length=K`` images, then decode (dataset.py:264-308).
+
+    ``decode=False`` yields raw ``(file_path, label)`` elements so callers
+    can batch first and decode whole batches natively
+    (``io.read_and_decode_images`` → C++ thread pool, one GIL release per
+    batch instead of per element)."""
     if images_per_block is None or images_per_block == -1:
         images_per_block = 1
 
@@ -218,6 +224,8 @@ def InterleaveImageClassDataset(
         seed=seed,
         repeats=repeats,
     )
+    if not decode:
+        return td
     return _decode_map(td, image_channels)
 
 

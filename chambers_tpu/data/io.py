@@ -141,6 +141,30 @@ def read_and_decode_image(file, channels=3):
     return arr
 
 
+def read_and_decode_images(files, channels=3, num_threads=None):
+    """Decode a batch of image files → list of uint8 ``[h, w, c]`` arrays.
+
+    RGB JPEG batches route through the native C++ decoder
+    (``chambers_tpu.data.native``: libjpeg + pthread pool, GIL released for
+    the whole batch — byte-identical to the PIL path); anything else falls
+    back to per-element :func:`read_and_decode_image`. Use after an early
+    ``Dataset.batch`` to amortize per-element Python overhead::
+
+        ds.batch(16).map(lambda f, y: (io.read_and_decode_images(f), y))
+    """
+    files = list(files)
+    if channels == 3 and files and all(_is_jpeg(f) for f in files):
+        from chambers_tpu.data import native
+
+        if native.available():
+            try:
+                return native.decode_jpeg_batch(files,
+                                                num_threads=num_threads)
+            except RuntimeError:
+                pass  # odd colorspace etc. — per-element fallback below
+    return [read_and_decode_image(f, channels=channels) for f in files]
+
+
 def open_url(url):
     headers = {
         "User-Agent": "Mozilla/5.0 (Windows NT 6.1) AppleWebKit/537.36 "

@@ -1,0 +1,92 @@
+"""Native (C++/libjpeg) batch decoder tests.
+
+The shared library compiles on first use with the system toolchain; if that
+fails (no g++/libjpeg), these tests skip and the pure-Python paths remain
+the contract.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from chambers_tpu.data import native
+from chambers_tpu.data.io import read_and_decode_images
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native decoder not buildable here")
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(6):
+        arr = rng.randint(0, 256, (40 + i, 64, 3), np.uint8)
+        p = tmp / f"{i}.jpg"
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(str(p))
+    return tmp, paths
+
+
+def test_batch_decode_matches_pil_bytes(jpeg_dir):
+    """Same system libjpeg as PIL → byte-identical output."""
+    _, paths = jpeg_dir
+    outs = native.decode_jpeg_batch(paths, num_threads=2)
+    for p, o in zip(paths, outs):
+        ref = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+        np.testing.assert_array_equal(o, ref, err_msg=p)
+
+
+def test_grayscale_jpeg_expands_to_rgb(jpeg_dir):
+    tmp, _ = jpeg_dir
+    rng = np.random.RandomState(1)
+    p = tmp / "gray.jpg"
+    Image.fromarray(rng.randint(0, 256, (30, 44), np.uint8), mode="L").save(
+        p, quality=90)
+    out = native.decode_jpeg(str(p))
+    ref = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_missing_and_invalid_files_raise(jpeg_dir):
+    tmp, paths = jpeg_dir
+    with pytest.raises(RuntimeError, match="header"):
+        native.decode_jpeg_batch([str(tmp / "nope.jpg")])
+    bad = tmp / "not_a_jpeg.jpg"
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 512)  # no JPEG structure at all
+    with pytest.raises(RuntimeError, match="header"):
+        native.decode_jpeg_batch([str(bad)])
+    # NOTE: a truncated-but-header-intact JPEG decodes leniently (libjpeg
+    # pads missing scanlines and warns), matching cv2; PIL would raise.
+    trunc = tmp / "truncated.jpg"
+    with open(paths[0], "rb") as f:
+        data = f.read()
+    with open(trunc, "wb") as f:
+        f.write(data[: len(data) // 4])
+    out = native.decode_jpeg(str(trunc))
+    assert out.shape == (40, 64, 3)
+
+
+def test_read_and_decode_images_fallback_mixed(jpeg_dir):
+    """The batch helper handles non-JPEG members via per-element fallback."""
+    tmp, paths = jpeg_dir
+    rng = np.random.RandomState(2)
+    png_arr = rng.randint(0, 256, (20, 30, 3), np.uint8)
+    png = tmp / "img.png"
+    Image.fromarray(png_arr).save(png, format="PNG")
+    outs = read_and_decode_images([paths[0], str(png)])
+    assert outs[0].shape == (40, 64, 3)
+    np.testing.assert_array_equal(outs[1], png_arr)  # lossless
+
+
+def test_read_and_decode_images_pure_jpeg_uses_native(jpeg_dir):
+    _, paths = jpeg_dir
+    outs = read_and_decode_images(paths)
+    refs = native.decode_jpeg_batch(paths)
+    for o, r in zip(outs, refs):
+        np.testing.assert_array_equal(o, r)

@@ -62,6 +62,31 @@ def bench_chambers(dirs):
     return n / dt
 
 
+def bench_chambers_native_batch(dirs):
+    """Same P*K interleave, but batch file paths first and decode each
+    batch through the native C++ thread-pool decoder (one GIL release per
+    batch)."""
+    from chambers_tpu.data import InterleaveImageClassDataset
+    from chambers_tpu.data.io import read_and_decode_images
+
+    ds = InterleaveImageClassDataset(
+        dirs, list(range(len(dirs))), class_cycle_length=8,
+        images_per_block=4, shuffle=True, seed=42, repeats=-1, decode=False,
+    ).batch(BATCH).map(
+        lambda f, y: (np.stack(read_and_decode_images(f)), np.asarray(y))
+    ).prefetch()
+    it = iter(ds)
+    for _ in range(WARM_BATCHES):
+        next(it)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(MEASURE_BATCHES):
+        x, y = next(it)
+        n += len(y)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
 def bench_tfdata(dirs):
     import tensorflow as tf
 
@@ -105,6 +130,15 @@ def main():
         ours = bench_chambers(dirs)
         print(f"chambers_tpu.data P*K interleave+decode: {ours:8.1f} img/s",
               flush=True)
+        try:
+            from chambers_tpu.data import native
+
+            if native.available():
+                nat = bench_chambers_native_batch(dirs)
+                print(f"chambers_tpu.data batched native decode: {nat:8.1f}"
+                      " img/s", flush=True)
+        except Exception as e:
+            print(f"native batch decode unavailable: {type(e).__name__}: {e}")
         try:
             tfd = bench_tfdata(dirs)
             print(f"tf.data same pipeline:                   {tfd:8.1f} img/s",
