@@ -361,14 +361,19 @@ def _auto_block(t):
     """Default block size for sequence length ``t`` (see flash_attention)."""
     padded = -(-t // 128) * 128
     if padded <= 1024:
-        return padded  # one exact-fit block
+        return padded  # one exact-fit block (backward fits vmem: measured
+        # OK at t=1024 single-block)
     if padded <= 2048:
         # a fixed 512 here can pad badly (t=1100 -> 1536, +40%); pick the
-        # 128-multiple block in [384, 1024] minimizing total padded length
+        # 128-multiple block in [384, 768] minimizing total padded length
         # (384 floor: 128-blocks lose 13-26% to larger blocks on v5e even
-        # unpadded). Ties -> the largest block.
+        # unpadded; 768 ceiling: multi-block 1024 blows the 16 MB scoped
+        # vmem limit in the backward dKV kernel — ~18.65 MB stack at
+        # t=2048 — while 768 measured OK). Ties -> the largest block.
+        # Measured fwd+bwd: t=1100 auto(384) 4.42 ms vs 512-blocks 5.39;
+        # t=1536 auto(768) 4.74 vs 5.03.
         return min(
-            (b for b in range(1024, 383, -128)),
+            (b for b in range(768, 383, -128)),
             key=lambda b: -(-padded // b) * b,
         )
     return 512

@@ -155,7 +155,9 @@ def test_auto_block_minimizes_padding_midrange():
     assert _auto_block(1100) == 384   # 3x384 = 1152 (the 128-padded length)
     assert _auto_block(1280) == 640   # exact
     assert _auto_block(1536) == 768   # exact
-    assert _auto_block(2048) == 1024  # exact
+    # 1024 multi-block would blow the backward's scoped vmem (measured on
+    # v5e); 512 divides 2048 exactly and is the safe pick
+    assert _auto_block(2048) == 512
     for t in range(1025, 2049, 7):
         b = _auto_block(t)
         padded128 = -(-t // 128) * 128

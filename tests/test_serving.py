@@ -112,3 +112,35 @@ def test_experiment_callback_serving_export(tmp_path):
     want = np.asarray(trainer.model.module.apply(trainer.variables,
                                                  jnp.asarray(x)))
     np.testing.assert_allclose(np.asarray(serve(x)), want, atol=1e-6)
+
+
+def test_export_batchnorm_model(tmp_path):
+    """Serving export bakes in ALL variable collections — a BatchNorm
+    backbone's batch_stats ride along and the artifact reproduces the
+    deterministic (running-average) forward."""
+    import numpy as np
+    from flax import linen as nn
+
+    from chambers_tpu.models import Model
+    from chambers_tpu.serving import export_serving_artifact, load_serving_artifact
+
+    class BNNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            x = nn.Dense(8)(x)
+            x = nn.BatchNorm(use_running_average=deterministic)(x)
+            return nn.Dense(2)(x)
+
+    module = BNNet()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    # non-trivial running stats so the export actually depends on them
+    variables = jax.tree.map(lambda v: v + 0.25, variables)
+    model = Model(module, variables)
+    path = str(tmp_path / "bn.stablehlo")
+    export_serving_artifact(model, path, (4,), batch_size=3)
+    served = load_serving_artifact(path)
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 4), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(served(x)),
+        np.asarray(module.apply(variables, x, deterministic=True)),
+        rtol=1e-6)
