@@ -194,10 +194,25 @@ class Trainer:
             # init AFTER placement: optimizer state (mu/nu etc. via
             # zeros_like) inherits the params' shardings instead of being
             # fully replicated on every device
+            opt_state = optimizer.init(params)
+            # scalar leaves (step counts) come out of init uncommitted on
+            # the default device; pin them to the mesh (replicated) so a
+            # checkpoint restore — which reinstates CONCRETE shardings —
+            # doesn't hand the next train step a single-device leaf next
+            # to mesh-placed params (incompatible-devices error)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            opt_state = jax.tree.map(
+                lambda x: x if getattr(x, "sharding", None) is not None
+                and x.sharding.num_devices > 1
+                else jax.device_put(x, rep),
+                opt_state,
+            )
             self.state = TrainState(
                 params=params,
                 extra_vars=extra_vars,
-                opt_state=optimizer.init(params),
+                opt_state=opt_state,
                 rng=replicate(jax.random.PRNGKey(seed), mesh),
                 step=replicate(jnp.zeros([], jnp.int32), mesh),
             )

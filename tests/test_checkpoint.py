@@ -139,3 +139,47 @@ def test_restore_legacy_checkpoint_without_extra_vars(tmp_path):
         np.asarray(jax.tree.leaves(legacy_state["params"])[0]))
     cb.manager.close()
     mgr.close()
+
+
+def test_checkpoint_resume_on_dp_mesh(tmp_path):
+    """Orbax save/restore of a mesh-sharded TrainState: training resumes
+    with identical params/step on the 8-device DP mesh (§5.3 under
+    parallelism, not just single-device)."""
+    from chambers_tpu.parallel import create_mesh
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            return nn.Dense(1)(x)
+
+    rng = np.random.RandomState(0)
+    data = [(rng.randn(16, 4).astype(np.float32),
+             rng.randn(16, 1).astype(np.float32)) for _ in range(3)]
+    mesh = create_mesh({"data": 8})
+
+    def make_trainer():
+        module = Net()
+        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+        return Trainer(Model(module, variables),
+                       loss=lambda yt, yp: jnp.mean((yt - yp) ** 2),
+                       optimizer=optax.adam(1e-2), mesh=mesh)
+
+    t1 = make_trainer()
+    cb = CheckpointCallback(str(tmp_path / "ckpt"), t1)
+    t1.fit(data, epochs=2, callbacks=[cb], verbose=False)
+    cb.manager.wait()
+    step_after = int(t1.state.step)
+    params_after = jax.tree.map(np.asarray, t1.state.params)
+
+    t2 = make_trainer()
+    cb2 = CheckpointCallback(str(tmp_path / "ckpt"), t2)
+    assert cb2.restore_into(t2)
+    assert int(t2.state.step) == step_after
+    for a, b in zip(jax.tree.leaves(t2.state.params),
+                    jax.tree.leaves(params_after)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # restored state still trains on the mesh
+    h = t2.fit(data, epochs=1, verbose=False)
+    assert np.isfinite(h[0]["loss"])
+    cb.manager.close()
+    cb2.manager.close()
