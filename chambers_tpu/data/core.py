@@ -81,15 +81,10 @@ class Dataset:
     # -- combinators --------------------------------------------------------
     def map(self, fn: Callable, num_parallel_calls: Optional[int] = None) -> "Dataset":
         def gen():
-            import os
+            from chambers_tpu.utils.generic import effective_cpu_count
 
             it = self._iter_elements()
-            # effective core count respects affinity/cgroup pinning, where
-            # os.cpu_count() reports the whole machine
-            try:
-                cores = len(os.sched_getaffinity(0))
-            except AttributeError:  # non-Linux
-                cores = os.cpu_count() or 1
+            cores = effective_cpu_count()
             # cap AUTOTUNE: beyond ~32 threads a GIL-bound map fn gains
             # nothing and the 2x in-flight window starts costing memory on
             # big hosts; explicit num_parallel_calls is honored unclamped

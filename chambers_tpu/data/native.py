@@ -92,11 +92,9 @@ def available() -> bool:
 
 
 def _default_threads() -> int:
-    try:
-        cores = len(os.sched_getaffinity(0))
-    except AttributeError:
-        cores = os.cpu_count() or 1
-    return min(cores, 32)
+    from chambers_tpu.utils.generic import effective_cpu_count
+
+    return min(effective_cpu_count(), 32)
 
 
 def decode_jpeg(path) -> np.ndarray:

@@ -173,7 +173,8 @@ class Trainer:
         # through Keras fit, which updates moving_mean/variance implicitly
         # (e.g. senet.py's compiled models); here the updated collection comes
         # back explicitly from module.apply(mutable=...) each step.
-        self._mutable = [k for k in extra_vars if k == "batch_stats"]
+        self._mutable = (["batch_stats"] if "batch_stats" in extra_vars
+                         else [])
 
         if mesh is not None:
             from chambers_tpu.parallel.sharding import (

@@ -28,6 +28,17 @@ def deserialize_object(identifier, module_objects, module_name, **kwargs):
     )
 
 
+def effective_cpu_count() -> int:
+    """Usable core count: respects affinity/cgroup pinning, where
+    ``os.cpu_count()`` reports the whole machine."""
+    import os
+
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        return os.cpu_count() or 1
+
+
 def set_random_seed(seed: int):
     """Seed python/numpy; return a jax PRNG key.
 
