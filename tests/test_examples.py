@@ -1,0 +1,43 @@
+"""Smoke tests for the runnable examples (tiny configs, synthetic data).
+
+Each example is executed in-process with argv overrides so regressions in
+the public APIs they compose (Trainer, models, losses, data) surface here
+rather than when a user runs the script.
+"""
+
+import os
+import runpy
+import sys
+
+import pytest
+
+_EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+
+
+def _run_example(name, argv):
+    old_argv = sys.argv
+    sys.argv = [name] + argv
+    try:
+        runpy.run_path(os.path.join(_EXAMPLES, name), run_name="__main__")
+    finally:
+        sys.argv = old_argv
+
+
+def test_train_seq2seq_example(capsys):
+    _run_example("train_seq2seq.py", [
+        "--vocab", "16", "--seq-len", "6", "--batch", "16",
+        "--epochs", "1", "--steps-per-epoch", "4",
+    ])
+    out = capsys.readouterr().out
+    assert "greedy decode token accuracy" in out
+
+
+@pytest.mark.slow
+def test_train_cnn_classifier_example(capsys):
+    _run_example("train_cnn_classifier.py", [
+        "--classes", "4", "--image-size", "32", "--batch", "2",
+        "--epochs", "1", "--steps-per-epoch", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "batch_stats moved" in out
