@@ -1,0 +1,206 @@
+"""Mixture-of-Experts MLP with expert parallelism.
+
+SURVEY.md §2.8 records expert parallelism as absent from the reference (a
+single-device Keras library) and out of scope for its model families. This
+module supplies the TPU-native capability anyway, so the transformer stack
+can scale parameters past one chip's HBM without scaling per-token FLOPs:
+a Switch-style top-1 router replaces the encoder MLP with ``n_experts``
+expert MLPs, of which each token visits exactly one.
+
+The implementation is the dense-dispatch formulation (Switch Transformer /
+Mesh-TensorFlow lineage): routing is expressed as two one-hot contractions
+(``[tokens, experts, capacity]`` dispatch/combine tensors) so the entire
+layer is einsums — MXU-friendly, static shapes, no gather/scatter. Expert
+weights are stacked on a leading ``[n_experts, ...]`` axis; sharding that
+axis over a mesh axis (``chambers_tpu.parallel.expert_parallel``) gives
+expert parallelism, with XLA's SPMD partitioner emitting the all-to-all
+style collectives from the einsums' sharding constraints — no hand-written
+communication.
+
+Capacity semantics: each expert processes at most
+``ceil(tokens/n_experts * capacity_factor)`` tokens per batch; tokens over
+capacity contribute **zero** from this layer (their value rides the
+residual connection in :class:`MoEEncoderLayer`, the standard Switch
+behavior). The router computes in float32 regardless of the activation
+dtype, and the Switch load-balancing auxiliary loss is sown into the
+``"intermediates"`` collection — fetch it with
+``model.apply(vars, x, mutable=["intermediates"])`` and
+:func:`moe_aux_loss`.
+"""
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from chambers_tpu.activations import gelu
+
+
+class MoEMLP(nn.Module):
+    """Switch-style top-1 mixture-of-experts two-layer GELU MLP.
+
+    Drop-in replacement for the encoder MLP (``dense1``/``dense2`` of
+    ``EncoderLayer``): input ``[..., d]`` -> output ``[..., d]`` where every
+    token is processed by one of ``n_experts`` expert MLPs of hidden width
+    ``ff_dim``, scaled by its router gate probability.
+    """
+
+    ff_dim: int
+    n_experts: int
+    capacity_factor: float = 1.25
+    aux_loss_weight: float = 1e-2
+    kernel_init: Any = nn.initializers.glorot_uniform()
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+    gelu_approximate: bool = False
+
+    @nn.compact
+    def __call__(self, inputs, deterministic: bool = True):
+        d = inputs.shape[-1]
+        E, F = self.n_experts, self.ff_dim
+        dtype = self.dtype or inputs.dtype
+
+        w_router = self.param("w_router", self.kernel_init, (d, E),
+                              self.param_dtype)
+        # expert-stacked weights: leading axis is the expert-parallel axis
+        w1 = self.param("w1", self.kernel_init, (E, d, F), self.param_dtype)
+        b1 = self.param("b1", nn.initializers.zeros, (E, F), self.param_dtype)
+        w2 = self.param("w2", self.kernel_init, (E, F, d), self.param_dtype)
+        b2 = self.param("b2", nn.initializers.zeros, (E, d), self.param_dtype)
+
+        x = inputs.reshape(-1, d)
+        n = x.shape[0]
+        capacity = max(1, math.ceil(n / E * self.capacity_factor))
+
+        # router always in float32: gate probabilities and the aux loss are
+        # sensitive to softmax precision
+        logits = jnp.einsum("nd,de->ne", x.astype(jnp.float32),
+                            w_router.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)
+        expert_idx = jnp.argmax(probs, axis=-1)
+        gate = jnp.max(probs, axis=-1)
+
+        one_hot_e = jax.nn.one_hot(expert_idx, E, dtype=jnp.float32)
+        # position of each token within its expert's queue (batch order —
+        # deterministic, matches the Switch reference semantics)
+        pos = jnp.einsum(
+            "ne,ne->n", jnp.cumsum(one_hot_e, axis=0), one_hot_e
+        ) - 1.0
+        keep = (pos < capacity).astype(jnp.float32)
+        one_hot_c = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)
+        dispatch = one_hot_e[:, :, None] * one_hot_c[:, None, :] \
+            * keep[:, None, None]
+
+        expert_in = jnp.einsum("nec,nd->ecd", dispatch.astype(dtype),
+                               x.astype(dtype))
+        h = gelu(
+            jnp.einsum("ecd,edf->ecf", expert_in, w1.astype(dtype))
+            + b1.astype(dtype)[:, None, :],
+            approximate=self.gelu_approximate,
+        )
+        expert_out = jnp.einsum("ecf,efd->ecd", h, w2.astype(dtype)) \
+            + b2.astype(dtype)[:, None, :]
+
+        combine = dispatch * gate[:, None, None]
+        y = jnp.einsum("nec,ecd->nd", combine.astype(dtype), expert_out)
+
+        # Switch load-balancing loss: E * sum_e (dispatched fraction_e *
+        # mean router prob_e); equals 1.0 at perfectly uniform routing
+        frac = jnp.mean(one_hot_e, axis=0)
+        mean_prob = jnp.mean(probs, axis=0)
+        aux = self.aux_loss_weight * E * jnp.sum(frac * mean_prob)
+        self.sow("intermediates", "moe_aux_loss", aux)
+
+        return y.reshape(inputs.shape).astype(dtype)
+
+
+def moe_aux_loss(intermediates) -> jax.Array:
+    """Sum every ``moe_aux_loss`` sown anywhere in an ``intermediates``
+    collection (one per :class:`MoEMLP` call) — add the result to the task
+    loss when training a routed model."""
+    total = 0.0
+    flat = jax.tree.leaves_with_path(intermediates)
+    found = False
+    for path, leaf in flat:
+        if any(getattr(p, "key", None) == "moe_aux_loss" for p in path):
+            total = total + jnp.sum(leaf)
+            found = True
+    if not found:
+        return jnp.zeros(())
+    return total
+
+
+class MoEEncoderLayer(nn.Module):
+    """``EncoderLayer`` with the dense MLP swapped for :class:`MoEMLP`.
+
+    Same attention, norms, residuals, and ``pre_norm`` orderings as
+    ``chambers_tpu.layers.transformer.EncoderLayer`` (reference
+    transformer.py:8-109); dropped-over-capacity tokens pass through on the
+    residual path unchanged.
+    """
+
+    embed_dim: int = 512
+    num_heads: int = 8
+    ff_dim: int = 2048
+    n_experts: int = 8
+    capacity_factor: float = 1.25
+    attention_dropout_rate: float = 0.1
+    dense_dropout_rate: float = 0.1
+    norm_epsilon: float = 1e-6
+    pre_norm: bool = False
+    kernel_init: Any = nn.initializers.glorot_uniform()
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+    score_dtype: Optional[Any] = None
+    gelu_approximate: bool = False
+
+    def setup(self):
+        from chambers_tpu.layers.attention import MultiHeadAttention
+
+        self.multi_head_attention = MultiHeadAttention(
+            head_dim=self.embed_dim // self.num_heads,
+            num_heads=self.num_heads,
+            dropout_rate=self.attention_dropout_rate,
+            causal=False,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype,
+        )
+        self.norm1 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
+                                  param_dtype=self.param_dtype)
+        self.norm2 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
+                                  param_dtype=self.param_dtype)
+        self.moe = MoEMLP(
+            ff_dim=self.ff_dim, n_experts=self.n_experts,
+            capacity_factor=self.capacity_factor,
+            kernel_init=self.kernel_init, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            gelu_approximate=self.gelu_approximate,
+        )
+        self.dropout1 = nn.Dropout(self.attention_dropout_rate)
+        self.dropout2 = nn.Dropout(self.dense_dropout_rate)
+
+    def __call__(self, inputs, mask=None, deterministic: bool = True):
+        x = inputs
+        if self.pre_norm:
+            x = x + self._self_attn(self.norm1(x), mask, deterministic)
+            x = x + self._moe(self.norm2(x), deterministic)
+        else:
+            x = self.norm1(x + self._self_attn(x, mask, deterministic))
+            x = self.norm2(x + self._moe(x, deterministic))
+        return x
+
+    def _self_attn(self, q, mask, deterministic):
+        attention = self.multi_head_attention(
+            [q, q, q], mask=[mask, mask], deterministic=deterministic
+        )
+        return self.dropout1(attention, deterministic=deterministic)
+
+    def _moe(self, x, deterministic):
+        y = self.moe(x, deterministic=deterministic)
+        return self.dropout2(y, deterministic=deterministic)

@@ -8,6 +8,13 @@ from chambers_tpu.parallel.collective_eval import (
     distributed_recall_at_k,
 )
 from chambers_tpu.parallel.context_parallel import context_parallel_attention
+from chambers_tpu.parallel.expert_parallel import moe_expert_parallel_rules
+from chambers_tpu.parallel.pipeline_parallel import (
+    group_layers_into_stages,
+    pipeline_apply,
+    shard_pipeline_params,
+    stack_pipeline_stages,
+)
 from chambers_tpu.parallel.sharding import (
     VIT_TENSOR_PARALLEL_RULES,
     batch_sharding,

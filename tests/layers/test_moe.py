@@ -1,0 +1,165 @@
+"""Mixture-of-Experts layer + expert-parallel sharding tests.
+
+Pins the Switch-style dense-dispatch semantics of
+``chambers_tpu.layers.moe`` (SURVEY.md §2.8 EP row): single-expert
+equivalence to a plain MLP, capacity dropping, the load-balancing aux
+loss, and exact equality of the expert-parallel sharded run vs the
+replicated single-device math on the 8-device CPU mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chambers_tpu.activations import gelu
+from chambers_tpu.layers.moe import MoEEncoderLayer, MoEMLP, moe_aux_loss
+from chambers_tpu.parallel import create_mesh, make_param_shardings
+from chambers_tpu.parallel.expert_parallel import moe_expert_parallel_rules
+
+
+def _init(module, x, seed=0):
+    return module.init(jax.random.PRNGKey(seed), x)
+
+
+def test_single_expert_equals_dense_mlp():
+    """E=1: the router gate is softmax over one logit == 1.0, capacity
+    covers every token -> MoEMLP must equal w2(gelu(w1 x)) exactly."""
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 5, 8)), jnp.float32
+    )
+    moe = MoEMLP(ff_dim=16, n_experts=1, capacity_factor=1.0)
+    variables = _init(moe, x)
+    y = moe.apply(variables, x)
+
+    p = variables["params"]
+    h = gelu(x @ p["w1"][0] + p["b1"][0])
+    expected = h @ p["w2"][0] + p["b2"][0]
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(expected), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_output_shape_and_dtype():
+    x = jnp.zeros((3, 7, 12), jnp.bfloat16)
+    moe = MoEMLP(ff_dim=24, n_experts=4, dtype=jnp.bfloat16)
+    variables = _init(moe, x)
+    y = moe.apply(variables, x)
+    assert y.shape == x.shape
+    assert y.dtype == jnp.bfloat16
+
+
+def test_each_token_visits_exactly_one_expert():
+    """With ample capacity, every token's output equals its argmax expert's
+    MLP output scaled by the gate probability."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 16, 8)), jnp.float32)
+    moe = MoEMLP(ff_dim=16, n_experts=4, capacity_factor=4.0)
+    variables = _init(moe, x)
+    y = np.asarray(moe.apply(variables, x))[0]
+
+    p = variables["params"]
+    tokens = np.asarray(x)[0]
+    logits = tokens @ np.asarray(p["w_router"])
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    for i, t in enumerate(tokens):
+        e = int(np.argmax(probs[i]))
+        h = np.asarray(gelu(jnp.asarray(t @ np.asarray(p["w1"][e])
+                                        + np.asarray(p["b1"][e]))))
+        expected = (h @ np.asarray(p["w2"][e]) + np.asarray(p["b2"][e])) \
+            * probs[i, e]
+        np.testing.assert_allclose(y[i], expected, rtol=1e-4, atol=1e-5)
+
+
+def test_capacity_drops_to_zero():
+    """capacity_factor small enough that an oversubscribed expert drops its
+    overflow tokens: dropped tokens produce exactly zero output."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 32, 8)), jnp.float32)
+    # capacity = ceil(32/2 * 0.25) = 4 per expert -> at most 8 of 32 kept
+    moe = MoEMLP(ff_dim=8, n_experts=2, capacity_factor=0.25)
+    variables = _init(moe, x)
+    y = np.asarray(moe.apply(variables, x))[0]
+    n_zero = int((np.abs(y).max(axis=-1) == 0.0).sum())
+    assert n_zero >= 32 - 8
+
+
+def test_aux_loss_sown_and_near_uniform_at_init():
+    """At a fresh random router the Switch balance loss ~= weight * 1.0
+    (exactly 1.0 for perfectly uniform routing)."""
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, 64, 16)), jnp.float32
+    )
+    moe = MoEMLP(ff_dim=8, n_experts=4, aux_loss_weight=1.0)
+    variables = _init(moe, x)
+    _, state = moe.apply(variables, x, mutable=["intermediates"])
+    aux = float(moe_aux_loss(state["intermediates"]))
+    assert 0.5 < aux < 3.0
+
+    assert float(moe_aux_loss({})) == 0.0
+
+
+def test_moe_encoder_layer_runs_and_routes():
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((2, 10, 16)), jnp.float32
+    )
+    layer = MoEEncoderLayer(
+        embed_dim=16, num_heads=2, ff_dim=32, n_experts=4, pre_norm=True,
+        attention_dropout_rate=0.0, dense_dropout_rate=0.0,
+    )
+    variables = _init(layer, x)
+    y, state = layer.apply(variables, x, mutable=["intermediates"])
+    assert y.shape == x.shape
+    assert float(moe_aux_loss(state["intermediates"])) > 0.0
+    # gradient flows to every expert-stacked weight that received tokens
+    def loss(p):
+        return jnp.sum(layer.apply({"params": p}, x) ** 2)
+    grads = jax.grad(loss)(variables["params"])
+    assert float(jnp.abs(grads["moe"]["w_router"]).sum()) > 0.0
+
+
+def test_expert_parallel_sharding_matches_replicated():
+    """EP is pure sharding: the jitted layer with expert weights sharded
+    over an 8-way mesh axis must equal the unsharded single-device run."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, 16, 8)), jnp.float32)
+    moe = MoEMLP(ff_dim=16, n_experts=8, capacity_factor=2.0)
+    variables = _init(moe, x)
+    expected = moe.apply(variables, x)
+
+    mesh = create_mesh({"expert": 8})
+    rules = moe_expert_parallel_rules("expert")
+    shardings = make_param_shardings(variables["params"], mesh, rules)
+    # the rules shard every expert-stacked leaf and replicate the router
+    assert shardings["w1"].spec[0] == "expert"
+    assert shardings["w_router"].spec == ()
+    params = jax.tree.map(jax.device_put, variables["params"], shardings)
+
+    y = jax.jit(lambda p, x: moe.apply({"params": p}, x))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(expected), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_expert_parallel_composes_with_dp():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((8, 8, 8)), jnp.float32)
+    moe = MoEMLP(ff_dim=8, n_experts=4, capacity_factor=2.0)
+    variables = _init(moe, x)
+    expected = moe.apply(variables, x)
+
+    mesh = create_mesh({"data": 2, "expert": 4})
+    params = jax.tree.map(
+        jax.device_put, variables["params"],
+        make_param_shardings(
+            variables["params"], mesh, moe_expert_parallel_rules("expert")
+        ),
+    )
+    from chambers_tpu.parallel import shard_batch
+
+    xs = shard_batch(x, mesh)
+    y = jax.jit(lambda p, x: moe.apply({"params": p}, x))(params, xs)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(expected), rtol=1e-5, atol=1e-6
+    )
