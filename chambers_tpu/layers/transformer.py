@@ -212,27 +212,45 @@ class Encoder(nn.Module):
     # form; default False matches the reference encoder (transformer.py:43)
     gelu_approximate: bool = False
     norm_stats_dtype: Optional[Any] = None
+    # moe_every_n > 0 swaps every n-th layer's MLP for a Switch-style
+    # mixture-of-experts (V-MoE placement); 0 = dense everywhere (the
+    # reference architecture — param tree unchanged, checkpoints load)
+    moe_every_n: int = 0
+    moe_n_experts: int = 8
+    moe_capacity_factor: float = 1.25
+
+    def _moe_at(self, i: int) -> bool:
+        return self.moe_every_n > 0 and (i + 1) % self.moe_every_n == 0
 
     def setup(self):
+        from chambers_tpu.layers.moe import MoEEncoderLayer
+
         layer_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        moe_cls = nn.remat(MoEEncoderLayer) if self.remat else MoEEncoderLayer
+        common = dict(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            ff_dim=self.ff_dim,
+            attention_dropout_rate=self.attention_dropout_rate,
+            dense_dropout_rate=self.dense_dropout_rate,
+            norm_epsilon=self.norm_epsilon,
+            pre_norm=self.pre_norm,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype,
+            gelu_approximate=self.gelu_approximate,
+        )
         self.layers = [
-            layer_cls(
-                embed_dim=self.embed_dim,
-                num_heads=self.num_heads,
-                ff_dim=self.ff_dim,
-                attention_dropout_rate=self.attention_dropout_rate,
-                dense_dropout_rate=self.dense_dropout_rate,
-                norm_epsilon=self.norm_epsilon,
-                pre_norm=self.pre_norm,
-                kernel_init=self.kernel_init,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                attention_impl=self.attention_impl,
-                score_dtype=self.score_dtype,
-                gelu_approximate=self.gelu_approximate,
-                norm_stats_dtype=self.norm_stats_dtype,
+            moe_cls(
+                n_experts=self.moe_n_experts,
+                capacity_factor=self.moe_capacity_factor,
+                **common,
             )
-            for _ in range(self.num_layers)
+            if self._moe_at(i)
+            else layer_cls(norm_stats_dtype=self.norm_stats_dtype, **common)
+            for i in range(self.num_layers)
         ]
         self.norm_layer = (
             _make_norm(self.norm_epsilon, self.dtype,

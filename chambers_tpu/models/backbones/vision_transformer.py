@@ -187,6 +187,12 @@ class VisionTransformer(nn.Module):
     score_dtype: Optional[Any] = None
     gelu_approximate: bool = False
     norm_stats_dtype: Optional[Any] = None
+    # V-MoE-style scaling knob (no reference counterpart): every n-th
+    # encoder MLP becomes a Switch MoE — see chambers_tpu.layers.moe and
+    # chambers_tpu.parallel.expert_parallel for the EP sharding rules
+    moe_every_n: int = 0
+    moe_n_experts: int = 8
+    moe_capacity_factor: float = 1.25
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -226,6 +232,9 @@ class VisionTransformer(nn.Module):
             score_dtype=self.score_dtype,
             gelu_approximate=self.gelu_approximate,
             norm_stats_dtype=self.norm_stats_dtype,
+            moe_every_n=self.moe_every_n,
+            moe_n_experts=self.moe_n_experts,
+            moe_capacity_factor=self.moe_capacity_factor,
             name="encoder",
         )
         if self.feature_dim is not None:
@@ -283,6 +292,12 @@ class DistilledVisionTransformer(nn.Module):
     score_dtype: Optional[Any] = None
     gelu_approximate: bool = False
     norm_stats_dtype: Optional[Any] = None
+    # V-MoE-style scaling knob (no reference counterpart): every n-th
+    # encoder MLP becomes a Switch MoE — see chambers_tpu.layers.moe and
+    # chambers_tpu.parallel.expert_parallel for the EP sharding rules
+    moe_every_n: int = 0
+    moe_n_experts: int = 8
+    moe_capacity_factor: float = 1.25
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -324,6 +339,9 @@ class DistilledVisionTransformer(nn.Module):
             score_dtype=self.score_dtype,
             gelu_approximate=self.gelu_approximate,
             norm_stats_dtype=self.norm_stats_dtype,
+            moe_every_n=self.moe_every_n,
+            moe_n_experts=self.moe_n_experts,
+            moe_capacity_factor=self.moe_capacity_factor,
             name="encoder",
         )
         if self.include_top:
@@ -404,9 +422,18 @@ def _build(
     score_dtype=None,
     gelu_approximate=False,
     norm_stats_dtype=None,
+    moe_every_n=0,
+    moe_n_experts=8,
+    moe_capacity_factor=1.25,
     seed: int = 0,
 ):
     weights_are_pretrained = _are_weights_pretrained(weights, model_name)
+    if moe_every_n and weights_are_pretrained:
+        raise ValueError(
+            "moe_every_n adds expert weights the released checkpoints do "
+            "not contain; use weights=None (train from scratch) or import "
+            "a dense checkpoint first and upcycle manually."
+        )
     default_size, has_feature = _get_model_info(weights, model_name)
 
     if module_cls is VisionTransformer:
@@ -450,6 +477,9 @@ def _build(
         score_dtype=score_dtype,
         gelu_approximate=gelu_approximate,
         norm_stats_dtype=norm_stats_dtype,
+        moe_every_n=moe_every_n,
+        moe_n_experts=moe_n_experts,
+        moe_capacity_factor=moe_capacity_factor,
     )
     if module_cls is VisionTransformer:
         kwargs["feature_dim"] = feature_dim
@@ -495,6 +525,9 @@ def _vit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
         score_dtype=None,
         gelu_approximate=False,
         norm_stats_dtype=None,
+        moe_every_n=0,
+        moe_n_experts=8,
+        moe_capacity_factor=1.25,
         seed: int = 0,
     ):
         return _build(
@@ -518,6 +551,9 @@ def _vit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
             score_dtype=score_dtype,
             gelu_approximate=gelu_approximate,
             norm_stats_dtype=norm_stats_dtype,
+            moe_every_n=moe_every_n,
+            moe_n_experts=moe_n_experts,
+            moe_capacity_factor=moe_capacity_factor,
             seed=seed,
         )
 
@@ -540,6 +576,9 @@ def _deit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
         score_dtype=None,
         gelu_approximate=False,
         norm_stats_dtype=None,
+        moe_every_n=0,
+        moe_n_experts=8,
+        moe_capacity_factor=1.25,
         seed: int = 0,
     ):
         return _build(
@@ -563,6 +602,9 @@ def _deit_preset(model_name, patch_size, patch_dim, n_layers, n_heads, ff_dim,
             score_dtype=score_dtype,
             gelu_approximate=gelu_approximate,
             norm_stats_dtype=norm_stats_dtype,
+            moe_every_n=moe_every_n,
+            moe_n_experts=moe_n_experts,
+            moe_capacity_factor=moe_capacity_factor,
             seed=seed,
         )
 

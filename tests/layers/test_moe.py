@@ -163,3 +163,66 @@ def test_expert_parallel_composes_with_dp():
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(expected), rtol=1e-5, atol=1e-6
     )
+
+
+def test_vit_moe_every_n():
+    """moe_every_n swaps every n-th encoder MLP for a Switch MoE (V-MoE
+    placement); default 0 leaves the reference param tree untouched."""
+    from chambers_tpu.models.backbones.vision_transformer import (
+        VisionTransformer,
+    )
+
+    kwargs = dict(
+        patch_size=8, patch_dim=16, n_encoder_layers=4, n_heads=2, ff_dim=32,
+        dropout_rate=0.0, include_top=False, pooling="cls",
+    )
+    x = jnp.zeros((2, 16, 16, 3))
+
+    dense = VisionTransformer(**kwargs)
+    dense_params = dense.init(jax.random.PRNGKey(0), x)["params"]
+    enc = dense_params["encoder"]
+    assert all("moe" not in enc[f"layers_{i}"] for i in range(4))
+
+    moe_vit = VisionTransformer(moe_every_n=2, moe_n_experts=4, **kwargs)
+    variables = moe_vit.init(jax.random.PRNGKey(0), x)
+    enc = variables["params"]["encoder"]
+    # layers 1 and 3 (1-indexed 2nd/4th) are MoE, 0 and 2 stay dense
+    assert "moe" in enc["layers_1"] and "moe" in enc["layers_3"]
+    assert "dense1" in enc["layers_0"] and "dense1" in enc["layers_2"]
+    assert enc["layers_1"]["moe"]["w1"].shape == (4, 16, 32)
+
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    y, state = moe_vit.apply(variables, imgs, mutable=["intermediates"])
+    assert y.shape == (2, 16)
+    # one aux loss sown per MoE layer, summable for the training objective
+    aux = moe_aux_loss(state["intermediates"])
+    assert np.isfinite(float(aux)) and float(aux) > 0.0
+
+
+def test_vit_moe_expert_parallel_matches_replicated():
+    from chambers_tpu.models.backbones.vision_transformer import (
+        VisionTransformer,
+    )
+
+    vit = VisionTransformer(
+        patch_size=8, patch_dim=16, n_encoder_layers=2, n_heads=2, ff_dim=32,
+        dropout_rate=0.0, include_top=False, pooling="cls",
+        moe_every_n=2, moe_n_experts=8,
+    )
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 3)), jnp.float32)
+    variables = vit.init(jax.random.PRNGKey(1), x)
+    expected = vit.apply(variables, x)
+
+    mesh = create_mesh({"expert": 8})
+    params = jax.tree.map(
+        jax.device_put, variables["params"],
+        make_param_shardings(
+            variables["params"], mesh, moe_expert_parallel_rules("expert")
+        ),
+    )
+    y = jax.jit(lambda p, x: vit.apply({"params": p}, x))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(expected), rtol=1e-5, atol=1e-5
+    )
