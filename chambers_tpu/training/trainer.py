@@ -255,7 +255,16 @@ class Trainer:
             }
             return logs, new_states
 
-        mutable_in_train = self._mutable if self._apply_accepts_mutable else []
+        # "intermediates" is always requested alongside the stateful
+        # collections: modules that sow auxiliary objectives (the MoE
+        # router's load-balancing loss) get them added to the training
+        # loss; models that sow nothing return an empty dict at zero cost.
+        # Sown values are per-step ephemera — consumed here, never stored
+        # in TrainState.
+        mutable_in_train = (
+            self._mutable + ["intermediates"]
+            if self._apply_accepts_mutable else []
+        )
 
         def train_step(state: TrainState, metric_states, x, y):
             rng, dropout_rng = jax.random.split(state.rng)
@@ -268,14 +277,22 @@ class Trainer:
                         rngs={"dropout": dropout_rng},
                         mutable=mutable_in_train,
                     )
-                    extra_vars = {**state.extra_vars, **dict(mutated)}
+                    mutated = dict(mutated)
+                    intermediates = mutated.pop("intermediates", {})
+                    extra_vars = {**state.extra_vars, **mutated}
                 else:
                     y_pred = self._apply_fn(
                         variables, x, deterministic=False,
                         rngs={"dropout": dropout_rng},
                     )
+                    intermediates = {}
                     extra_vars = state.extra_vars
-                return self.loss(y, y_pred), (y_pred, extra_vars)
+                loss_value = self.loss(y, y_pred)
+                if intermediates:
+                    from chambers_tpu.layers.moe import moe_aux_loss
+
+                    loss_value = loss_value + moe_aux_loss(intermediates)
+                return loss_value, (y_pred, extra_vars)
 
             (loss_value, (y_pred, extra_vars)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True

@@ -433,3 +433,34 @@ def test_csv_logger_appends(tmp_path):
         rows = f.read().strip().splitlines()
     assert rows[0] == "epoch,acc,loss"
     assert rows[1] == "0,0.5,1.5"
+
+
+def test_trainer_adds_moe_aux_loss():
+    """A model that sows MoE load-balancing losses trains through the
+    Trainer with the aux term in the objective: the router receives
+    gradient (its weights move) and the sown values never enter the
+    persistent state."""
+    from chambers_tpu.layers.moe import MoEMLP
+
+    class _MoENet(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            x = MoEMLP(ff_dim=16, n_experts=4, aux_loss_weight=1e-2)(
+                x, deterministic=deterministic
+            )
+            return nn.Dense(1)(x)
+
+    module = _MoENet()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    model = Model(module, variables)
+    router_before = np.array(variables["params"]["MoEMLP_0"]["w_router"])
+
+    trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2))
+    data = _batches()
+    history = trainer.fit(data, epochs=10, verbose=False)
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert "intermediates" not in trainer.variables
+    router_after = np.asarray(
+        trainer.variables["params"]["MoEMLP_0"]["w_router"]
+    )
+    assert np.abs(router_after - router_before).max() > 0.0
