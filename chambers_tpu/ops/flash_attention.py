@@ -97,6 +97,21 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, m_out_ref,
         m_out_ref[0] = m_ref[...][:, :1]
 
 
+def _operand_vma(*operands):
+    """Union of the operands' varying-mesh-axes sets.
+
+    Under `shard_map(..., check_vma=True)` (the default) pallas_call's
+    `out_shape` must declare which mesh axes the outputs vary over; outside
+    shard_map the union is simply the empty set. Propagating the input vma
+    keeps strict vma checking ON at the shard_map call sites (e.g.
+    parallel/context_parallel.py) instead of opting out per call.
+    """
+    vma = frozenset()
+    for x in operands:
+        vma = vma | getattr(jax.typeof(x), "vma", frozenset())
+    return vma
+
+
 def _pad_to(x, axis, multiple):
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -125,10 +140,11 @@ def _flash_forward(q, k, v, scale, causal, block_q, block_k):
     # Mosaic kernels compile only for TPU; CPU (tests / simulated meshes)
     # runs the interpreter, which is numerically identical.
     interpret = jax.default_backend() == "cpu"
+    vma = _operand_vma(q, k, v)
     out_shapes = (
-        jax.ShapeDtypeStruct(q_p.shape, q.dtype),                 # o
-        jax.ShapeDtypeStruct((bn, q_p.shape[1], 1), jnp.float32),  # l
-        jax.ShapeDtypeStruct((bn, q_p.shape[1], 1), jnp.float32),  # m
+        jax.ShapeDtypeStruct(q_p.shape, q.dtype, vma=vma),                 # o
+        jax.ShapeDtypeStruct((bn, q_p.shape[1], 1), jnp.float32, vma=vma),  # l
+        jax.ShapeDtypeStruct((bn, q_p.shape[1], 1), jnp.float32, vma=vma),  # m
     )
     o, l, m = pl.pallas_call(
         kernel,
@@ -303,6 +319,7 @@ def _flash_bwd(scale, causal, block_q, block_k, residuals, do):
     n_k = k_p.shape[1] // block_k
 
     interpret = jax.default_backend() == "cpu"
+    vma = _operand_vma(q, k, v, do)
     common = dict(scale=scale, causal=causal, block_q=block_q,
                   block_k=block_k, kv_len=tk, q_len=tq)
 
@@ -313,8 +330,8 @@ def _flash_bwd(scale, causal, block_q, block_k, residuals, do):
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, n_q=n_q, **common),
         out_shape=(
-            jax.ShapeDtypeStruct(k_p.shape, k.dtype),
-            jax.ShapeDtypeStruct(v_p.shape, v.dtype),
+            jax.ShapeDtypeStruct(k_p.shape, k.dtype, vma=vma),
+            jax.ShapeDtypeStruct(v_p.shape, v.dtype, vma=vma),
         ),
         grid=(bn, n_k, n_q),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec,
@@ -339,7 +356,7 @@ def _flash_bwd(scale, causal, block_q, block_k, residuals, do):
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, n_k=n_k, **common),
-        out_shape=jax.ShapeDtypeStruct(q_p.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q_p.shape, q.dtype, vma=vma),
         grid=(bn, n_q, n_k),
         in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2,
                   stat_spec2, stat_spec2],

@@ -175,6 +175,43 @@ def test_context_parallel_attention_is_differentiable():
     assert g.shape == q.shape and np.isfinite(np.asarray(g)).all()
 
 
+def test_context_parallel_strict_vma_cpu_canary():
+    """Pin the jax 0.9.0 limitation that forces check_vma off on CPU.
+
+    context_parallel_attention runs strict vma checking on the compiled TPU
+    path (flash_attention propagates operand vma into its pallas out_shapes)
+    but must fall back to check_vma=False under the CPU HLO interpreter,
+    whose block slicing mixes invariant while_loop indices with varying data
+    ("Primitive dynamic_slice requires varying manual axes to match"). This
+    canary FAILS when a JAX upgrade fixes the interpreter — at that point
+    delete the `check_vma = jax.default_backend() != "cpu"` fallback in
+    parallel/context_parallel.py and this test.
+    """
+    import math
+
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chambers_tpu.ops.flash_attention import flash_attention
+    from chambers_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    b, n, t, h = 1, 2, 64, 32
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(b, n, t, h).astype(np.float32))
+
+    def local(q_shard):
+        k = jax.lax.all_gather(q_shard, "data", axis=2, tiled=True)
+        return flash_attention(q_shard, k, k, scale=1.0 / math.sqrt(h))
+
+    spec = P(None, None, "data", None)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                   check_vma=True)
+    q = jax.device_put(q, NamedSharding(mesh, spec))
+    with pytest.raises(ValueError, match="varying manual axes"):
+        fn(q)
+
+
 def test_streaming_metric_inside_mesh_eval():
     """VERDICT r2 weak #7: a StreamingMetric accumulated inside the sharded
     (mesh) eval step must equal the host computation — the count sums span
