@@ -136,13 +136,27 @@ class Trainer:
 
     def __init__(self, model, loss, optimizer, metrics: Optional[Dict[str, Callable]] = None,
                  seed: int = 0, apply_fn: Optional[Callable] = None,
-                 donate: bool = True, mesh=None, param_sharding_rules=None):
+                 donate: bool = True, mesh=None, param_sharding_rules=None,
+                 gradient_accumulation_steps: int = 1):
         """``mesh``: optional ``jax.sharding.Mesh`` — the train/eval steps run
         data-parallel over its ``data`` axis (batches are sharded per step,
         params replicated or sharded by ``param_sharding_rules``, and XLA
-        inserts the gradient all-reduce)."""
+        inserts the gradient all-reduce).
+
+        ``gradient_accumulation_steps``: with ``N > 1`` each ``fit`` batch is
+        a microbatch — gradients average over ``N`` consecutive batches and
+        the optimizer applies once per ``N`` (an effective batch of
+        ``N×batch_size`` in params-sized extra memory; the Keras harness the
+        reference trained under has no equivalent). Implemented with
+        ``optax.MultiSteps``, so schedules see the *optimizer* step count.
+        BatchNorm running stats still update every microbatch (running
+        averages — same moments either way)."""
         self.model = model
         self.loss = loss
+        if gradient_accumulation_steps > 1:
+            optimizer = optax.MultiSteps(
+                optimizer, every_k_schedule=gradient_accumulation_steps
+            )
         self.optimizer = optimizer
         self.metrics = dict(metrics or {})
         self.mesh = mesh

@@ -464,3 +464,63 @@ def test_trainer_adds_moe_aux_loss():
         trainer.variables["params"]["MoEMLP_0"]["w_router"]
     )
     assert np.abs(router_after - router_before).max() > 0.0
+
+
+def test_trainer_gradient_accumulation_matches_big_batch():
+    """N microbatches under gradient_accumulation_steps=N must land on the
+    same params as one optimizer step on the concatenated batch (grad mean
+    over equal-size microbatches == grad of the mean-loss full batch)."""
+    data = _batches(n_batches=4, batch=8)
+    big_x = np.concatenate([x for x, _ in data])
+    big_y = np.concatenate([y for _, y in data])
+
+    model_a = _make_regression_model()
+    acc = Trainer(model_a, loss=_mse, optimizer=optax.sgd(0.1),
+                  gradient_accumulation_steps=4)
+    acc.fit(data, epochs=1, verbose=False)
+    acc.sync_model()
+
+    model_b = _make_regression_model()
+    ref = Trainer(model_b, loss=_mse, optimizer=optax.sgd(0.1))
+    ref.fit([(big_x, big_y)], epochs=1, verbose=False)
+    ref.sync_model()
+
+    for pa, pb in zip(jax.tree.leaves(model_a.variables["params"]),
+                      jax.tree.leaves(model_b.variables["params"])):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_trainer_gradient_accumulation_reduces_loss():
+    model = _make_regression_model()
+    trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2),
+                      gradient_accumulation_steps=2)
+    history = trainer.fit(_batches(), epochs=20, verbose=False)
+    assert history[-1]["loss"] < history[0]["loss"] * 0.2
+
+
+def test_trainer_gradient_accumulation_on_dp_mesh():
+    """Accumulation composes with the DP mesh: MultiSteps' accumulator
+    inherits the params' shardings and its step counters get the scalar
+    mesh pin, so the step runs and matches the single-device result."""
+    from chambers_tpu.parallel import create_mesh
+
+    data = _batches(n_batches=4, batch=16)
+
+    model_a = _make_regression_model()
+    mesh = create_mesh({"data": 8})
+    acc = Trainer(model_a, loss=_mse, optimizer=optax.sgd(0.1),
+                  gradient_accumulation_steps=2, mesh=mesh)
+    acc.fit(data, epochs=1, verbose=False)
+    acc.sync_model()
+
+    model_b = _make_regression_model()
+    ref = Trainer(model_b, loss=_mse, optimizer=optax.sgd(0.1),
+                  gradient_accumulation_steps=2)
+    ref.fit(data, epochs=1, verbose=False)
+    ref.sync_model()
+
+    for pa, pb in zip(jax.tree.leaves(model_a.variables["params"]),
+                      jax.tree.leaves(model_b.variables["params"])):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-5, atol=2e-6)
