@@ -122,7 +122,7 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, widths)
 
 
-def _flash_forward(q, k, v, scale, causal, block_q, block_k):
+def _flash_forward(q, k, v, scale, causal, block_q, block_k, interpret):
     """Core padded pallas call over [bn, t, h] operands; returns (o, l, m)."""
     bn, tq, h = q.shape
     tk = k.shape[1]
@@ -137,9 +137,6 @@ def _flash_forward(q, k, v, scale, causal, block_q, block_k):
         _flash_fwd_kernel, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, kv_len=tk, q_len=tq, n_k=n_k,
     )
-    # Mosaic kernels compile only for TPU; CPU (tests / simulated meshes)
-    # runs the interpreter, which is numerically identical.
-    interpret = jax.default_backend() == "cpu"
     vma = _operand_vma(q, k, v)
     out_shapes = (
         jax.ShapeDtypeStruct(q_p.shape, q.dtype, vma=vma),                 # o
@@ -173,14 +170,16 @@ def _flash_forward(q, k, v, scale, causal, block_q, block_k):
     return o[:, :tq], l[:, :tq], m[:, :tq]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, scale, causal, block_q, block_k):
-    o, _, _ = _flash_forward(q, k, v, scale, causal, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, scale, causal, block_q, block_k, interpret):
+    o, _, _ = _flash_forward(q, k, v, scale, causal, block_q, block_k,
+                             interpret)
     return o
 
 
-def _flash_fwd(q, k, v, scale, causal, block_q, block_k):
-    o, l, m = _flash_forward(q, k, v, scale, causal, block_q, block_k)
+def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret):
+    o, l, m = _flash_forward(q, k, v, scale, causal, block_q, block_k,
+                             interpret)
     return o, (q, k, v, o, l, m)
 
 
@@ -295,7 +294,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
         dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, residuals, do):
+def _flash_bwd(scale, causal, block_q, block_k, interpret, residuals, do):
     """Blockwise backward: recompute each tile's probabilities from the saved
     (l, m) residuals and accumulate dq/dk/dv in VMEM — the [t, t] matrices are
     never materialized (guide §7: separate dKV and dQ kernels sharing a
@@ -318,7 +317,6 @@ def _flash_bwd(scale, causal, block_q, block_k, residuals, do):
     n_q = q_p.shape[1] // block_q
     n_k = k_p.shape[1] // block_k
 
-    interpret = jax.default_backend() == "cpu"
     vma = _operand_vma(q, k, v, do)
     common = dict(scale=scale, causal=causal, block_q=block_q,
                   block_k=block_k, kv_len=tk, q_len=tq)
@@ -404,6 +402,7 @@ def flash_attention(
     causal: bool = False,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
 ):
     """Blockwise attention over ``[batch, heads, t, head_dim]`` tensors.
 
@@ -431,7 +430,14 @@ def flash_attention(
     else:
         scale = 1.0 / float(scale)  # must be a static Python scalar
 
+    if interpret is None:
+        # Mosaic kernels compile only for TPU; CPU (tests / simulated
+        # meshes) runs the interpreter, which is numerically identical.
+        # Callers running under a mesh whose devices differ from the
+        # default backend (e.g. a CPU debug mesh on a TPU host) pass
+        # `interpret` explicitly — parallel/context_parallel.py does.
+        interpret = jax.default_backend() == "cpu"
     fold = lambda x: x.reshape(b * n, x.shape[2], h)
     out = _flash(fold(query), fold(key), fold(value),
-                 scale, causal, block_q, block_k)
+                 scale, causal, block_q, block_k, bool(interpret))
     return out.reshape(b, n, tq, h)

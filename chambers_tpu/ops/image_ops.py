@@ -470,7 +470,8 @@ def transform_affine_separable(images, transforms, fill_value=0.0, pad=None):
     # tests/augmentations/test_warp_pallas.py). Static scalar fill only:
     # the kernel bakes the fill value into the program.
     if (jax.default_backend() == "tpu" and images.dtype == jnp.uint8
-            and isinstance(fill_value, (int, float))):
+            and isinstance(fill_value,
+                           (int, float, np.integer, np.floating))):
         from chambers_tpu.ops.warp_pallas import (
             transform_affine_separable_pallas,
         )

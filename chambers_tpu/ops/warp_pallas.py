@@ -35,7 +35,11 @@ from chambers_tpu.ops.image_ops import decompose_affine_shears
 
 def _warp_kernel(img_ref, n1_ref, n1m_ref, n2e_ref, n2me_ref, n3_ref,
                  n3m_ref, o_ref, *, h, wp, c, pad, w, fill):
-    buf = img_ref[0]  # [h, wp*c] uint8, channel-minor
+    # pad in VMEM (the input block is the unpadded [h, w*c] image): a
+    # host-side jnp.pad would write and re-read a padded HBM copy — ~40%
+    # extra traffic on top of the kernel's one-read-one-write design
+    fill_cols = jnp.full((h, pad * c), jnp.uint8(fill), jnp.uint8)
+    buf = jnp.concatenate([fill_cols, img_ref[0], fill_cols], axis=1)
 
     # padded-x pixel index per folded lane ([1, wp*c]) and row index ([h, 1])
     xidx = jax.lax.broadcasted_iota(jnp.int32, (1, wp * c), 1) // c
@@ -95,9 +99,17 @@ def transform_affine_separable_pallas(images, transforms, fill_value, pad,
     n2e = jnp.repeat(n2, c, axis=-1)[:, None, :]    # [b, 1, wp*c]
     n2me = jnp.repeat(n2m, c, axis=-1)[:, None, :]
 
-    img = jnp.pad(images, ((0, 0), (0, 0), (pad, pad), (0, 0)),
-                  constant_values=np.uint8(fill_value))
-    img = img.reshape(b, h, wp * c)
+    # resolve the static fill through the same dtype conversion the XLA
+    # path applies (`jnp.asarray(fill_value, images.dtype)`), in pure numpy
+    # so it works under an outer jit trace: Python scalars are range-checked
+    # (OverflowError, as jax's weak-scalar conversion raises), numpy scalars
+    # C-cast — tests/augmentations/test_warp_pallas.py pins both
+    if isinstance(fill_value, (bool, int, float)):
+        fill_value = int(np.asarray(fill_value, images.dtype))
+    else:
+        fill_value = int(np.asarray(fill_value).astype(images.dtype))
+
+    img = images.reshape(b, h, w * c)  # channel-minor lane fold (free)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -110,7 +122,7 @@ def transform_affine_separable_pallas(images, transforms, fill_value, pad,
         out_shape=jax.ShapeDtypeStruct((b, h, w * c), jnp.uint8),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, wp * c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0)),
             row_spec, row_spec, col_spec, col_spec, row_spec, row_spec,
         ],
         out_specs=pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0)),

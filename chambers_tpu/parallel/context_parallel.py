@@ -64,6 +64,11 @@ def context_parallel_attention(
     if key is None:
         key = value
 
+    # the mesh's devices decide the execution platform, not the process
+    # default backend — a CPU debug mesh on a TPU host must still take the
+    # interpreter (and the vma fallback below)
+    on_cpu = mesh.devices.flat[0].platform == "cpu"
+
     def local(q_shard, k_shard, v_shard):
         # one tiled all-gather per operand rides ICI; each device then runs
         # the blockwise kernel on its local query rows vs the full K/V
@@ -71,7 +76,7 @@ def context_parallel_attention(
         v_full = jax.lax.all_gather(v_shard, axis, axis=2, tiled=True)
         return flash_attention(
             q_shard, v_full, k_full, scale=scale, causal=False,
-            block_q=block_q, block_k=block_k,
+            block_q=block_q, block_k=block_k, interpret=on_cpu,
         )
 
     spec = P(None, None, axis, None)
@@ -84,7 +89,7 @@ def context_parallel_attention(
     # ("Primitive dynamic_slice requires varying manual axes to match");
     # tests/test_parallel.py::test_context_parallel_strict_vma_cpu_canary
     # pins that limitation so the fallback is removed when JAX fixes it.
-    check_vma = jax.default_backend() != "cpu"
+    check_vma = not on_cpu
     fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                    out_specs=spec, check_vma=check_vma)
     sharding = NamedSharding(mesh, spec)

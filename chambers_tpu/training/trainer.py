@@ -149,10 +149,21 @@ class Trainer:
         ``N×batch_size`` in params-sized extra memory; the Keras harness the
         reference trained under has no equivalent). Implemented with
         ``optax.MultiSteps``, so schedules see the *optimizer* step count.
-        BatchNorm running stats still update every microbatch (running
-        averages — same moments either way)."""
+        The accumulator does not flush at epoch or ``fit`` boundaries: keep
+        the number of batches per epoch divisible by ``N``, or up to
+        ``N−1`` trailing microbatches carry over into the next optimizer
+        step (or are discarded when training ends). BatchNorm running stats
+        update every microbatch, so they follow microbatch moments — close
+        to, but not identical with, the stats a true ``N×batch_size`` batch
+        would write (the EMA weights microbatches unequally and
+        between-microbatch mean spread is lost from the variance)."""
         self.model = model
         self.loss = loss
+        if gradient_accumulation_steps < 1:
+            raise ValueError(
+                "gradient_accumulation_steps must be >= 1, got "
+                f"{gradient_accumulation_steps}"
+            )
         if gradient_accumulation_steps > 1:
             optimizer = optax.MultiSteps(
                 optimizer, every_k_schedule=gradient_accumulation_steps

@@ -58,3 +58,27 @@ def test_pallas_warp_fill_value_and_identity():
     got = transform_affine_separable_pallas(
         imgs, mats, fill_value=77, pad=5, interpret=True)
     assert bool(jnp.all(got == 77))
+
+
+def test_pallas_warp_fill_cast_matches_xla_path():
+    """Out-of-range / numpy-scalar fills resolve through the same dtype
+    conversion as the XLA path's `jnp.asarray(fill_value, uint8)` instead
+    of raising only on the kernel path."""
+    rng = np.random.RandomState(3)
+    b, h, w, c = 2, 32, 32, 3
+    imgs = rng.randint(0, 256, (b, h, w, c), dtype=np.uint8)
+    mats = np.asarray(image_ops.translate_x_matrices(np.full(b, 1000.0)))
+    for fill in (np.float32(7.0), np.uint8(9), np.float32(300.5)):
+        want = image_ops.transform_affine_separable(
+            imgs, mats, fill_value=fill, pad=5)
+        got = transform_affine_separable_pallas(
+            imgs, mats, fill_value=fill, pad=5, interpret=True)
+        assert bool(jnp.all(want == got)), fill
+    # out-of-range Python scalars raise the same OverflowError on BOTH
+    # paths (jax's weakly-typed scalar check) — no backend divergence
+    with pytest.raises(OverflowError):
+        image_ops.transform_affine_separable(
+            imgs, mats, fill_value=256.5, pad=5)
+    with pytest.raises(OverflowError):
+        transform_affine_separable_pallas(
+            imgs, mats, fill_value=256.5, pad=5, interpret=True)

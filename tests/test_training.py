@@ -524,3 +524,10 @@ def test_trainer_gradient_accumulation_on_dp_mesh():
                       jax.tree.leaves(model_b.variables["params"])):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_trainer_gradient_accumulation_rejects_nonpositive():
+    model = _make_regression_model()
+    with pytest.raises(ValueError, match="gradient_accumulation_steps"):
+        Trainer(model, loss=_mse, optimizer=optax.sgd(0.1),
+                gradient_accumulation_steps=0)
