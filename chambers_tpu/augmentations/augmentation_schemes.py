@@ -412,10 +412,21 @@ class RandAugment:
             return self._apply_elementwise_fused(images, key)
         return self._choice(images, key=key)
 
+    def _use_fused_round_kernel(self, images):
+        """The per-image-dispatch Pallas round kernel applies on TPU for
+        uint8 RGB batches; ``self.fused_round_kernel = True/False`` forces
+        it (tests run it in interpret mode on CPU)."""
+        forced = getattr(self, "fused_round_kernel", None)
+        if forced is not None:
+            return forced
+        return (jax.default_backend() == "tpu"
+                and images.dtype == jnp.uint8 and images.shape[-1] == 3)
+
     def _apply_elementwise_fused(self, images, key):
         from chambers_tpu.ops import image_ops
 
         b = images.shape[0]
+        use_kernel = self._use_fused_round_kernel(images)
         for key_round in jax.random.split(key, self.n_transforms):
             kd, ks, ko = jax.random.split(key_round, 3)
             idx = jax.random.randint(kd, (b,), 0, len(self.transforms))
@@ -439,25 +450,75 @@ class RandAugment:
                         image_ops.translate_y_matrices(sign * self._translate_px))
             mats = pick(self._PROJECTIVE["Rotate"],
                         image_ops.rotation_matrices(sign * self._rotate_rad, h, w))
-            result = _policy_warp(images, mats,
-                                  max_rotation_rad=self._rotate_rad)
+
+            op_keys = jax.random.split(ko, len(self.transforms))
+            if use_kernel:
+                # one Pallas kernel for ALL non-LUT candidates: each image
+                # dispatches on its sampled op and computes only that op
+                # (warp / Color / Sharpness / CutOut / passthrough) — the
+                # TPU-native form of the reference's per-image tf.cond;
+                # bit-identical to the masked composition below
+                # (tests/augmentations/test_warp_pallas.py)
+                result = self._fused_round(images, mats, idx, op_keys)
+            else:
+                result = _policy_warp(images, mats,
+                                      max_rotation_rad=self._rotate_rad)
 
             # LUT-able pointwise candidates (8 of 11): every per-pixel-value
             # op composes into ONE combined [b*c, 256] table applied by a
             # single batched lookup instead of 8 full-image passes
             result = self._apply_lut_ops(images, idx, result)
 
-            # remaining non-LUT pointwise ops (cross-channel / spatial)
-            projective_idx = set(self._PROJECTIVE.values())
-            op_keys = jax.random.split(ko, len(self.transforms))
-            for k_i, (t, op_key) in enumerate(zip(self.transforms, op_keys)):
-                if (k_i in projective_idx or k_i in self._LUT_BUILDERS
-                        or k_i == 4):  # 4 = Contrast, LUT'd lazily
-                    continue
-                sel = (idx == k_i)[:, None, None, None]
-                result = jnp.where(sel, t(images, key=op_key), result)
+            if not use_kernel:
+                # remaining non-LUT pointwise ops (cross-channel / spatial)
+                projective_idx = set(self._PROJECTIVE.values())
+                for k_i, (t, op_key) in enumerate(
+                        zip(self.transforms, op_keys)):
+                    if (k_i in projective_idx or k_i in self._LUT_BUILDERS
+                            or k_i == 4):  # 4 = Contrast, LUT'd lazily
+                        continue
+                    sel = (idx == k_i)[:, None, None, None]
+                    result = jnp.where(sel, t(images, key=op_key), result)
             images = result
         return images
+
+    def _fused_round(self, images, mats, idx, op_keys):
+        """Run one round's non-LUT ops through the per-image-dispatch
+        kernel. PRNG use matches the unfused path exactly: CutOut's centers
+        derive from the same per-op key split `image_ops.cutout` performs."""
+        from chambers_tpu.ops import warp_pallas as wpk
+
+        b, h, w, _ = images.shape
+        d = max(h, w)
+        pad = int(np.ceil(np.tan(abs(self._rotate_rad) / 2.0)
+                          * (d - 1) / 2.0)) + 2
+
+        i_color = self.OP_NAMES.index("Color")
+        i_sharp = self.OP_NAMES.index("Sharpness")
+        i_cut = self.OP_NAMES.index("CutOut")
+        cut = self.transforms[i_cut]
+
+        classes = np.full(len(self.transforms), wpk.PASSTHROUGH, np.int32)
+        for k_i in self._PROJECTIVE.values():
+            classes[k_i] = wpk.WARP
+        classes[i_color] = wpk.COLOR
+        classes[i_sharp] = wpk.SHARPNESS
+        if cut.mask_size:  # mask_size == 0 is the identity (CutOut.__call__)
+            classes[i_cut] = wpk.CUTOUT
+        op_class = jnp.asarray(classes)[idx]
+
+        key_y, key_x = jax.random.split(op_keys[i_cut])
+        cy = jax.random.randint(key_y, (b,), 0, h)
+        cx = jax.random.randint(key_x, (b,), 0, w)
+
+        return wpk.fused_round_pallas(
+            images, mats, op_class, cy, cx,
+            fill_value=_FILL_VALUE, pad=pad,
+            color_factor=self.transforms[i_color].factor,
+            sharp_factor=self.transforms[i_sharp].factor,
+            cut_half=cut.mask_size // 2,
+            cut_fill=cut.constant_values,
+        )
 
     @property
     def _LUT_BUILDERS(self):

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the separable (barrel-shift) affine warp.
+"""Pallas TPU kernels for the separable warp and the fused RandAugment round.
 
 `image_ops.transform_affine_separable` lowers a det-1 affine warp to three
 shear passes of ceil(log2(L)) conditional static rolls. As plain XLA each
@@ -6,20 +6,32 @@ roll+select is an HBM sweep of the padded uint8 buffer — ~26 sweeps, ~320 MB
 of traffic for a batch-32 224² warp, which leaves the op bandwidth-bound at
 ~1.6 ms in the fused RandAugment pipeline (BASELINE.md config-1 tail).
 
-This kernel runs all three passes over one image resident in VMEM: one HBM
-read of the image, one write of the cropped result (~12 MB per batch instead
-of ~320 MB). The channel axis is folded into the lane dimension
-(``[h, wp·c]`` uint8, channel-minor), so an x-shift of ``s`` pixels is a
-lane-roll of ``c·s`` bytes and the y-pass is a sublane-roll — both static
-per stage, with the per-row/per-column stage masks selecting which rows
-take each power-of-two roll, exactly as the XLA path does. Bit-identical to
-`image_ops._barrel_shift` by construction (same stage order, same masks,
-same fill semantics); `tests/augmentations/test_warp_pallas.py` holds the
-equality over random det-1 transforms.
+Two kernels share the same layout trick — the channel axis folds into the
+lane dimension (``[h, w·c]`` uint8, channel-minor), so an x-shift of ``s``
+pixels is a lane-roll of ``c·s`` bytes and a y-shift is a sublane-roll:
+
+- :func:`transform_affine_separable_pallas` — the warp alone: all three
+  shear passes over one image resident in VMEM (one HBM read, one write,
+  padding built in VMEM). Bit-identical to `image_ops._barrel_shift` by
+  construction (same stage order, same masks, same fill semantics);
+  `tests/augmentations/test_warp_pallas.py` holds the equality.
+
+- :func:`fused_round_pallas` — one whole elementwise-RandAugment round for
+  the non-LUT ops: each image *dispatches* on its sampled op (scalar-
+  prefetched class id, `pl.when`-predicated branches) and computes ONLY
+  that op — warp, Color, Sharpness, CutOut, or passthrough — instead of
+  the XLA formulation's compute-all-then-select. This is the TPU-native
+  analogue of the per-image `tf.cond` dispatch the reference runs on CPU
+  (image_augmentations.py:606-617): same per-image semantics, but as
+  predicated VMEM-resident branches rather than host control flow. Every
+  branch mirrors its `image_ops` op's arithmetic order exactly (Color's
+  255.5-truncating grayscale, Sharpness's 9-term int32 sum with
+  round-half-to-even ÷13, blend's clip-then-truncate), so outputs are
+  bit-identical to the unfused composition.
 
 The reference's counterpart is tfa's dense gather warp
 (``ImageProjectiveTransformV3``, used by image_augmentations.py:120-160,
-316-406); the separable formulation and this kernel are the TPU-native
+316-406); the separable formulation and these kernels are the TPU-native
 replacements (gathers run ~300M elem/s on v5e — 20x slower).
 """
 
@@ -29,17 +41,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from chambers_tpu.ops.image_ops import decompose_affine_shears
 
+# ITU-R 601 grayscale weights — must match image_ops._GRAY_WEIGHTS
+_GRAY_W = (0.299, 0.587, 0.114)
 
-def _warp_kernel(img_ref, n1_ref, n1m_ref, n2e_ref, n2me_ref, n3_ref,
-                 n3m_ref, o_ref, *, h, wp, c, pad, w, fill):
-    # pad in VMEM (the input block is the unpadded [h, w*c] image): a
-    # host-side jnp.pad would write and re-read a padded HBM copy — ~40%
-    # extra traffic on top of the kernel's one-read-one-write design
+# op-class ids for fused_round_pallas (kernel-internal contract)
+PASSTHROUGH, WARP, COLOR, SHARPNESS, CUTOUT = range(5)
+
+
+def _resolve_fill(fill_value, dtype):
+    """Static fill via the same dtype conversion as the XLA path's
+    `jnp.asarray(fill_value, images.dtype)`, in pure numpy so it works under
+    an outer jit trace: Python scalars are range-checked (OverflowError, as
+    jax's weak-scalar conversion raises), numpy scalars C-cast —
+    tests/augmentations/test_warp_pallas.py pins both."""
+    if isinstance(fill_value, (bool, int, float)):
+        return int(np.asarray(fill_value, dtype))
+    return int(np.asarray(fill_value).astype(dtype))
+
+
+def _warp_body(img, n1, n1m, n2e, n2me, n3, n3m, *, h, wp, c, pad, w, fill):
+    """Three barrel-shift shear passes on a ``[h, w*c]`` VMEM block.
+
+    Pads in VMEM (a host-side jnp.pad would write and re-read a padded HBM
+    copy — ~40% extra traffic on top of the one-read-one-write design).
+    """
     fill_cols = jnp.full((h, pad * c), jnp.uint8(fill), jnp.uint8)
-    buf = jnp.concatenate([fill_cols, img_ref[0], fill_cols], axis=1)
+    buf = jnp.concatenate([fill_cols, img, fill_cols], axis=1)
 
     # padded-x pixel index per folded lane ([1, wp*c]) and row index ([h, 1])
     xidx = jax.lax.broadcasted_iota(jnp.int32, (1, wp * c), 1) // c
@@ -67,22 +98,23 @@ def _warp_kernel(img_ref, n1_ref, n1m_ref, n2e_ref, n2me_ref, n3_ref,
         valid = (yidx + nraw >= 0) & (yidx + nraw < h)
         return jnp.where(valid, out, jnp.uint8(fill))
 
-    buf = x_pass(buf, n1_ref[0], n1m_ref[0])
-    buf = y_pass(buf, n2e_ref[0], n2me_ref[0])
-    buf = x_pass(buf, n3_ref[0], n3m_ref[0])
-    o_ref[0] = buf[:, pad * c:(pad + w) * c]
+    buf = x_pass(buf, n1, n1m)
+    buf = y_pass(buf, n2e, n2me)
+    buf = x_pass(buf, n3, n3m)
+    return buf[:, pad * c:(pad + w) * c]
 
 
-def transform_affine_separable_pallas(images, transforms, fill_value, pad,
-                                      interpret=None):
-    """VMEM-resident three-shear warp; drop-in for the XLA separable path.
+def _warp_kernel(img_ref, n1_ref, n1m_ref, n2e_ref, n2me_ref, n3_ref,
+                 n3m_ref, o_ref, *, h, wp, c, pad, w, fill):
+    o_ref[0] = _warp_body(
+        img_ref[0], n1_ref[0], n1m_ref[0], n2e_ref[0], n2me_ref[0],
+        n3_ref[0], n3m_ref[0], h=h, wp=wp, c=c, pad=pad, w=w, fill=fill,
+    )
 
-    :param images: ``[b, h, w, c]`` uint8.
-    :param transforms: ``[b, 8]`` det-1 affine matrices (output→input).
-    :param fill_value: static Python scalar fill.
-    :param pad: fill columns kept per side for intermediate shear excursions.
-    """
-    b, h, w, c = images.shape
+
+def _shift_vectors(transforms, b, h, w, c, pad):
+    """Per-pass integer shift vectors for the three-shear decomposition
+    (identical arithmetic to `image_ops.transform_affine_separable`)."""
     wp = w + 2 * pad
     t = jnp.asarray(transforms, jnp.float32)
     if t.ndim == 1:
@@ -98,16 +130,23 @@ def transform_affine_separable_pallas(images, transforms, fill_value, pad,
     # fold the x-direction vectors out to channel-minor lanes
     n2e = jnp.repeat(n2, c, axis=-1)[:, None, :]    # [b, 1, wp*c]
     n2me = jnp.repeat(n2m, c, axis=-1)[:, None, :]
+    return (n1[:, :, None], n1m[:, :, None], n2e, n2me,
+            n3[:, :, None], n3m[:, :, None])
 
-    # resolve the static fill through the same dtype conversion the XLA
-    # path applies (`jnp.asarray(fill_value, images.dtype)`), in pure numpy
-    # so it works under an outer jit trace: Python scalars are range-checked
-    # (OverflowError, as jax's weak-scalar conversion raises), numpy scalars
-    # C-cast — tests/augmentations/test_warp_pallas.py pins both
-    if isinstance(fill_value, (bool, int, float)):
-        fill_value = int(np.asarray(fill_value, images.dtype))
-    else:
-        fill_value = int(np.asarray(fill_value).astype(images.dtype))
+
+def transform_affine_separable_pallas(images, transforms, fill_value, pad,
+                                      interpret=None):
+    """VMEM-resident three-shear warp; drop-in for the XLA separable path.
+
+    :param images: ``[b, h, w, c]`` uint8.
+    :param transforms: ``[b, 8]`` det-1 affine matrices (output→input).
+    :param fill_value: static Python scalar fill.
+    :param pad: fill columns kept per side for intermediate shear excursions.
+    """
+    b, h, w, c = images.shape
+    wp = w + 2 * pad
+    n1, n1m, n2e, n2me, n3, n3m = _shift_vectors(transforms, b, h, w, c, pad)
+    fill = _resolve_fill(fill_value, images.dtype)
 
     img = images.reshape(b, h, w * c)  # channel-minor lane fold (free)
 
@@ -117,8 +156,7 @@ def transform_affine_separable_pallas(images, transforms, fill_value, pad,
     row_spec = pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0))
     col_spec = pl.BlockSpec((1, 1, wp * c), lambda i: (i, 0, 0))
     out = pl.pallas_call(
-        partial(_warp_kernel, h=h, wp=wp, c=c, pad=pad, w=w,
-                fill=int(fill_value)),
+        partial(_warp_kernel, h=h, wp=wp, c=c, pad=pad, w=w, fill=fill),
         out_shape=jax.ShapeDtypeStruct((b, h, w * c), jnp.uint8),
         grid=(b,),
         in_specs=[
@@ -127,6 +165,162 @@ def transform_affine_separable_pallas(images, transforms, fill_value, pad,
         ],
         out_specs=pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0)),
         interpret=interpret,
-    )(img, n1[:, :, None], n1m[:, :, None], n2e, n2me,
-      n3[:, :, None], n3m[:, :, None])
+    )(img, n1, n1m, n2e, n2me, n3, n3m)
+    return out.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# fused per-image-dispatch round kernel
+# ---------------------------------------------------------------------------
+
+def _fused_round_kernel(meta_ref, img_ref, n1_ref, n1m_ref, n2e_ref,
+                        n2me_ref, n3_ref, n3m_ref, o_ref, *, h, wp, c, pad,
+                        w, fill, color_factor, sharp_factor, cut_half,
+                        cut_fill):
+    """One augmentation round for one image: dispatch on the sampled op.
+
+    ``meta_ref`` is scalar-prefetched ``[b, 3]`` int32: (op class, cutout
+    center y, cutout center x). Exactly one `pl.when` branch runs per
+    image; every branch writes the full output block.
+    """
+    i = pl.program_id(0)
+    opc = meta_ref[i, 0]
+    img = img_ref[0]  # [h, w*c] uint8
+
+    # unpadded pixel x / channel / row indices per folded lane
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w * c), 1)
+    xpix = lane // c
+    ch = lane - c * xpix
+    yrow = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+
+    @pl.when(opc == PASSTHROUGH)
+    def _():
+        o_ref[0] = img
+
+    @pl.when(opc == WARP)
+    def _():
+        o_ref[0] = _warp_body(
+            img, n1_ref[0], n1m_ref[0], n2e_ref[0], n2me_ref[0],
+            n3_ref[0], n3m_ref[0], h=h, wp=wp, c=c, pad=pad, w=w, fill=fill,
+        )
+
+    @pl.when(opc == COLOR)
+    def _():
+        # image_ops.color == blend(to_grayscale(x) broadcast, x, factor),
+        # arithmetic order mirrored exactly: unit-scale, ITU-R 601 weighted
+        # sum, ×255.5 clip truncate, then blend's clip-truncate
+        inv = jnp.float32(1.0) / jnp.float32(255.0)
+        # Mosaic has no direct u8->f32 cast; i32 is the supported route
+        unit = img.astype(jnp.int32).astype(jnp.float32) * inv
+        g = (jnp.float32(_GRAY_W[0]) * unit
+             + jnp.float32(_GRAY_W[1]) * jnp.roll(unit, -1, axis=1)
+             + jnp.float32(_GRAY_W[2]) * jnp.roll(unit, -2, axis=1))
+        g = jnp.where(ch == 0, g, 0.0)  # valid at r-lanes only
+        gray = g + jnp.roll(g, 1, axis=1) + jnp.roll(g, 2, axis=1)
+        degen = jnp.floor(
+            jnp.clip(gray * jnp.float32(255.5), 0.0, 255.0)
+        )  # == uint8 truncation, kept in f32 for the blend
+        f = jnp.float32(color_factor)
+        imgf = img.astype(jnp.int32).astype(jnp.float32)
+        temp = degen + f * (imgf - degen)
+        # f32->u8 routes via i32; truncation toward zero == uint8 cast here
+        o_ref[0] = (jnp.clip(temp, 0.0, 255.0)
+                    .astype(jnp.int32).astype(jnp.uint8))
+
+    @pl.when(opc == SHARPNESS)
+    def _():
+        # image_ops.sharpness: 9-term int32 neighborhood sum on the
+        # interior, exact round-half-to-even ÷13, blend toward original.
+        # x-neighbors are ±c lane-rolls, y-neighbors ±1 sublane-rolls.
+        x32 = img.astype(jnp.int32)
+
+        def nb(dy, dx):
+            out = x32
+            if dy:
+                out = jnp.roll(out, -dy, axis=0)
+            if dx:
+                out = jnp.roll(out, -dx * c, axis=1)
+            return out
+
+        s = (nb(-1, -1) + nb(-1, 0) + nb(-1, 1)
+             + nb(0, -1) + 5 * x32 + nb(0, 1)
+             + nb(1, -1) + nb(1, 0) + nb(1, 1))
+        n = s // 13
+        r = s - 13 * n
+        degen = n + (2 * r > 13).astype(jnp.int32)
+        interior = ((yrow >= 1) & (yrow <= h - 2)
+                    & (xpix >= 1) & (xpix <= w - 2))
+        result = jnp.where(interior, degen, x32).astype(jnp.float32)  # i32->f32
+        f = jnp.float32(sharp_factor)
+        imgf = img.astype(jnp.int32).astype(jnp.float32)
+        temp = result + f * (imgf - result)
+        o_ref[0] = (jnp.clip(temp, 0.0, 255.0)
+                    .astype(jnp.int32).astype(jnp.uint8))
+
+    @pl.when(opc == CUTOUT)
+    def _():
+        # image_ops.cutout: square mask at (cy, cx), clipped at borders
+        cy = meta_ref[i, 1]
+        cx = meta_ref[i, 2]
+        in_y = (yrow >= cy - cut_half) & (yrow < cy + cut_half)
+        in_x = (xpix >= cx - cut_half) & (xpix < cx + cut_half)
+        o_ref[0] = jnp.where(in_y & in_x, jnp.uint8(cut_fill), img)
+
+
+def fused_round_pallas(images, transforms, op_class, cut_cy, cut_cx, *,
+                       fill_value, pad, color_factor, sharp_factor,
+                       cut_half, cut_fill, interpret=None):
+    """One elementwise-RandAugment round over the non-LUT ops, per-image
+    dispatched: each image computes only its sampled op.
+
+    :param images: ``[b, h, w, c]`` uint8.
+    :param transforms: ``[b, 8]`` det-1 affines (identity for non-warp
+        images).
+    :param op_class: ``[b]`` int32 in {PASSTHROUGH, WARP, COLOR, SHARPNESS,
+        CUTOUT}. LUT-class images pass through unchanged (the caller
+        overwrites them with the batched LUT result).
+    :param cut_cy, cut_cx: ``[b]`` int32 cutout centers (ignored for other
+        classes; derived by the caller from the op's PRNG key so the random
+        stream matches the unfused path exactly).
+    :param color_factor, sharp_factor: static blend factors.
+    :param cut_half: static half side of the cutout square.
+    :param cut_fill: static cutout fill value.
+    """
+    b, h, w, c = images.shape
+    wp = w + 2 * pad
+    n1, n1m, n2e, n2me, n3, n3m = _shift_vectors(transforms, b, h, w, c, pad)
+    fill = _resolve_fill(fill_value, images.dtype)
+
+    meta = jnp.stack(
+        [jnp.asarray(op_class, jnp.int32),
+         jnp.asarray(cut_cy, jnp.int32),
+         jnp.asarray(cut_cx, jnp.int32)], axis=1,
+    )  # [b, 3]
+    img = images.reshape(b, h, w * c)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # index maps under scalar prefetch receive the prefetched array as a
+    # trailing argument
+    row_spec = pl.BlockSpec((1, h, 1), lambda i, meta: (i, 0, 0))
+    col_spec = pl.BlockSpec((1, 1, wp * c), lambda i, meta: (i, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w * c), lambda i, meta: (i, 0, 0)),
+            row_spec, row_spec, col_spec, col_spec, row_spec, row_spec,
+        ],
+        out_specs=pl.BlockSpec((1, h, w * c), lambda i, meta: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        partial(_fused_round_kernel, h=h, wp=wp, c=c, pad=pad, w=w,
+                fill=fill, color_factor=float(color_factor),
+                sharp_factor=float(sharp_factor), cut_half=int(cut_half),
+                cut_fill=int(cut_fill)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w * c), jnp.uint8),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, img, n1, n1m, n2e, n2me, n3, n3m)
     return out.reshape(b, h, w, c)

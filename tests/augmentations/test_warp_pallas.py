@@ -82,3 +82,46 @@ def test_pallas_warp_fill_cast_matches_xla_path():
     with pytest.raises(OverflowError):
         transform_affine_separable_pallas(
             imgs, mats, fill_value=256.5, pad=5, interpret=True)
+
+
+def test_fused_round_kernel_matches_masked_composition():
+    """The per-image-dispatch round kernel (each image computes only its
+    sampled op) must be bit-identical to the masked compute-all composition,
+    including the PRNG stream (CutOut centers derive from the same key
+    split). Several seeds so every op class gets drawn."""
+    import jax
+
+    from chambers_tpu.augmentations.augmentation_schemes import RandAugment
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 256, (16, 64, 64, 3), dtype=np.uint8))
+
+    for seed in range(4):
+        key = jax.random.PRNGKey(seed)
+        aug = RandAugment(n_transforms=2, magnitude=10, elementwise=True)
+        aug.fused_round_kernel = False
+        want = aug(imgs, key=key)
+        aug_k = RandAugment(n_transforms=2, magnitude=10, elementwise=True)
+        aug_k.fused_round_kernel = True  # interpret mode on CPU
+        got = aug_k(imgs, key=key)
+        diff = int(jnp.sum(want != got))
+        assert diff == 0, (seed, diff)
+
+
+def test_fused_round_kernel_zero_magnitude():
+    """magnitude=0: CutOut has mask_size 0 (identity contract) and every
+    geometry magnitude is 0 — kernel and composition must still agree."""
+    import jax
+
+    from chambers_tpu.augmentations.augmentation_schemes import RandAugment
+
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.randint(0, 256, (8, 32, 32, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(7)
+    aug = RandAugment(n_transforms=2, magnitude=0, elementwise=True)
+    aug.fused_round_kernel = False
+    want = aug(imgs, key=key)
+    aug_k = RandAugment(n_transforms=2, magnitude=0, elementwise=True)
+    aug_k.fused_round_kernel = True
+    got = aug_k(imgs, key=key)
+    assert bool(jnp.all(want == got))
