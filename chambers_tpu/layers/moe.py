@@ -51,6 +51,7 @@ class MoEMLP(nn.Module):
     n_experts: int
     capacity_factor: float = 1.25
     aux_loss_weight: float = 1e-2
+    group_size: Optional[int] = None
     kernel_init: Any = nn.initializers.glorot_uniform()
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
@@ -72,45 +73,66 @@ class MoEMLP(nn.Module):
 
         x = inputs.reshape(-1, d)
         n = x.shape[0]
-        capacity = max(1, math.ceil(n / E * self.capacity_factor))
+        # The dispatch/combine tensors are [g, s, E, capacity] with capacity
+        # = ceil(s/E·cf) — i.e. ~cf·s² elements per group. One global group
+        # (group_size=None) is therefore O(n²): fine at test/moderate
+        # batches, but ~3 GB for 25k tokens. Setting group_size keeps it
+        # O(n·group_size), the Switch/Mesh-TF formulation; capacity (and so
+        # which over-capacity tokens drop) is then enforced per group.
+        if self.group_size is None:
+            s = n
+        else:
+            s = min(int(self.group_size), n)
+            if n % s:
+                raise ValueError(
+                    f"{n} tokens not divisible by group_size={s}"
+                )
+        g = n // s
+        xg = x.reshape(g, s, d)
+        capacity = max(1, math.ceil(s / E * self.capacity_factor))
 
         # router always in float32: gate probabilities and the aux loss are
         # sensitive to softmax precision
-        logits = jnp.einsum("nd,de->ne", x.astype(jnp.float32),
+        logits = jnp.einsum("gsd,de->gse", xg.astype(jnp.float32),
                             w_router.astype(jnp.float32))
         probs = jax.nn.softmax(logits, axis=-1)
         expert_idx = jnp.argmax(probs, axis=-1)
-        gate = jnp.max(probs, axis=-1)
+        gate = jnp.max(probs, axis=-1)  # [g, s]
 
         one_hot_e = jax.nn.one_hot(expert_idx, E, dtype=jnp.float32)
         # position of each token within its expert's queue (batch order —
         # deterministic, matches the Switch reference semantics)
         pos = jnp.einsum(
-            "ne,ne->n", jnp.cumsum(one_hot_e, axis=0), one_hot_e
+            "gse,gse->gs", jnp.cumsum(one_hot_e, axis=1), one_hot_e
         ) - 1.0
         keep = (pos < capacity).astype(jnp.float32)
         one_hot_c = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)
-        dispatch = one_hot_e[:, :, None] * one_hot_c[:, None, :] \
-            * keep[:, None, None]
+        dispatch = (one_hot_e[:, :, :, None] * one_hot_c[:, :, None, :]
+                    * keep[:, :, None, None]).astype(dtype)
 
-        expert_in = jnp.einsum("nec,nd->ecd", dispatch.astype(dtype),
-                               x.astype(dtype))
+        expert_in = jnp.einsum("gsec,gsd->gecd", dispatch, xg.astype(dtype))
         h = gelu(
-            jnp.einsum("ecd,edf->ecf", expert_in, w1.astype(dtype))
-            + b1.astype(dtype)[:, None, :],
+            jnp.einsum("gecd,edf->gecf", expert_in, w1.astype(dtype))
+            + b1.astype(dtype)[None, :, None, :],
             approximate=self.gelu_approximate,
         )
-        expert_out = jnp.einsum("ecf,efd->ecd", h, w2.astype(dtype)) \
-            + b2.astype(dtype)[:, None, :]
+        expert_out = jnp.einsum("gecf,efd->gecd", h, w2.astype(dtype)) \
+            + b2.astype(dtype)[None, :, None, :]
 
-        combine = dispatch * gate[:, None, None]
-        y = jnp.einsum("nec,ecd->nd", combine.astype(dtype), expert_out)
+        # dispatch entries are exactly 0/1, so scaling the compute-dtype
+        # dispatch by the compute-dtype gate is bit-identical to casting
+        # (dispatch·gate) from f32 — and skips a second full-size f32 tensor
+        combine = dispatch * gate.astype(dtype)[:, :, None, None]
+        y = jnp.einsum("gsec,gecd->gsd", combine, expert_out)
 
         # Switch load-balancing loss: E * sum_e (dispatched fraction_e *
-        # mean router prob_e); equals 1.0 at perfectly uniform routing
-        frac = jnp.mean(one_hot_e, axis=0)
-        mean_prob = jnp.mean(probs, axis=0)
-        aux = self.aux_loss_weight * E * jnp.sum(frac * mean_prob)
+        # mean router prob_e), averaged over groups; equals 1.0 at
+        # perfectly uniform routing
+        frac = jnp.mean(one_hot_e, axis=1)       # [g, E]
+        mean_prob = jnp.mean(probs, axis=1)      # [g, E]
+        aux = self.aux_loss_weight * E * jnp.mean(
+            jnp.sum(frac * mean_prob, axis=-1)
+        )
         self.sow("intermediates", "moe_aux_loss", aux)
 
         return y.reshape(inputs.shape).astype(dtype)
@@ -146,6 +168,7 @@ class MoEEncoderLayer(nn.Module):
     ff_dim: int = 2048
     n_experts: int = 8
     capacity_factor: float = 1.25
+    group_size: Optional[int] = None
     attention_dropout_rate: float = 0.1
     dense_dropout_rate: float = 0.1
     norm_epsilon: float = 1e-6
@@ -155,10 +178,12 @@ class MoEEncoderLayer(nn.Module):
     param_dtype: Any = jnp.float32
     attention_impl: str = "xla"
     score_dtype: Optional[Any] = None
+    norm_stats_dtype: Optional[Any] = None
     gelu_approximate: bool = False
 
     def setup(self):
         from chambers_tpu.layers.attention import MultiHeadAttention
+        from chambers_tpu.layers.transformer import _make_norm
 
         self.multi_head_attention = MultiHeadAttention(
             head_dim=self.embed_dim // self.num_heads,
@@ -171,18 +196,22 @@ class MoEEncoderLayer(nn.Module):
             attention_impl=self.attention_impl,
             score_dtype=self.score_dtype,
         )
-        self.norm1 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
-                                  param_dtype=self.param_dtype)
-        self.norm2 = nn.LayerNorm(epsilon=self.norm_epsilon, dtype=self.dtype,
-                                  param_dtype=self.param_dtype)
+        self.norm1 = _make_norm(self.norm_epsilon, self.dtype,
+                                self.param_dtype, self.norm_stats_dtype)
+        self.norm2 = _make_norm(self.norm_epsilon, self.dtype,
+                                self.param_dtype, self.norm_stats_dtype)
         self.moe = MoEMLP(
             ff_dim=self.ff_dim, n_experts=self.n_experts,
             capacity_factor=self.capacity_factor,
+            group_size=self.group_size,
             kernel_init=self.kernel_init, dtype=self.dtype,
             param_dtype=self.param_dtype,
             gelu_approximate=self.gelu_approximate,
         )
-        self.dropout1 = nn.Dropout(self.attention_dropout_rate)
+        # EncoderLayer parity: the attention-output dropout runs at
+        # dense_dropout_rate (transformer.py EncoderLayer.setup), NOT the
+        # in-attention rate
+        self.dropout1 = nn.Dropout(self.dense_dropout_rate)
         self.dropout2 = nn.Dropout(self.dense_dropout_rate)
 
     def __call__(self, inputs, mask=None, deterministic: bool = True):

@@ -218,6 +218,7 @@ class Encoder(nn.Module):
     moe_every_n: int = 0
     moe_n_experts: int = 8
     moe_capacity_factor: float = 1.25
+    moe_group_size: Optional[int] = None
 
     def _moe_at(self, i: int) -> bool:
         return self.moe_every_n > 0 and (i + 1) % self.moe_every_n == 0
@@ -240,16 +241,18 @@ class Encoder(nn.Module):
             param_dtype=self.param_dtype,
             attention_impl=self.attention_impl,
             score_dtype=self.score_dtype,
+            norm_stats_dtype=self.norm_stats_dtype,
             gelu_approximate=self.gelu_approximate,
         )
         self.layers = [
             moe_cls(
                 n_experts=self.moe_n_experts,
                 capacity_factor=self.moe_capacity_factor,
+                group_size=self.moe_group_size,
                 **common,
             )
             if self._moe_at(i)
-            else layer_cls(norm_stats_dtype=self.norm_stats_dtype, **common)
+            else layer_cls(**common)
             for i in range(self.num_layers)
         ]
         self.norm_layer = (

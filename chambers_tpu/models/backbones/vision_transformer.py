@@ -193,6 +193,7 @@ class VisionTransformer(nn.Module):
     moe_every_n: int = 0
     moe_n_experts: int = 8
     moe_capacity_factor: float = 1.25
+    moe_group_size: Optional[int] = None
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -235,6 +236,7 @@ class VisionTransformer(nn.Module):
             moe_every_n=self.moe_every_n,
             moe_n_experts=self.moe_n_experts,
             moe_capacity_factor=self.moe_capacity_factor,
+            moe_group_size=self.moe_group_size,
             name="encoder",
         )
         if self.feature_dim is not None:
@@ -298,6 +300,7 @@ class DistilledVisionTransformer(nn.Module):
     moe_every_n: int = 0
     moe_n_experts: int = 8
     moe_capacity_factor: float = 1.25
+    moe_group_size: Optional[int] = None
 
     def setup(self):
         self.patch_embeddings = nn.Conv(
@@ -342,6 +345,7 @@ class DistilledVisionTransformer(nn.Module):
             moe_every_n=self.moe_every_n,
             moe_n_experts=self.moe_n_experts,
             moe_capacity_factor=self.moe_capacity_factor,
+            moe_group_size=self.moe_group_size,
             name="encoder",
         )
         if self.include_top:

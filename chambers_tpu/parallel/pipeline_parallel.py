@@ -24,12 +24,10 @@ with ``remat=True`` (rematerialize each stage application in the backward
 pass).
 """
 
-from functools import partial
-from typing import Any, Callable, List, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -111,6 +109,17 @@ def pipeline_apply(
     M = int(n_microbatches)
     if M < 1:
         raise ValueError("n_microbatches must be >= 1")
+    # the leading (stage) axis must match the mesh axis exactly: a larger
+    # stack would shard multiple stages per device and `l[0]` below would
+    # silently DROP every stage but the block's first
+    for leaf in jax.tree.leaves(stage_params):
+        if leaf.shape[0] != S:
+            raise ValueError(
+                f"stage_params leading axis {leaf.shape[0]} != mesh "
+                f"'{axis}' size {S}; stack exactly one stage per device "
+                "(group_layers_into_stages folds layers within a stage)"
+            )
+        break
     fn = jax.checkpoint(stage_fn) if remat else stage_fn
 
     def local(params_local, x_local):

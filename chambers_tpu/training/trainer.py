@@ -271,6 +271,31 @@ class Trainer:
         self._apply_accepts_mutable = (
             "mutable" in inspect.signature(apply_fn).parameters
         )
+        if not self._apply_accepts_mutable:
+            # a custom apply_fn without `mutable` cannot return updated
+            # batch_stats (BN training raises at step time) NOR sown
+            # intermediates — a routed (MoE) model would train WITHOUT its
+            # load-balancing aux loss and experts can silently collapse.
+            # Both conditions are visible from the variables; warn up front.
+            has_router = any(
+                getattr(p, "key", None) == "w_router"
+                for path, _ in jax.tree_util.tree_leaves_with_path(
+                    model.variables.get("params", {}))
+                for p in path
+            )
+            if self._mutable or has_router:
+                import warnings
+
+                warnings.warn(
+                    "custom apply_fn does not accept a `mutable` kwarg: "
+                    + ("BatchNorm running stats cannot update; "
+                       if self._mutable else "")
+                    + ("MoE load-balancing aux losses will NOT be added to "
+                       "the training loss; " if has_router else "")
+                    + "add `mutable=False` to its signature and forward it "
+                    "to module.apply",
+                    stacklevel=2,
+                )
 
         def _metric_logs(y, y_pred, metric_states):
             logs = {name: fn(y, y_pred) for name, fn in self._metric_fns.items()}

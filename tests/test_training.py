@@ -531,3 +531,24 @@ def test_trainer_gradient_accumulation_rejects_nonpositive():
     with pytest.raises(ValueError, match="gradient_accumulation_steps"):
         Trainer(model, loss=_mse, optimizer=optax.sgd(0.1),
                 gradient_accumulation_steps=0)
+
+
+def test_trainer_warns_when_custom_apply_fn_drops_moe_aux():
+    """A custom apply_fn without `mutable` silently discards sown MoE aux
+    losses — the Trainer must warn at construction."""
+    import warnings
+
+    from chambers_tpu.layers.moe import MoEMLP
+
+    module = MoEMLP(ff_dim=8, n_experts=2)
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 4)))
+    model = Model(module, variables)
+
+    def plain_apply(variables, x, deterministic, rngs):
+        return module.apply(variables, x, deterministic=deterministic)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        Trainer(model, loss=_mse, optimizer=optax.sgd(0.1),
+                apply_fn=plain_apply)
+    assert any("aux losses" in str(w.message) for w in caught)
