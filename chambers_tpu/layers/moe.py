@@ -4,8 +4,9 @@ SURVEY.md §2.8 records expert parallelism as absent from the reference (a
 single-device Keras library) and out of scope for its model families. This
 module supplies the TPU-native capability anyway, so the transformer stack
 can scale parameters past one chip's HBM without scaling per-token FLOPs:
-a Switch-style top-1 router replaces the encoder MLP with ``n_experts``
-expert MLPs, of which each token visits exactly one.
+a learned router replaces the encoder MLP with ``n_experts`` expert MLPs,
+of which each token visits its top ``n_selected_experts`` (1 = Switch
+Transformer routing, 2 = the GShard convention).
 
 The implementation is the dense-dispatch formulation (Switch Transformer /
 Mesh-TensorFlow lineage): routing is expressed as two one-hot contractions
@@ -18,8 +19,8 @@ style collectives from the einsums' sharding constraints — no hand-written
 communication.
 
 Capacity semantics: each expert processes at most
-``ceil(tokens/n_experts * capacity_factor)`` tokens per batch; tokens over
-capacity contribute **zero** from this layer (their value rides the
+``ceil(tokens * n_selected_experts / n_experts * capacity_factor)`` tokens
+per batch; selections over capacity contribute **zero** from this layer (their value rides the
 residual connection in :class:`MoEEncoderLayer`, the standard Switch
 behavior). The router computes in float32 regardless of the activation
 dtype, and the Switch load-balancing auxiliary loss is sown into the
@@ -39,18 +40,28 @@ from chambers_tpu.activations import gelu
 
 
 class MoEMLP(nn.Module):
-    """Switch-style top-1 mixture-of-experts two-layer GELU MLP.
+    """Top-k mixture-of-experts two-layer GELU MLP (Switch / GShard style).
 
     Drop-in replacement for the encoder MLP (``dense1``/``dense2`` of
     ``EncoderLayer``): input ``[..., d]`` -> output ``[..., d]`` where every
-    token is processed by one of ``n_experts`` expert MLPs of hidden width
-    ``ff_dim``, scaled by its router gate probability.
+    token is processed by its ``n_selected_experts`` highest-probability
+    expert MLPs of hidden width ``ff_dim``, each scaled by its router gate.
+
+    ``n_selected_experts=1`` (default) is the Switch formulation — the gate
+    is the raw softmax probability of the argmax expert. For k>1 the k
+    selected gates are renormalized to sum to 1 (the GShard/top-2
+    convention) and expert queues fill rank-major: every token's first
+    choice enqueues before any token's second choice, so over-capacity
+    drops hit lower-rank selections first. Capacity scales with k
+    (``ceil(group·k/E · capacity_factor)``), keeping the k=1 numbers
+    bit-identical to the original Switch path.
     """
 
     ff_dim: int
     n_experts: int
     capacity_factor: float = 1.25
     aux_loss_weight: float = 1e-2
+    n_selected_experts: int = 1
     group_size: Optional[int] = None
     kernel_init: Any = nn.initializers.glorot_uniform()
     dtype: Optional[Any] = None
@@ -89,26 +100,55 @@ class MoEMLP(nn.Module):
                 )
         g = n // s
         xg = x.reshape(g, s, d)
-        capacity = max(1, math.ceil(s / E * self.capacity_factor))
+        k = int(self.n_selected_experts)
+        if not 1 <= k <= E:
+            raise ValueError(
+                f"n_selected_experts={k} must be in [1, n_experts={E}]"
+            )
+        capacity = max(1, math.ceil(s * k / E * self.capacity_factor))
 
         # router always in float32: gate probabilities and the aux loss are
         # sensitive to softmax precision
         logits = jnp.einsum("gsd,de->gse", xg.astype(jnp.float32),
                             w_router.astype(jnp.float32))
         probs = jax.nn.softmax(logits, axis=-1)
-        expert_idx = jnp.argmax(probs, axis=-1)
-        gate = jnp.max(probs, axis=-1)  # [g, s]
+        topk_gate, topk_idx = jax.lax.top_k(probs, k)  # [g, s, k]
+        if k > 1:
+            # GShard convention: the selected gates renormalize to sum 1.
+            # (k=1 keeps the raw Switch probability — renormalizing would
+            # collapse every gate to 1.0.)
+            topk_gate = topk_gate / jnp.sum(topk_gate, -1, keepdims=True)
 
-        one_hot_e = jax.nn.one_hot(expert_idx, E, dtype=jnp.float32)
-        # position of each token within its expert's queue (batch order —
-        # deterministic, matches the Switch reference semantics)
-        pos = jnp.einsum(
-            "gse,gse->gs", jnp.cumsum(one_hot_e, axis=1), one_hot_e
-        ) - 1.0
-        keep = (pos < capacity).astype(jnp.float32)
-        one_hot_c = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)
-        dispatch = (one_hot_e[:, :, :, None] * one_hot_c[:, :, None, :]
-                    * keep[:, :, None, None]).astype(dtype)
+        # Expert queues fill rank-major, batch order within a rank: rank-r
+        # positions offset by the expert's FULL rank-<r selection count
+        # (kept or not — queue positions are assigned before the capacity
+        # cut), so first choices always outrank second choices for slots.
+        one_hot_e = None       # rank-0 one-hot, reused by the aux loss
+        dispatch = combine = None
+        used = None            # [g, E] selections enqueued by earlier ranks
+        for r in range(k):
+            oh = jax.nn.one_hot(topk_idx[..., r], E, dtype=jnp.float32)
+            pos = jnp.einsum(
+                "gse,gse->gs", jnp.cumsum(oh, axis=1), oh
+            ) - 1.0
+            if r:
+                pos = pos + jnp.einsum("gse,ge->gs", oh, used)
+            keep = (pos < capacity).astype(jnp.float32)
+            one_hot_c = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)
+            disp_r = (oh[:, :, :, None] * one_hot_c[:, :, None, :]
+                      * keep[:, :, None, None]).astype(dtype)
+            # dispatch entries are exactly 0/1, so scaling the compute-dtype
+            # dispatch by the compute-dtype gate is bit-identical to casting
+            # (dispatch·gate) from f32 — and skips a full-size f32 tensor
+            comb_r = disp_r * topk_gate[..., r].astype(dtype)[:, :, None, None]
+            if r == 0:
+                one_hot_e, dispatch, combine = oh, disp_r, comb_r
+                used = jnp.sum(oh, axis=1)
+            else:
+                dispatch = dispatch + disp_r
+                combine = combine + comb_r
+                if r + 1 < k:
+                    used = used + jnp.sum(oh, axis=1)
 
         expert_in = jnp.einsum("gsec,gsd->gecd", dispatch, xg.astype(dtype))
         h = gelu(
@@ -119,15 +159,11 @@ class MoEMLP(nn.Module):
         expert_out = jnp.einsum("gecf,efd->gecd", h, w2.astype(dtype)) \
             + b2.astype(dtype)[None, :, None, :]
 
-        # dispatch entries are exactly 0/1, so scaling the compute-dtype
-        # dispatch by the compute-dtype gate is bit-identical to casting
-        # (dispatch·gate) from f32 — and skips a second full-size f32 tensor
-        combine = dispatch * gate.astype(dtype)[:, :, None, None]
         y = jnp.einsum("gsec,gecd->gsd", combine, expert_out)
 
-        # Switch load-balancing loss: E * sum_e (dispatched fraction_e *
-        # mean router prob_e), averaged over groups; equals 1.0 at
-        # perfectly uniform routing
+        # Switch/GShard load-balancing loss: E * sum_e (fraction of tokens
+        # whose FIRST choice is e * mean router prob_e), averaged over
+        # groups; equals 1.0 at perfectly uniform routing
         frac = jnp.mean(one_hot_e, axis=1)       # [g, E]
         mean_prob = jnp.mean(probs, axis=1)      # [g, E]
         aux = self.aux_loss_weight * E * jnp.mean(
@@ -168,6 +204,7 @@ class MoEEncoderLayer(nn.Module):
     ff_dim: int = 2048
     n_experts: int = 8
     capacity_factor: float = 1.25
+    n_selected_experts: int = 1
     group_size: Optional[int] = None
     attention_dropout_rate: float = 0.1
     dense_dropout_rate: float = 0.1
@@ -203,6 +240,7 @@ class MoEEncoderLayer(nn.Module):
         self.moe = MoEMLP(
             ff_dim=self.ff_dim, n_experts=self.n_experts,
             capacity_factor=self.capacity_factor,
+            n_selected_experts=self.n_selected_experts,
             group_size=self.group_size,
             kernel_init=self.kernel_init, dtype=self.dtype,
             param_dtype=self.param_dtype,

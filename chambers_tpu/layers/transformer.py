@@ -218,6 +218,7 @@ class Encoder(nn.Module):
     moe_every_n: int = 0
     moe_n_experts: int = 8
     moe_capacity_factor: float = 1.25
+    moe_n_selected_experts: int = 1
     moe_group_size: Optional[int] = None
 
     def _moe_at(self, i: int) -> bool:
@@ -248,6 +249,7 @@ class Encoder(nn.Module):
             moe_cls(
                 n_experts=self.moe_n_experts,
                 capacity_factor=self.moe_capacity_factor,
+                n_selected_experts=self.moe_n_selected_experts,
                 group_size=self.moe_group_size,
                 **common,
             )

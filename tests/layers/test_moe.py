@@ -294,3 +294,135 @@ def test_moe_encoder_layer_accepts_norm_stats_dtype():
     v = layer.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 16)))
     y = layer.apply(v, jnp.ones((2, 4, 16), jnp.float32))
     assert y.shape == (2, 4, 16) and bool(jnp.isfinite(y).all())
+
+
+def _naive_topk(x, params, k, capacity_factor=None, gelu_fn=None):
+    """Per-token numpy reference: top-k routing with renormalized gates,
+    ample capacity (no drops)."""
+    from chambers_tpu.activations import gelu as _gelu
+
+    gelu_fn = gelu_fn or (lambda v: np.asarray(_gelu(jnp.asarray(v))))
+    p = {name: np.asarray(v) for name, v in params.items()}
+    tokens = x.reshape(-1, x.shape[-1])
+    logits = tokens @ p["w_router"]
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    out = np.zeros_like(tokens)
+    for i, t in enumerate(tokens):
+        top = np.argsort(-probs[i], kind="stable")[:k]
+        gates = probs[i, top]
+        if k > 1:
+            gates = gates / gates.sum()
+        for e, gate in zip(top, gates):
+            h = gelu_fn(t @ p["w1"][e] + p["b1"][e])
+            out[i] += gate * (h @ p["w2"][e] + p["b2"][e])
+    return out.reshape(x.shape)
+
+
+def test_top2_matches_naive_per_token_computation():
+    """k=2 with ample capacity: every token's output is the gate-weighted
+    (renormalized) sum of its two highest-probability experts' MLPs."""
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((2, 12, 8)), jnp.float32)
+    moe = MoEMLP(ff_dim=16, n_experts=4, n_selected_experts=2,
+                 capacity_factor=4.0)
+    variables = _init(moe, x)
+    y = np.asarray(moe.apply(variables, x))
+    expected = _naive_topk(np.asarray(x), variables["params"], k=2)
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_topk_first_choices_outrank_second_choices_for_capacity():
+    """Rank-major queueing: a later token's FIRST choice wins the last slot
+    over an earlier token's SECOND choice."""
+    d = 2
+    # router = identity: logits are the token coordinates themselves
+    # token0 prefers E1 then E0; token1 prefers E0 (strongly)
+    x = jnp.asarray([[[1.0, 2.0], [3.0, 0.0]]], jnp.float32)  # [1, 2, 2]
+    # capacity = max(1, ceil(2*2/2 * 0.2)) = 1 slot per expert
+    moe = MoEMLP(ff_dim=4, n_experts=2, n_selected_experts=2,
+                 capacity_factor=0.2)
+    variables = _init(moe, x)
+    p = dict(variables["params"])
+    p["w_router"] = jnp.eye(2, dtype=jnp.float32)
+    y = np.asarray(moe.apply({"params": p}, x))[0]
+
+    # E0's one slot: token1 rank-0 beats token0 rank-1 (despite batch order)
+    # E1's one slot: token0 rank-0 beats token1 rank-1
+    # -> each token keeps exactly its first choice, second choice dropped
+    probs = np.asarray(jax.nn.softmax(np.asarray(x[0]), axis=-1))
+    pn = {k_: np.asarray(v) for k_, v in p.items()}
+    from chambers_tpu.activations import gelu as _gelu
+
+    def expert(t, e):
+        h = np.asarray(_gelu(jnp.asarray(t @ pn["w1"][e] + pn["b1"][e])))
+        return h @ pn["w2"][e] + pn["b2"][e]
+
+    t0, t1 = np.asarray(x[0])
+    # renormalized rank-0 gates (the rank-1 term drops, its gate does not
+    # redistribute — the dropped share simply vanishes, GShard semantics)
+    g0 = probs[0, 1] / (probs[0, 1] + probs[0, 0])
+    g1 = probs[1, 0] / (probs[1, 0] + probs[1, 1])
+    np.testing.assert_allclose(y[0], g0 * expert(t0, 1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(y[1], g1 * expert(t1, 0), rtol=1e-5, atol=1e-6)
+
+
+def test_topk_validates_k():
+    x = jnp.zeros((1, 4, 8), jnp.float32)
+    for bad in (0, 5):
+        moe = MoEMLP(ff_dim=8, n_experts=4, n_selected_experts=bad)
+        with pytest.raises(ValueError, match="n_selected_experts"):
+            moe.init(jax.random.PRNGKey(0), x)
+
+
+def test_top2_grouped_matches_global_when_capacity_ample():
+    d = 16
+    x = jnp.asarray(np.random.RandomState(11).randn(2, 32, d), jnp.float32)
+    m1 = MoEMLP(ff_dim=32, n_experts=4, n_selected_experts=2,
+                capacity_factor=8.0)
+    v = m1.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, d)))
+    want = m1.apply(v, x)
+    m2 = MoEMLP(ff_dim=32, n_experts=4, n_selected_experts=2,
+                capacity_factor=8.0, group_size=16)
+    got = m2.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_top2_expert_parallel_matches_replicated():
+    """k=2 is still pure einsums: EP sharding must not change the math."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((4, 16, 8)), jnp.float32)
+    moe = MoEMLP(ff_dim=16, n_experts=8, n_selected_experts=2,
+                 capacity_factor=2.0)
+    variables = _init(moe, x)
+    expected = moe.apply(variables, x)
+
+    mesh = create_mesh({"expert": 8})
+    params = jax.tree.map(
+        jax.device_put, variables["params"],
+        make_param_shardings(
+            variables["params"], mesh, moe_expert_parallel_rules("expert")
+        ),
+    )
+    y = jax.jit(lambda p, x: moe.apply({"params": p}, x))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(expected), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_vit_accepts_moe_n_selected_experts():
+    from chambers_tpu.models.backbones.vision_transformer import (
+        VisionTransformer,
+    )
+
+    vit = VisionTransformer(
+        patch_size=8, patch_dim=16, n_encoder_layers=2, n_heads=2, ff_dim=32,
+        dropout_rate=0.0, include_top=False, pooling="cls",
+        moe_every_n=2, moe_n_experts=4, moe_n_selected_experts=2,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(13).standard_normal((2, 16, 16, 3)), jnp.float32
+    )
+    variables = vit.init(jax.random.PRNGKey(0), x)
+    y = vit.apply(variables, x)
+    assert y.shape == (2, 16) and bool(jnp.isfinite(y).all())

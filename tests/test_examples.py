@@ -41,3 +41,15 @@ def test_train_cnn_classifier_example(capsys):
     ])
     out = capsys.readouterr().out
     assert "batch_stats moved" in out
+
+
+def test_train_moe_vit_example(capsys):
+    """Top-2 routed ViT trains through the Trainer on an EP x DP mesh."""
+    _run_example("train_moe_vit.py", [
+        "--classes", "4", "--image-size", "16", "--batch", "8",
+        "--epochs", "2", "--steps-per-epoch", "4",
+        "--experts", "4", "--top-k", "2", "--dp", "2", "--ep", "4",
+    ])
+    out = capsys.readouterr().out
+    assert "mesh: data=2 x expert=4" in out
+    assert "moe aux loss" in out
