@@ -23,7 +23,8 @@ Capacity semantics: each expert processes at most
 per batch; selections over capacity contribute **zero** from this layer (their value rides the
 residual connection in :class:`MoEEncoderLayer`, the standard Switch
 behavior). The router computes in float32 regardless of the activation
-dtype, and the Switch load-balancing auxiliary loss is sown into the
+dtype, and the Switch load-balancing auxiliary loss (plus the optional
+ST-MoE router z-loss when ``router_z_loss_weight > 0``) is sown into the
 ``"intermediates"`` collection — fetch it with
 ``model.apply(vars, x, mutable=["intermediates"])`` and
 :func:`moe_aux_loss`.
@@ -61,6 +62,7 @@ class MoEMLP(nn.Module):
     n_experts: int
     capacity_factor: float = 1.25
     aux_loss_weight: float = 1e-2
+    router_z_loss_weight: float = 0.0
     n_selected_experts: int = 1
     group_size: Optional[int] = None
     kernel_init: Any = nn.initializers.glorot_uniform()
@@ -134,7 +136,11 @@ class MoEMLP(nn.Module):
             if r:
                 pos = pos + jnp.einsum("gse,ge->gs", oh, used)
             keep = (pos < capacity).astype(jnp.float32)
-            one_hot_c = jax.nn.one_hot(pos, capacity, dtype=jnp.float32)
+            # pos holds exact small non-negative integers; one_hot wants an
+            # integer dtype (>= capacity still maps to an all-zero row)
+            one_hot_c = jax.nn.one_hot(
+                pos.astype(jnp.int32), capacity, dtype=jnp.float32
+            )
             disp_r = (oh[:, :, :, None] * one_hot_c[:, :, None, :]
                       * keep[:, :, None, None]).astype(dtype)
             # dispatch entries are exactly 0/1, so scaling the compute-dtype
@@ -169,6 +175,15 @@ class MoEMLP(nn.Module):
         aux = self.aux_loss_weight * E * jnp.mean(
             jnp.sum(frac * mean_prob, axis=-1)
         )
+        if self.router_z_loss_weight:
+            # ST-MoE router z-loss (Zoph et al. 2022): mean squared
+            # logsumexp of the router logits. Penalizes large logits, which
+            # drift the f32 softmax toward saturation and make routing
+            # twitchy under bf16 activations; 1e-3 is the paper's setting.
+            z = jax.nn.logsumexp(logits, axis=-1)  # [g, s], f32
+            aux = aux + self.router_z_loss_weight * jnp.mean(
+                jnp.square(z)
+            )
         self.sow("intermediates", "moe_aux_loss", aux)
 
         return y.reshape(inputs.shape).astype(dtype)
@@ -204,6 +219,7 @@ class MoEEncoderLayer(nn.Module):
     ff_dim: int = 2048
     n_experts: int = 8
     capacity_factor: float = 1.25
+    router_z_loss_weight: float = 0.0
     n_selected_experts: int = 1
     group_size: Optional[int] = None
     attention_dropout_rate: float = 0.1
@@ -240,6 +256,7 @@ class MoEEncoderLayer(nn.Module):
         self.moe = MoEMLP(
             ff_dim=self.ff_dim, n_experts=self.n_experts,
             capacity_factor=self.capacity_factor,
+            router_z_loss_weight=self.router_z_loss_weight,
             n_selected_experts=self.n_selected_experts,
             group_size=self.group_size,
             kernel_init=self.kernel_init, dtype=self.dtype,

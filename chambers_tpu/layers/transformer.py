@@ -218,6 +218,7 @@ class Encoder(nn.Module):
     moe_every_n: int = 0
     moe_n_experts: int = 8
     moe_capacity_factor: float = 1.25
+    moe_router_z_loss_weight: float = 0.0
     moe_n_selected_experts: int = 1
     moe_group_size: Optional[int] = None
 
@@ -249,6 +250,7 @@ class Encoder(nn.Module):
             moe_cls(
                 n_experts=self.moe_n_experts,
                 capacity_factor=self.moe_capacity_factor,
+                router_z_loss_weight=self.moe_router_z_loss_weight,
                 n_selected_experts=self.moe_n_selected_experts,
                 group_size=self.moe_group_size,
                 **common,

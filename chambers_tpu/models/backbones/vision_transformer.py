@@ -193,6 +193,7 @@ class VisionTransformer(nn.Module):
     moe_every_n: int = 0
     moe_n_experts: int = 8
     moe_capacity_factor: float = 1.25
+    moe_router_z_loss_weight: float = 0.0
     moe_n_selected_experts: int = 1
     moe_group_size: Optional[int] = None
 
@@ -237,6 +238,7 @@ class VisionTransformer(nn.Module):
             moe_every_n=self.moe_every_n,
             moe_n_experts=self.moe_n_experts,
             moe_capacity_factor=self.moe_capacity_factor,
+            moe_router_z_loss_weight=self.moe_router_z_loss_weight,
             moe_n_selected_experts=self.moe_n_selected_experts,
             moe_group_size=self.moe_group_size,
             name="encoder",
@@ -302,6 +304,7 @@ class DistilledVisionTransformer(nn.Module):
     moe_every_n: int = 0
     moe_n_experts: int = 8
     moe_capacity_factor: float = 1.25
+    moe_router_z_loss_weight: float = 0.0
     moe_n_selected_experts: int = 1
     moe_group_size: Optional[int] = None
 
@@ -348,6 +351,7 @@ class DistilledVisionTransformer(nn.Module):
             moe_every_n=self.moe_every_n,
             moe_n_experts=self.moe_n_experts,
             moe_capacity_factor=self.moe_capacity_factor,
+            moe_router_z_loss_weight=self.moe_router_z_loss_weight,
             moe_n_selected_experts=self.moe_n_selected_experts,
             moe_group_size=self.moe_group_size,
             name="encoder",

@@ -426,3 +426,68 @@ def test_vit_accepts_moe_n_selected_experts():
     variables = vit.init(jax.random.PRNGKey(0), x)
     y = vit.apply(variables, x)
     assert y.shape == (2, 16) and bool(jnp.isfinite(y).all())
+
+
+def test_router_z_loss_default_off_is_identical():
+    """weight=0.0 (default) must not change output or the sown aux."""
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
+    m0 = MoEMLP(ff_dim=16, n_experts=4)
+    v = _init(m0, x)
+    y0, s0 = m0.apply(v, x, mutable=["intermediates"])
+    m1 = MoEMLP(ff_dim=16, n_experts=4, router_z_loss_weight=0.0)
+    y1, s1 = m1.apply(v, x, mutable=["intermediates"])
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_array_equal(
+        np.asarray(moe_aux_loss(s0["intermediates"])),
+        np.asarray(moe_aux_loss(s1["intermediates"])),
+    )
+
+
+def test_router_z_loss_value_matches_numpy():
+    """aux(zw>0) - aux(zw=0) == zw * mean(logsumexp(router logits)^2)."""
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
+    base = MoEMLP(ff_dim=16, n_experts=4)
+    v = _init(base, x)
+    _, s0 = base.apply(v, x, mutable=["intermediates"])
+    zw = 1e-3
+    m = MoEMLP(ff_dim=16, n_experts=4, router_z_loss_weight=zw)
+    y, s1 = m.apply(v, x, mutable=["intermediates"])
+    got = float(moe_aux_loss(s1["intermediates"])
+                - moe_aux_loss(s0["intermediates"]))
+
+    logits = np.asarray(x).reshape(-1, 8) @ np.asarray(
+        v["params"]["w_router"]
+    )
+    lse = np.log(np.exp(logits - logits.max(-1, keepdims=True))
+                 .sum(-1)) + logits.max(-1)
+    want = zw * float(np.mean(lse ** 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # the routed output itself is untouched by the z-loss term
+    y_base = base.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_base))
+
+
+def test_encoder_plumbs_router_z_loss():
+    from chambers_tpu.layers.transformer import Encoder
+
+    enc = Encoder(
+        embed_dim=16, num_heads=2, ff_dim=32, num_layers=2,
+        dense_dropout_rate=0.0, attention_dropout_rate=0.0,
+        moe_every_n=2, moe_n_experts=4, moe_router_z_loss_weight=1e-3,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(16).standard_normal((2, 8, 16)), jnp.float32
+    )
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)))
+    _, s1 = enc.apply(v, x, mutable=["intermediates"])
+    enc0 = Encoder(
+        embed_dim=16, num_heads=2, ff_dim=32, num_layers=2,
+        dense_dropout_rate=0.0, attention_dropout_rate=0.0,
+        moe_every_n=2, moe_n_experts=4,
+    )
+    _, s0 = enc0.apply(v, x, mutable=["intermediates"])
+    assert float(moe_aux_loss(s1["intermediates"])) > float(
+        moe_aux_loss(s0["intermediates"])
+    )
