@@ -19,8 +19,9 @@ style collectives from the einsums' sharding constraints — no hand-written
 communication.
 
 Capacity semantics: each expert processes at most
-``ceil(tokens * n_selected_experts / n_experts * capacity_factor)`` tokens
-per batch; selections over capacity contribute **zero** from this layer (their value rides the
+``ceil(s * n_selected_experts / n_experts * capacity_factor)`` tokens per
+routing group of ``s`` tokens (``s`` = the whole batch when ``group_size``
+is unset); selections over capacity contribute **zero** from this layer (their value rides the
 residual connection in :class:`MoEEncoderLayer`, the standard Switch
 behavior). The router computes in float32 regardless of the activation
 dtype, and the Switch load-balancing auxiliary loss (plus the optional
@@ -135,14 +136,14 @@ class MoEMLP(nn.Module):
             ) - 1.0
             if r:
                 pos = pos + jnp.einsum("gse,ge->gs", oh, used)
-            keep = (pos < capacity).astype(jnp.float32)
-            # pos holds exact small non-negative integers; one_hot wants an
-            # integer dtype (>= capacity still maps to an all-zero row)
+            # pos holds exact small non-negative integers; the capacity cut
+            # IS the one-hot: pos >= capacity maps to an all-zero row, so
+            # over-capacity selections dispatch nowhere
             one_hot_c = jax.nn.one_hot(
                 pos.astype(jnp.int32), capacity, dtype=jnp.float32
             )
-            disp_r = (oh[:, :, :, None] * one_hot_c[:, :, None, :]
-                      * keep[:, :, None, None]).astype(dtype)
+            disp_r = (oh[:, :, :, None]
+                      * one_hot_c[:, :, None, :]).astype(dtype)
             # dispatch entries are exactly 0/1, so scaling the compute-dtype
             # dispatch by the compute-dtype gate is bit-identical to casting
             # (dispatch·gate) from f32 — and skips a full-size f32 tensor

@@ -39,9 +39,9 @@ def build_model(image_size, n_classes, n_experts, top_k, seed=0):
         ff_dim=64, dropout_rate=0.0, include_top=True, classes=n_classes,
         moe_every_n=2, moe_n_experts=n_experts,
         moe_n_selected_experts=top_k,
-        # keep dispatch memory O(tokens * group) — the Switch grouping;
-        # one 8x8-patch image of a 32px input is 17 tokens, so group by
-        # a divisor of the token count to stay exactly divisible
+        # None = one global routing group (O(n^2) dispatch memory — fine at
+        # these toy token counts). For large batches set a divisor of the
+        # flattened batch*tokens count to bound it at O(n * group_size).
         moe_group_size=None,
     )
     dummy = jnp.zeros((1, image_size, image_size, 3))
