@@ -31,5 +31,10 @@ from chambers_tpu.layers.pooling import (
     spatial_pyramid_roi_pool,
 )
 from chambers_tpu.layers.descriptors import RMAC, rmac_regions
-from chambers_tpu.layers.moe import MoEEncoderLayer, MoEMLP, moe_aux_loss
+from chambers_tpu.layers.moe import (
+    MoEDecoderLayer,
+    MoEEncoderLayer,
+    MoEMLP,
+    moe_aux_loss,
+)
 from chambers_tpu.layers import ops

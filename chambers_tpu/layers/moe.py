@@ -289,3 +289,112 @@ class MoEEncoderLayer(nn.Module):
     def _moe(self, x, deterministic):
         y = self.moe(x, deterministic=deterministic)
         return self.dropout2(y, deterministic=deterministic)
+
+
+class MoEDecoderLayer(nn.Module):
+    """``DecoderLayer`` with the dense MLP swapped for :class:`MoEMLP` —
+    the original GShard setting (MoE on the seq2seq stacks).
+
+    Same causal self-attention, cross-attention, norms, residuals, and
+    orderings as ``chambers_tpu.layers.transformer.DecoderLayer``
+    (reference transformer.py:113-252), including the pre-norm path's
+    shared-``norm2`` memory normalization quirk kept there for parity.
+    """
+
+    embed_dim: int = 512
+    num_heads: int = 8
+    ff_dim: int = 2048
+    n_experts: int = 8
+    capacity_factor: float = 1.25
+    router_z_loss_weight: float = 0.0
+    n_selected_experts: int = 1
+    group_size: Optional[int] = None
+    attention_dropout_rate: float = 0.1
+    dense_dropout_rate: float = 0.1
+    norm_epsilon: float = 1e-6
+    pre_norm: bool = False
+    causal: bool = True
+    kernel_init: Any = nn.initializers.glorot_uniform()
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+    score_dtype: Optional[Any] = None
+    norm_stats_dtype: Optional[Any] = None
+    gelu_approximate: bool = False
+
+    def setup(self):
+        from chambers_tpu.layers.attention import MultiHeadAttention
+        from chambers_tpu.layers.transformer import _make_norm
+
+        mha_common = dict(
+            head_dim=self.embed_dim // self.num_heads,
+            num_heads=self.num_heads,
+            dropout_rate=self.attention_dropout_rate,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype,
+        )
+        self.multi_head_attention1 = MultiHeadAttention(
+            causal=self.causal, **mha_common
+        )
+        self.multi_head_attention2 = MultiHeadAttention(
+            causal=False, **mha_common
+        )
+        self.norm1 = _make_norm(self.norm_epsilon, self.dtype,
+                                self.param_dtype, self.norm_stats_dtype)
+        self.norm2 = _make_norm(self.norm_epsilon, self.dtype,
+                                self.param_dtype, self.norm_stats_dtype)
+        self.norm3 = _make_norm(self.norm_epsilon, self.dtype,
+                                self.param_dtype, self.norm_stats_dtype)
+        self.moe = MoEMLP(
+            ff_dim=self.ff_dim, n_experts=self.n_experts,
+            capacity_factor=self.capacity_factor,
+            router_z_loss_weight=self.router_z_loss_weight,
+            n_selected_experts=self.n_selected_experts,
+            group_size=self.group_size,
+            kernel_init=self.kernel_init, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            gelu_approximate=self.gelu_approximate,
+        )
+        self.dropout1 = nn.Dropout(self.dense_dropout_rate)
+        self.dropout2 = nn.Dropout(self.dense_dropout_rate)
+        self.dropout3 = nn.Dropout(self.dense_dropout_rate)
+
+    def __call__(self, inputs, mask=None, deterministic: bool = True):
+        x, x_enc = inputs
+        q_mask = mask[0] if mask is not None else None
+        v_mask = mask[1] if mask is not None else None
+
+        if self.pre_norm:
+            x = x + self._self_attn(self.norm1(x), q_mask, deterministic)
+            # DecoderLayer parity: memory normalized with the query's norm2
+            x = x + self._cross_attn(
+                self.norm2(x), self.norm2(x_enc), q_mask, v_mask,
+                deterministic,
+            )
+            x = x + self._moe(self.norm3(x), deterministic)
+        else:
+            x = self.norm1(x + self._self_attn(x, q_mask, deterministic))
+            x = self.norm2(
+                x + self._cross_attn(x, x_enc, q_mask, v_mask, deterministic)
+            )
+            x = self.norm3(x + self._moe(x, deterministic))
+        return x
+
+    def _self_attn(self, q, mask, deterministic):
+        attention = self.multi_head_attention1(
+            [q, q, q], mask=[mask, mask], deterministic=deterministic
+        )
+        return self.dropout1(attention, deterministic=deterministic)
+
+    def _cross_attn(self, q, v, q_mask, v_mask, deterministic):
+        attention = self.multi_head_attention2(
+            [q, v, v], mask=[q_mask, v_mask], deterministic=deterministic
+        )
+        return self.dropout2(attention, deterministic=deterministic)
+
+    def _moe(self, x, deterministic):
+        y = self.moe(x, deterministic=deterministic)
+        return self.dropout3(y, deterministic=deterministic)

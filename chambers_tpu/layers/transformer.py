@@ -297,28 +297,53 @@ class Decoder(nn.Module):
     # form; default False matches the reference encoder (transformer.py:43)
     gelu_approximate: bool = False
     norm_stats_dtype: Optional[Any] = None
+    # moe_every_n > 0 swaps every n-th layer's MLP for a routed MoE (the
+    # GShard seq2seq placement); 0 = dense everywhere (reference
+    # architecture — param tree unchanged, checkpoints load)
+    moe_every_n: int = 0
+    moe_n_experts: int = 8
+    moe_capacity_factor: float = 1.25
+    moe_router_z_loss_weight: float = 0.0
+    moe_n_selected_experts: int = 1
+    moe_group_size: Optional[int] = None
+
+    def _moe_at(self, i: int) -> bool:
+        return self.moe_every_n > 0 and (i + 1) % self.moe_every_n == 0
 
     def setup(self):
+        from chambers_tpu.layers.moe import MoEDecoderLayer
+
         layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
+        moe_cls = nn.remat(MoEDecoderLayer) if self.remat else MoEDecoderLayer
+        common = dict(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            ff_dim=self.ff_dim,
+            attention_dropout_rate=self.attention_dropout_rate,
+            dense_dropout_rate=self.dense_dropout_rate,
+            norm_epsilon=self.norm_epsilon,
+            pre_norm=self.pre_norm,
+            causal=self.causal,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype,
+            gelu_approximate=self.gelu_approximate,
+            norm_stats_dtype=self.norm_stats_dtype,
+        )
         self.layers = [
-            layer_cls(
-                embed_dim=self.embed_dim,
-                num_heads=self.num_heads,
-                ff_dim=self.ff_dim,
-                attention_dropout_rate=self.attention_dropout_rate,
-                dense_dropout_rate=self.dense_dropout_rate,
-                norm_epsilon=self.norm_epsilon,
-                pre_norm=self.pre_norm,
-                causal=self.causal,
-                kernel_init=self.kernel_init,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                attention_impl=self.attention_impl,
-                score_dtype=self.score_dtype,
-                gelu_approximate=self.gelu_approximate,
-                norm_stats_dtype=self.norm_stats_dtype,
+            moe_cls(
+                n_experts=self.moe_n_experts,
+                capacity_factor=self.moe_capacity_factor,
+                router_z_loss_weight=self.moe_router_z_loss_weight,
+                n_selected_experts=self.moe_n_selected_experts,
+                group_size=self.moe_group_size,
+                **common,
             )
-            for _ in range(self.num_layers)
+            if self._moe_at(i)
+            else layer_cls(**common)
+            for i in range(self.num_layers)
         ]
         self.norm_layer = (
             _make_norm(self.norm_epsilon, self.dtype,

@@ -30,6 +30,15 @@ class Seq2SeqTransformer(nn.Module):
     num_decoder_layers: int
     dropout_rate: float = 0.1
     dtype: Optional[Any] = None
+    # GShard-style MoE on BOTH stacks: every n-th encoder and decoder MLP
+    # becomes a routed expert MLP (chambers_tpu.layers.moe). 0 = dense
+    # everywhere (the reference architecture).
+    moe_every_n: int = 0
+    moe_n_experts: int = 8
+    moe_capacity_factor: float = 1.25
+    moe_router_z_loss_weight: float = 0.0
+    moe_n_selected_experts: int = 1
+    moe_group_size: Optional[int] = None
 
     def setup(self):
         self.inputs_embed = nn.Embed(
@@ -49,6 +58,12 @@ class Seq2SeqTransformer(nn.Module):
             attention_dropout_rate=self.dropout_rate,
             dense_dropout_rate=self.dropout_rate,
             pre_norm=False,
+            moe_every_n=self.moe_every_n,
+            moe_n_experts=self.moe_n_experts,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_router_z_loss_weight=self.moe_router_z_loss_weight,
+            moe_n_selected_experts=self.moe_n_selected_experts,
+            moe_group_size=self.moe_group_size,
             dtype=self.dtype,
             name="encoder",
         )
@@ -62,6 +77,12 @@ class Seq2SeqTransformer(nn.Module):
             pre_norm=False,
             norm_output=False,
             causal=True,
+            moe_every_n=self.moe_every_n,
+            moe_n_experts=self.moe_n_experts,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_router_z_loss_weight=self.moe_router_z_loss_weight,
+            moe_n_selected_experts=self.moe_n_selected_experts,
+            moe_group_size=self.moe_group_size,
             dtype=self.dtype,
             name="decoder",
         )

@@ -491,3 +491,145 @@ def test_encoder_plumbs_router_z_loss():
     assert float(moe_aux_loss(s1["intermediates"])) > float(
         moe_aux_loss(s0["intermediates"])
     )
+
+
+def test_moe_decoder_layer_shapes_and_aux():
+    from chambers_tpu.layers.moe import MoEDecoderLayer
+
+    layer = MoEDecoderLayer(
+        embed_dim=16, num_heads=2, ff_dim=32, n_experts=4,
+        n_selected_experts=2, pre_norm=True,
+        attention_dropout_rate=0.0, dense_dropout_rate=0.0,
+    )
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 6, 16)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((2, 9, 16)), jnp.float32)
+    v = layer.init(jax.random.PRNGKey(0), [x, mem])
+    y, state = layer.apply(v, [x, mem], mutable=["intermediates"])
+    assert y.shape == (2, 6, 16) and bool(jnp.isfinite(y).all())
+    assert float(moe_aux_loss(state["intermediates"])) > 0.0
+
+
+def test_moe_decoder_layer_matches_dense_decoder_outside_mlp():
+    """k=2 of E=2 experts that BOTH carry the dense MLP's weights, ample
+    capacity: the renormalized gates sum to exactly 1, so MoEDecoderLayer
+    must equal DecoderLayer — proves the attention/norm/residual wiring is
+    identical regardless of what the router does."""
+    from chambers_tpu.layers.moe import MoEDecoderLayer
+    from chambers_tpu.layers.transformer import DecoderLayer
+
+    common = dict(embed_dim=16, num_heads=2, ff_dim=32, pre_norm=False,
+                  attention_dropout_rate=0.0, dense_dropout_rate=0.0)
+    dense = DecoderLayer(**common)
+    moe = MoEDecoderLayer(n_experts=2, n_selected_experts=2,
+                          capacity_factor=4.0, **common)
+
+    rng = np.random.default_rng(18)
+    x = jnp.asarray(rng.standard_normal((1, 6, 16)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((1, 9, 16)), jnp.float32)
+    vd = dense.init(jax.random.PRNGKey(3), [x, mem])
+    vm = moe.init(jax.random.PRNGKey(3), [x, mem])
+
+    pd = dict(vd["params"])
+    pm = dict(vm["params"])
+    # share every non-MLP submodule's weights
+    for name in ("multi_head_attention1", "multi_head_attention2",
+                 "norm1", "norm2", "norm3"):
+        pm[name] = pd[name]
+    moe_p = dict(pm["moe"])
+    moe_p["w1"] = jnp.stack([pd["dense1"]["kernel"]] * 2)
+    moe_p["b1"] = jnp.stack([pd["dense1"]["bias"]] * 2)
+    moe_p["w2"] = jnp.stack([pd["dense2"]["kernel"]] * 2)
+    moe_p["b2"] = jnp.stack([pd["dense2"]["bias"]] * 2)
+    pm["moe"] = moe_p
+
+    want = dense.apply({"params": pd}, [x, mem])
+    got = moe.apply({"params": pm}, [x, mem])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_decoder_stack_moe_every_n():
+    from chambers_tpu.layers.transformer import Decoder
+
+    dec = Decoder(
+        embed_dim=16, num_heads=2, ff_dim=32, num_layers=4,
+        attention_dropout_rate=0.0, dense_dropout_rate=0.0,
+        moe_every_n=2, moe_n_experts=4, moe_n_selected_experts=2,
+    )
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((2, 7, 16)), jnp.float32)
+    v = dec.init(jax.random.PRNGKey(0), [x, mem])
+    # layers 1 and 3 (0-indexed) are MoE: expert-stacked w1 present
+    p = v["params"]
+    assert "moe" in p["layers_1"] and "moe" in p["layers_3"]
+    assert "dense1" in p["layers_0"] and "dense1" in p["layers_2"]
+    y, state = dec.apply(v, [x, mem], mutable=["intermediates"])
+    assert y.shape == x.shape and bool(jnp.isfinite(y).all())
+    # one sown aux per MoE layer
+    aux_leaves = [l for path, l in
+                  jax.tree_util.tree_leaves_with_path(state["intermediates"])]
+    assert len(aux_leaves) == 2
+
+
+def test_seq2seq_moe_trains_and_sows_aux():
+    from chambers_tpu.models import Seq2SeqTransformer
+
+    model = Seq2SeqTransformer(
+        input_vocab_size=12, output_vocab_size=12, embed_dim=16,
+        num_heads=2, dim_feedforward=32, num_encoder_layers=2,
+        num_decoder_layers=2, dropout_rate=0.0,
+        moe_every_n=2, moe_n_experts=4, moe_n_selected_experts=2,
+    )
+    rng = np.random.default_rng(20)
+    tokens = jnp.asarray(rng.integers(1, 12, (2, 7)), jnp.int32)
+    targets = jnp.asarray(rng.integers(1, 12, (2, 6)), jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), [tokens, targets])
+
+    def loss_fn(params):
+        logits, state = model.apply(
+            {"params": params}, [tokens, targets], mutable=["intermediates"]
+        )
+        ce = jnp.mean(logits.astype(jnp.float32) ** 2)
+        return ce + moe_aux_loss(state["intermediates"]), state
+
+    (loss, state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        v["params"]
+    )
+    assert bool(jnp.isfinite(loss))
+    # both stacks routed: encoder layer 1 + decoder layer 1 sow aux
+    flat = {jax.tree_util.keystr(pth) for pth, _ in
+            jax.tree_util.tree_leaves_with_path(state["intermediates"])}
+    assert any("encoder" in k for k in flat)
+    assert any("decoder" in k for k in flat)
+    gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0
+
+
+def test_moe_decoder_expert_parallel_matches_replicated():
+    from chambers_tpu.layers.moe import MoEDecoderLayer
+
+    layer = MoEDecoderLayer(
+        embed_dim=16, num_heads=2, ff_dim=32, n_experts=8,
+        n_selected_experts=2, capacity_factor=2.0, pre_norm=True,
+        attention_dropout_rate=0.0, dense_dropout_rate=0.0,
+    )
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+    v = layer.init(jax.random.PRNGKey(0), [x, mem])
+    expected = layer.apply(v, [x, mem])
+
+    mesh = create_mesh({"expert": 8})
+    params = jax.tree.map(
+        jax.device_put, v["params"],
+        make_param_shardings(
+            v["params"], mesh, moe_expert_parallel_rules("expert")
+        ),
+    )
+    got = jax.jit(
+        lambda p, x, mem: layer.apply({"params": p}, [x, mem])
+    )(params, x, mem)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-6)
