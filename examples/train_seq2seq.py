@@ -57,21 +57,14 @@ def token_accuracy(y_true, logits):
     return jnp.sum(hits) / jnp.maximum(jnp.sum(mask), 1)
 
 
-def greedy_decode(model, src, max_len):
-    """Autoregressive greedy decode (host loop; fine for a demo)."""
-    batch = src.shape[0]
-    out = np.full((batch, max_len), 0, np.int32)
-    tgt_in = np.full((batch, max_len), 0, np.int32)
-    tgt_in[:, 0] = BOS
-    for i in range(max_len):
-        logits = model.module.apply(
-            model.variables, (jnp.asarray(src), jnp.asarray(tgt_in)),
-            deterministic=True)
-        nxt = np.asarray(jnp.argmax(logits[:, i], -1))
-        out[:, i] = nxt
-        if i + 1 < max_len:
-            tgt_in[:, i + 1] = nxt
-    return out
+def decode(model, src, max_len):
+    """One compiled program for the whole autoregressive decode — the
+    TPU-native replacement for a token-per-dispatch host loop."""
+    from chambers_tpu.models import greedy_decode
+
+    fn = jax.jit(lambda v, s: greedy_decode(
+        model.module, v, s, max_len=max_len, bos_id=BOS))
+    return np.asarray(fn(model.variables, jnp.asarray(src)))
 
 
 def main():
@@ -108,7 +101,7 @@ def main():
 
     (src, _), tgt = next(make_batches(args.vocab, args.seq_len, 4, 1,
                                       seed=99))
-    pred = greedy_decode(trainer.sync_model(), src, args.seq_len)
+    pred = decode(trainer.sync_model(), src, args.seq_len)
     exact = float(np.mean(pred == tgt))
     print("greedy decode token accuracy on held-out batch:", exact)
     print("sample src :", src[0])

@@ -1,0 +1,94 @@
+"""Compiled greedy decode vs the conventional host loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chambers_tpu.models import Seq2SeqTransformer, greedy_decode
+
+BOS = 1
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    module = Seq2SeqTransformer(
+        input_vocab_size=16, output_vocab_size=16, embed_dim=32,
+        num_heads=2, dim_feedforward=64, num_encoder_layers=2,
+        num_decoder_layers=2, dropout_rate=0.0,
+    )
+    dummy = (jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32))
+    variables = module.init(jax.random.PRNGKey(0), dummy)
+    return module, variables
+
+
+def host_loop_decode(module, variables, src, max_len):
+    batch = src.shape[0]
+    out = np.zeros((batch, max_len), np.int32)
+    tgt_in = np.zeros((batch, max_len), np.int32)
+    tgt_in[:, 0] = BOS
+    for i in range(max_len):
+        logits = module.apply(variables, (jnp.asarray(src),
+                                          jnp.asarray(tgt_in)),
+                              deterministic=True)
+        nxt = np.asarray(jnp.argmax(logits[:, i], -1))
+        out[:, i] = nxt
+        if i + 1 < max_len:
+            tgt_in[:, i + 1] = nxt
+    return out
+
+
+def test_matches_host_loop(model_and_vars):
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(5).integers(1, 16, (3, 8)), jnp.int32
+    )
+    want = host_loop_decode(module, variables, np.asarray(src), max_len=8)
+    got = jax.jit(
+        lambda v, s: greedy_decode(module, v, s, max_len=8, bos_id=BOS)
+    )(variables, src)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_eos_pads_the_tail(model_and_vars):
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(6).integers(1, 16, (4, 8)), jnp.int32
+    )
+    plain = np.asarray(
+        greedy_decode(module, variables, src, max_len=8, bos_id=BOS)
+    )
+    # pick whatever token the untrained model emits first as the "eos"
+    eos = int(plain[0, 0])
+    stopped = np.asarray(
+        greedy_decode(module, variables, src, max_len=8, bos_id=BOS,
+                      eos_id=eos)
+    )
+    for row_p, row_s in zip(plain, stopped):
+        hits = np.nonzero(row_s == eos)[0]
+        if hits.size:
+            first = hits[0]
+            # identical up to and including the first eos, padding after
+            np.testing.assert_array_equal(row_s[:first + 1],
+                                          row_p[:first + 1])
+            assert (row_s[first + 1:] == 0).all()
+        else:
+            np.testing.assert_array_equal(row_s, row_p)
+
+
+def test_decode_of_moe_seq2seq_compiles(model_and_vars):
+    module = Seq2SeqTransformer(
+        input_vocab_size=16, output_vocab_size=16, embed_dim=32,
+        num_heads=2, dim_feedforward=64, num_encoder_layers=2,
+        num_decoder_layers=2, dropout_rate=0.0,
+        moe_every_n=2, moe_n_experts=4, moe_n_selected_experts=2,
+    )
+    dummy = (jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32))
+    variables = module.init(jax.random.PRNGKey(0), dummy)
+    src = jnp.asarray(
+        np.random.default_rng(7).integers(1, 16, (2, 8)), jnp.int32
+    )
+    out = jax.jit(
+        lambda v, s: greedy_decode(module, v, s, max_len=6, bos_id=BOS)
+    )(variables, src)
+    assert out.shape == (2, 6) and out.dtype == jnp.int32
