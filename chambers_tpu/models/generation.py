@@ -76,3 +76,43 @@ def greedy_decode(module, variables, tokens, *, max_len: int, bos_id: int,
 
     _, out, _ = jax.lax.fori_loop(0, max_len, body, (tgt0, out0, finished0))
     return out
+
+
+def sample_decode(module, variables, tokens, key, *, max_len: int,
+                  bos_id: int, temperature: float = 1.0,
+                  eos_id: Optional[int] = None, pad_id: int = 0) -> Any:
+    """Temperature sampling over the same compiled loop as
+    :func:`greedy_decode`.
+
+    Each step draws from ``softmax(logits / temperature)`` with a key
+    folded from ``key`` and the step index — same arguments otherwise.
+    ``temperature -> 0`` recovers greedy decoding (exactly in float32;
+    under bf16 activations two logits one ULP apart can round differently
+    in the two compiled loops, so near-tied steps may diverge).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature={temperature} must be > 0 "
+                         "(use greedy_decode for argmax decoding)")
+    b = tokens.shape[0]
+    tgt0 = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    out0 = jnp.full((b, max_len), pad_id, jnp.int32)
+    finished0 = jnp.zeros((b,), bool)
+    inv_t = jnp.float32(1.0 / temperature)
+
+    def body(i, carry):
+        tgt, out, finished = carry
+        logits = module.apply(variables, [tokens, tgt], deterministic=True)
+        step_logits = logits[:, i].astype(jnp.float32) * inv_t
+        nxt = jax.random.categorical(
+            jax.random.fold_in(key, i), step_logits, axis=-1
+        ).astype(jnp.int32)
+        nxt = jnp.where(finished, pad_id, nxt)
+        out = out.at[:, i].set(nxt)
+        if eos_id is not None:
+            finished = finished | (nxt == eos_id)
+        col = jnp.minimum(i + 1, max_len - 1)
+        tgt = jnp.where(i + 1 < max_len, tgt.at[:, col].set(nxt), tgt)
+        return tgt, out, finished
+
+    _, out, _ = jax.lax.fori_loop(0, max_len, body, (tgt0, out0, finished0))
+    return out

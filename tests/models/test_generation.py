@@ -92,3 +92,43 @@ def test_decode_of_moe_seq2seq_compiles(model_and_vars):
         lambda v, s: greedy_decode(module, v, s, max_len=6, bos_id=BOS)
     )(variables, src)
     assert out.shape == (2, 6) and out.dtype == jnp.int32
+
+
+def test_sample_decode_low_temperature_equals_greedy(model_and_vars):
+    from chambers_tpu.models import sample_decode
+
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(8).integers(1, 16, (3, 8)), jnp.int32
+    )
+    greedy = greedy_decode(module, variables, src, max_len=8, bos_id=BOS)
+    cold = sample_decode(module, variables, src, jax.random.PRNGKey(0),
+                         max_len=8, bos_id=BOS, temperature=1e-4)
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(greedy))
+
+
+def test_sample_decode_deterministic_per_key_and_varies_across_keys(
+        model_and_vars):
+    from chambers_tpu.models import sample_decode
+
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(9).integers(1, 16, (4, 8)), jnp.int32
+    )
+    fn = jax.jit(lambda v, s, k: sample_decode(
+        module, v, s, k, max_len=8, bos_id=BOS, temperature=2.0))
+    a = np.asarray(fn(variables, src, jax.random.PRNGKey(1)))
+    b = np.asarray(fn(variables, src, jax.random.PRNGKey(1)))
+    c = np.asarray(fn(variables, src, jax.random.PRNGKey(2)))
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()  # untrained logits ~uniform at T=2: keys differ
+
+
+def test_sample_decode_rejects_nonpositive_temperature(model_and_vars):
+    from chambers_tpu.models import sample_decode
+
+    module, variables = model_and_vars
+    src = jnp.zeros((1, 8), jnp.int32)
+    with pytest.raises(ValueError, match="temperature"):
+        sample_decode(module, variables, src, jax.random.PRNGKey(0),
+                      max_len=4, bos_id=BOS, temperature=0.0)
