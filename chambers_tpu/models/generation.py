@@ -78,6 +78,75 @@ def greedy_decode(module, variables, tokens, *, max_len: int, bos_id: int,
     return out
 
 
+def beam_search_decode(module, variables, tokens, *, max_len: int,
+                       bos_id: int, beam_size: int,
+                       eos_id: Optional[int] = None, pad_id: int = 0,
+                       return_scores: bool = False) -> Any:
+    """Beam search as one compiled program — static ``[b·beam]`` batch, the
+    per-step hypothesis reshuffle is a ``take_along_axis`` gather over the
+    tiny beam axis, and the joint (beam × vocab) candidate ranking is a
+    single ``lax.top_k``. No dynamic shapes anywhere.
+
+    Hypothesis scores are sums of ``log_softmax`` token log-probs (no
+    length penalty). With ``eos_id`` set, a finished hypothesis emits
+    ``pad_id`` at zero cost from then on — its score freezes and it keeps
+    competing for a beam slot. ``beam_size=1`` reduces exactly to
+    :func:`greedy_decode`.
+
+    :returns: ``[b, max_len]`` int32 best sequences, or a
+        ``(sequences, scores)`` tuple with ``[b]`` float32 log-prob scores
+        when ``return_scores`` is set.
+    """
+    if beam_size < 1:
+        raise ValueError(f"beam_size={beam_size} must be >= 1")
+    b = tokens.shape[0]
+    k = beam_size
+    src = jnp.repeat(tokens, k, axis=0)  # [b*k, t_src]
+    tgt0 = jnp.full((b * k, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    out0 = jnp.full((b, k, max_len), pad_id, jnp.int32)
+    # all k hypotheses start identical: give only beam 0 a live score so
+    # step 0's joint top-k picks k DISTINCT first tokens
+    scores0 = jnp.full((b, k), -jnp.inf).at[:, 0].set(0.0)
+    finished0 = jnp.zeros((b, k), bool)
+
+    def body(i, carry):
+        tgt, out, scores, finished = carry
+        logits = module.apply(variables, [src, tgt], deterministic=True)
+        logp = jax.nn.log_softmax(
+            logits[:, i].astype(jnp.float32), axis=-1
+        ).reshape(b, k, -1)
+        vocab = logp.shape[-1]
+        if eos_id is not None:
+            # finished hypotheses: pad at zero cost, everything else -inf
+            pad_only = jnp.full((vocab,), -jnp.inf).at[pad_id].set(0.0)
+            logp = jnp.where(finished[:, :, None], pad_only, logp)
+        total = (scores[:, :, None] + logp).reshape(b, k * vocab)
+        scores, flat_idx = jax.lax.top_k(total, k)     # [b, k], sorted desc
+        parent = flat_idx // vocab
+        token = (flat_idx % vocab).astype(jnp.int32)
+
+        # reshuffle every per-hypothesis state to its winning parent
+        tgt = jnp.take_along_axis(
+            tgt.reshape(b, k, max_len), parent[:, :, None], axis=1
+        )
+        out = jnp.take_along_axis(out, parent[:, :, None], axis=1)
+        out = out.at[:, :, i].set(token)
+        if eos_id is not None:
+            finished = jnp.take_along_axis(finished, parent, axis=1)
+            finished = finished | (token == eos_id)
+        col = jnp.minimum(i + 1, max_len - 1)
+        tgt = jnp.where(
+            i + 1 < max_len, tgt.at[:, :, col].set(token), tgt
+        ).reshape(b * k, max_len)
+        return tgt, out, scores, finished
+
+    _, out, scores, _ = jax.lax.fori_loop(
+        0, max_len, body, (tgt0, out0, scores0, finished0)
+    )
+    best, best_scores = out[:, 0], scores[:, 0]  # top_k sorts descending
+    return (best, best_scores) if return_scores else best
+
+
 def sample_decode(module, variables, tokens, key, *, max_len: int,
                   bos_id: int, temperature: float = 1.0,
                   eos_id: Optional[int] = None, pad_id: int = 0) -> Any:

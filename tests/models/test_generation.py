@@ -132,3 +132,79 @@ def test_sample_decode_rejects_nonpositive_temperature(model_and_vars):
     with pytest.raises(ValueError, match="temperature"):
         sample_decode(module, variables, src, jax.random.PRNGKey(0),
                       max_len=4, bos_id=BOS, temperature=0.0)
+
+
+def test_beam_size_1_equals_greedy(model_and_vars):
+    from chambers_tpu.models import beam_search_decode
+
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(10).integers(1, 16, (3, 8)), jnp.int32
+    )
+    greedy = greedy_decode(module, variables, src, max_len=8, bos_id=BOS)
+    beam1 = beam_search_decode(module, variables, src, max_len=8,
+                               bos_id=BOS, beam_size=1)
+    np.testing.assert_array_equal(np.asarray(beam1), np.asarray(greedy))
+
+
+def _sequence_logp(module, variables, src, seq, max_len):
+    """Teacher-forced sum of log-probs of `seq` under the model."""
+    b = src.shape[0]
+    tgt = np.zeros((b, max_len), np.int32)
+    tgt[:, 0] = BOS
+    tgt[:, 1:] = np.asarray(seq)[:, :-1]
+    logits = module.apply(variables, [src, jnp.asarray(tgt)])
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(
+        logp, jnp.asarray(seq)[:, :, None], axis=-1
+    )[..., 0]
+    return np.asarray(jnp.sum(picked, axis=-1))
+
+
+def test_beam_search_scores_at_least_greedy(model_and_vars):
+    from chambers_tpu.models import beam_search_decode
+
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(11).integers(1, 16, (4, 8)), jnp.int32
+    )
+    greedy = greedy_decode(module, variables, src, max_len=8, bos_id=BOS)
+    best, scores = jax.jit(
+        lambda v, s: beam_search_decode(module, v, s, max_len=8, bos_id=BOS,
+                                        beam_size=4, return_scores=True)
+    )(variables, src)
+    greedy_logp = _sequence_logp(module, variables, src, greedy, 8)
+    beam_logp = _sequence_logp(module, variables, src, best, 8)
+    # the returned score is the model log-prob of the returned sequence
+    np.testing.assert_allclose(np.asarray(scores), beam_logp, rtol=1e-5,
+                               atol=1e-5)
+    # beam search can never do worse than the greedy path it contains
+    assert (beam_logp >= greedy_logp - 1e-5).all()
+
+
+def test_beam_search_eos_freezes_hypotheses(model_and_vars):
+    from chambers_tpu.models import beam_search_decode
+
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(12).integers(1, 16, (3, 8)), jnp.int32
+    )
+    plain = np.asarray(beam_search_decode(
+        module, variables, src, max_len=8, bos_id=BOS, beam_size=3))
+    eos = int(plain[0, 0])
+    stopped = np.asarray(beam_search_decode(
+        module, variables, src, max_len=8, bos_id=BOS, beam_size=3,
+        eos_id=eos))
+    for row in stopped:
+        hits = np.nonzero(row == eos)[0]
+        if hits.size:
+            assert (row[hits[0] + 1:] == 0).all()
+
+
+def test_beam_search_validates_beam_size(model_and_vars):
+    from chambers_tpu.models import beam_search_decode
+
+    module, variables = model_and_vars
+    with pytest.raises(ValueError, match="beam_size"):
+        beam_search_decode(module, variables, jnp.zeros((1, 8), jnp.int32),
+                           max_len=4, bos_id=BOS, beam_size=0)
