@@ -1,0 +1,112 @@
+"""Compiled decode vs the conventional host loop, on the real chip.
+
+The reference decodes Keras seq2seq models with a Python loop (one
+`model.predict` per token). On a relay-attached TPU every dispatch costs
+tens of ms, so the loop's wall time is ~all latency. This measures the
+three compiled decoders in ``chambers_tpu.models.generation`` against a
+faithful host loop on the same model.
+
+    python tools/bench_generation.py              # TPU
+    PLATFORM=cpu LAYERS=2 MAXLEN=8 python tools/bench_generation.py
+
+Host-loop timing is per-call wall time (that IS the cost being measured);
+compiled decodes fetch the result array (completion barrier).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PLATFORM"])
+
+import jax.numpy as jnp
+
+from chambers_tpu.models import (
+    Seq2SeqTransformer,
+    beam_search_decode,
+    greedy_decode,
+    sample_decode,
+)
+
+BATCH = int(os.environ.get("BATCH", "32"))
+MAXLEN = int(os.environ.get("MAXLEN", "32"))
+LAYERS = int(os.environ.get("LAYERS", "6"))
+VOCAB = int(os.environ.get("VOCAB", "1024"))
+REPEATS = int(os.environ.get("REPEATS", "3"))
+BOS = 1
+
+
+def timed(fn, *args):
+    out = np.asarray(fn(*args))  # compile + fetch
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), out
+
+
+def main():
+    module = Seq2SeqTransformer(
+        input_vocab_size=VOCAB, output_vocab_size=VOCAB, embed_dim=256,
+        num_heads=8, dim_feedforward=1024, num_encoder_layers=LAYERS,
+        num_decoder_layers=LAYERS, dropout_rate=0.0, dtype=jnp.bfloat16,
+    )
+    src = jnp.asarray(
+        np.random.default_rng(0).integers(1, VOCAB, (BATCH, MAXLEN)),
+        jnp.int32,
+    )
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        (jnp.zeros((1, MAXLEN), jnp.int32), jnp.zeros((1, MAXLEN), jnp.int32)),
+    )
+    print(f"platform={jax.default_backend()} batch={BATCH} max_len={MAXLEN} "
+          f"layers={LAYERS}", flush=True)
+
+    def host_loop(variables, src):
+        # the conventional per-token loop: jitted step, but one dispatch +
+        # one argmax fetch per token
+        apply = jax.jit(
+            lambda v, s, t: module.apply(v, [s, t], deterministic=True)
+        )
+        tgt = np.zeros((BATCH, MAXLEN), np.int32)
+        tgt[:, 0] = BOS
+        out = np.zeros((BATCH, MAXLEN), np.int32)
+        for i in range(MAXLEN):
+            logits = apply(variables, src, jnp.asarray(tgt))
+            nxt = np.asarray(jnp.argmax(logits[:, i], -1))
+            out[:, i] = nxt
+            if i + 1 < MAXLEN:
+                tgt[:, i + 1] = nxt
+        return out
+
+    t_host, out_host = timed(host_loop, variables, src)
+    print(f"host loop        : {t_host * 1e3:9.1f} ms", flush=True)
+
+    fn = jax.jit(lambda v, s: greedy_decode(module, v, s, max_len=MAXLEN,
+                                            bos_id=BOS))
+    t_greedy, out_greedy = timed(fn, variables, src)
+    same = bool((out_host == out_greedy).all())
+    print(f"greedy (compiled): {t_greedy * 1e3:9.1f} ms "
+          f"({t_host / t_greedy:5.1f}x, match_host={same})", flush=True)
+
+    fn = jax.jit(lambda v, s, k: sample_decode(
+        module, v, s, k, max_len=MAXLEN, bos_id=BOS, temperature=1.0))
+    t_sample, _ = timed(fn, variables, src, jax.random.PRNGKey(0))
+    print(f"sample (compiled): {t_sample * 1e3:9.1f} ms", flush=True)
+
+    fn = jax.jit(lambda v, s: beam_search_decode(
+        module, v, s, max_len=MAXLEN, bos_id=BOS, beam_size=4))
+    t_beam, _ = timed(fn, variables, src)
+    print(f"beam-4 (compiled): {t_beam * 1e3:9.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
