@@ -8,7 +8,9 @@ and re-traces nothing it can reuse. This module runs the WHOLE decode as
 one jitted program — a ``lax.fori_loop`` over a static-length target
 buffer, so XLA compiles one step body and the loop stays on device.
 
-No KV cache: each step re-runs the decoder over the full (static) target
+The encoder runs ONCE per call (hoisted out of the loop via the module's
+``encode``/``decode`` split when available); no KV cache beyond that —
+each step re-runs the decoder over the full (static) target
 buffer. For the sequence lengths this model family targets (tens to a few
 hundred tokens) the recompute is cheap relative to what the loop saves in
 dispatch latency; the padding mask (token 0) keeps not-yet-generated
@@ -27,6 +29,26 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def _make_stepper(module, variables, tokens):
+    """``step(tgt) -> [b, t, vocab]`` logits for the decode loops.
+
+    When the module exposes ``encode``/``decode`` methods (e.g.
+    ``Seq2SeqTransformer``), the encoder runs ONCE here — outside the
+    decode loop — and every step re-uses its memory; otherwise each step
+    falls back to the full ``module.apply([tokens, tgt])`` forward.
+    """
+    if hasattr(module, "encode") and hasattr(module, "decode"):
+        x_enc, input_mask = module.apply(variables, tokens, method="encode")
+
+        def step(tgt):
+            return module.apply(variables, tgt, x_enc, input_mask,
+                                method="decode")
+
+        return step
+    return lambda tgt: module.apply(variables, [tokens, tgt],
+                                    deterministic=True)
 
 
 def greedy_decode(module, variables, tokens, *, max_len: int, bos_id: int,
@@ -54,13 +76,14 @@ def greedy_decode(module, variables, tokens, *, max_len: int, bos_id: int,
         out = decode(variables, tokens)
     """
     b = tokens.shape[0]
+    step_logits = _make_stepper(module, variables, tokens)
     tgt0 = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
     out0 = jnp.full((b, max_len), pad_id, jnp.int32)
     finished0 = jnp.zeros((b,), bool)
 
     def body(i, carry):
         tgt, out, finished = carry
-        logits = module.apply(variables, [tokens, tgt], deterministic=True)
+        logits = step_logits(tgt)
         nxt = jnp.argmax(
             logits[:, i].astype(jnp.float32), axis=-1
         ).astype(jnp.int32)
@@ -102,6 +125,7 @@ def beam_search_decode(module, variables, tokens, *, max_len: int,
     b = tokens.shape[0]
     k = beam_size
     src = jnp.repeat(tokens, k, axis=0)  # [b*k, t_src]
+    step_logits = _make_stepper(module, variables, src)
     tgt0 = jnp.full((b * k, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
     out0 = jnp.full((b, k, max_len), pad_id, jnp.int32)
     # all k hypotheses start identical: give only beam 0 a live score so
@@ -111,7 +135,7 @@ def beam_search_decode(module, variables, tokens, *, max_len: int,
 
     def body(i, carry):
         tgt, out, scores, finished = carry
-        logits = module.apply(variables, [src, tgt], deterministic=True)
+        logits = step_logits(tgt)
         logp = jax.nn.log_softmax(
             logits[:, i].astype(jnp.float32), axis=-1
         ).reshape(b, k, -1)
@@ -167,13 +191,14 @@ def sample_decode(module, variables, tokens, key, *, max_len: int,
     out0 = jnp.full((b, max_len), pad_id, jnp.int32)
     finished0 = jnp.zeros((b,), bool)
     inv_t = jnp.float32(1.0 / temperature)
+    step_fn = _make_stepper(module, variables, tokens)
 
     def body(i, carry):
         tgt, out, finished = carry
-        logits = module.apply(variables, [tokens, tgt], deterministic=True)
-        step_logits = logits[:, i].astype(jnp.float32) * inv_t
+        logits = step_fn(tgt)
+        step = logits[:, i].astype(jnp.float32) * inv_t
         nxt = jax.random.categorical(
-            jax.random.fold_in(key, i), step_logits, axis=-1
+            jax.random.fold_in(key, i), step, axis=-1
         ).astype(jnp.int32)
         nxt = jnp.where(finished, pad_id, nxt)
         out = out.at[:, i].set(nxt)

@@ -88,20 +88,23 @@ class Seq2SeqTransformer(nn.Module):
         )
         self.vocab_head = nn.Dense(self.output_vocab_size, dtype=self.dtype)
 
-    def __call__(self, inputs, deterministic: bool = True):
-        """``inputs = [input_tokens, target_tokens]`` int arrays ``[b, t]``.
+    def encode(self, tokens, deterministic: bool = True):
+        """Source side only: ``[b, t_src]`` tokens -> ``(memory, mask)``.
 
-        Token id 0 is padding (the reference's ``mask_zero=True``,
-        models/transformer.py:24,38).
+        Exposed so autoregressive decoding (``models/generation.py``) can
+        run the encoder ONCE and re-use the memory every step; call with
+        ``module.apply(variables, tokens, method="encode")``.
         """
-        tokens, targets = inputs
         input_mask = tokens != 0
-        target_mask = targets != 0
-
         x_enc = self.inputs_embed(tokens)
         x_enc = self.pos_encoding(x_enc)
-        x_enc = self.encoder(x_enc, mask=input_mask, deterministic=deterministic)
+        x_enc = self.encoder(x_enc, mask=input_mask,
+                             deterministic=deterministic)
+        return x_enc, input_mask
 
+    def decode(self, targets, x_enc, input_mask, deterministic: bool = True):
+        """Target side given precomputed encoder memory -> vocab logits."""
+        target_mask = targets != 0
         x_dec = self.targets_embed(targets)
         x_dec = self.pos_encoding(x_dec)
         x_dec = self.decoder(
@@ -109,3 +112,14 @@ class Seq2SeqTransformer(nn.Module):
             deterministic=deterministic,
         )
         return self.vocab_head(x_dec)
+
+    def __call__(self, inputs, deterministic: bool = True):
+        """``inputs = [input_tokens, target_tokens]`` int arrays ``[b, t]``.
+
+        Token id 0 is padding (the reference's ``mask_zero=True``,
+        models/transformer.py:24,38).
+        """
+        tokens, targets = inputs
+        x_enc, input_mask = self.encode(tokens, deterministic=deterministic)
+        return self.decode(targets, x_enc, input_mask,
+                           deterministic=deterministic)
