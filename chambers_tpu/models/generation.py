@@ -31,24 +31,56 @@ import jax
 import jax.numpy as jnp
 
 
-def _make_stepper(module, variables, tokens):
-    """``step(tgt) -> [b, t, vocab]`` logits for the decode loops.
+def _make_stepper(module, variables, tokens, repeat: int = 1):
+    """``step(tgt) -> [b·repeat, t, vocab]`` logits for the decode loops.
 
     When the module exposes ``encode``/``decode`` methods (e.g.
     ``Seq2SeqTransformer``), the encoder runs ONCE here — outside the
-    decode loop — and every step re-uses its memory; otherwise each step
-    falls back to the full ``module.apply([tokens, tgt])`` forward.
+    decode loop, over the UN-repeated sources — and every step re-uses its
+    memory (``repeat`` copies each row for beam search, so the duplicated
+    hypotheses share one encoder pass). Otherwise each step falls back to
+    the full ``module.apply([tokens, tgt])`` forward over repeated sources.
     """
     if hasattr(module, "encode") and hasattr(module, "decode"):
         x_enc, input_mask = module.apply(variables, tokens, method="encode")
+        if repeat > 1:
+            x_enc = jnp.repeat(x_enc, repeat, axis=0)
+            input_mask = jnp.repeat(input_mask, repeat, axis=0)
 
         def step(tgt):
             return module.apply(variables, tgt, x_enc, input_mask,
                                 method="decode")
 
         return step
-    return lambda tgt: module.apply(variables, [tokens, tgt],
+
+    src = jnp.repeat(tokens, repeat, axis=0) if repeat > 1 else tokens
+    return lambda tgt: module.apply(variables, [src, tgt],
                                     deterministic=True)
+
+
+def _decode_loop(step_logits, select, b, max_len, bos_id, eos_id, pad_id):
+    """Shared greedy/sampling loop: static target buffer, per-step token
+    choice via ``select(i, step_logits_f32)``, eos freezing, next-position
+    feed (the final step has no next position — dynamic indices clamp, so
+    the write is guarded with a ``where``)."""
+    tgt0 = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    out0 = jnp.full((b, max_len), pad_id, jnp.int32)
+    finished0 = jnp.zeros((b,), bool)
+
+    def body(i, carry):
+        tgt, out, finished = carry
+        logits = step_logits(tgt)
+        nxt = select(i, logits[:, i].astype(jnp.float32)).astype(jnp.int32)
+        nxt = jnp.where(finished, pad_id, nxt)
+        out = out.at[:, i].set(nxt)
+        if eos_id is not None:
+            finished = finished | (nxt == eos_id)
+        col = jnp.minimum(i + 1, max_len - 1)
+        tgt = jnp.where(i + 1 < max_len, tgt.at[:, col].set(nxt), tgt)
+        return tgt, out, finished
+
+    _, out, _ = jax.lax.fori_loop(0, max_len, body, (tgt0, out0, finished0))
+    return out
 
 
 def greedy_decode(module, variables, tokens, *, max_len: int, bos_id: int,
@@ -69,46 +101,51 @@ def greedy_decode(module, variables, tokens, *, max_len: int, bos_id: int,
         position (BOS not included), matching the conventional host loop.
 
     Wrap in ``jax.jit`` (or call inside a jitted function) to compile the
-    entire decode into one device program::
-
-        decode = jax.jit(partial(greedy_decode, module, max_len=32,
-                                 bos_id=1), static_argnames=())
-        out = decode(variables, tokens)
+    entire decode into one device program.
     """
-    b = tokens.shape[0]
     step_logits = _make_stepper(module, variables, tokens)
-    tgt0 = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
-    out0 = jnp.full((b, max_len), pad_id, jnp.int32)
-    finished0 = jnp.zeros((b,), bool)
+    return _decode_loop(
+        step_logits, lambda i, l: jnp.argmax(l, axis=-1),
+        tokens.shape[0], max_len, bos_id, eos_id, pad_id,
+    )
 
-    def body(i, carry):
-        tgt, out, finished = carry
-        logits = step_logits(tgt)
-        nxt = jnp.argmax(
-            logits[:, i].astype(jnp.float32), axis=-1
-        ).astype(jnp.int32)
-        nxt = jnp.where(finished, pad_id, nxt)
-        out = out.at[:, i].set(nxt)
-        if eos_id is not None:
-            finished = finished | (nxt == eos_id)
-        # feed the prediction to the next input position; the final step
-        # has no next position (dynamic indices clamp, so guard with where)
-        col = jnp.minimum(i + 1, max_len - 1)
-        tgt = jnp.where(i + 1 < max_len, tgt.at[:, col].set(nxt), tgt)
-        return tgt, out, finished
 
-    _, out, _ = jax.lax.fori_loop(0, max_len, body, (tgt0, out0, finished0))
-    return out
+def sample_decode(module, variables, tokens, key, *, max_len: int,
+                  bos_id: int, temperature: float = 1.0,
+                  eos_id: Optional[int] = None, pad_id: int = 0) -> Any:
+    """Temperature sampling over the same compiled loop as
+    :func:`greedy_decode`.
+
+    Each step draws from ``softmax(logits / temperature)`` with a key
+    folded from ``key`` and the step index — same arguments otherwise.
+    ``temperature -> 0`` recovers greedy decoding (exactly in float32;
+    under bf16 activations two logits one ULP apart can round differently
+    in the two compiled loops, so near-tied steps may diverge).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature={temperature} must be > 0 "
+                         "(use greedy_decode for argmax decoding)")
+    inv_t = jnp.float32(1.0 / temperature)
+    step_logits = _make_stepper(module, variables, tokens)
+
+    def select(i, logits_f32):
+        return jax.random.categorical(
+            jax.random.fold_in(key, i), logits_f32 * inv_t, axis=-1
+        )
+
+    return _decode_loop(step_logits, select, tokens.shape[0], max_len,
+                        bos_id, eos_id, pad_id)
 
 
 def beam_search_decode(module, variables, tokens, *, max_len: int,
                        bos_id: int, beam_size: int,
                        eos_id: Optional[int] = None, pad_id: int = 0,
                        return_scores: bool = False) -> Any:
-    """Beam search as one compiled program — static ``[b·beam]`` batch, the
-    per-step hypothesis reshuffle is a ``take_along_axis`` gather over the
-    tiny beam axis, and the joint (beam × vocab) candidate ranking is a
-    single ``lax.top_k``. No dynamic shapes anywhere.
+    """Beam search as one compiled program — static ``[b·beam]`` decode
+    batch (the encoder still runs once over the ``[b]`` sources), one joint
+    ``lax.top_k`` over the (beam × vocab) candidates per step, and the
+    hypothesis reshuffle as a ``take_along_axis`` gather over the tiny beam
+    axis. No dynamic shapes anywhere.
 
     Hypothesis scores are sums of ``log_softmax`` token log-probs (no
     length penalty). With ``eos_id`` set, a finished hypothesis emits
@@ -124,8 +161,7 @@ def beam_search_decode(module, variables, tokens, *, max_len: int,
         raise ValueError(f"beam_size={beam_size} must be >= 1")
     b = tokens.shape[0]
     k = beam_size
-    src = jnp.repeat(tokens, k, axis=0)  # [b*k, t_src]
-    step_logits = _make_stepper(module, variables, src)
+    step_logits = _make_stepper(module, variables, tokens, repeat=k)
     tgt0 = jnp.full((b * k, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
     out0 = jnp.full((b, k, max_len), pad_id, jnp.int32)
     # all k hypotheses start identical: give only beam 0 a live score so
@@ -169,44 +205,3 @@ def beam_search_decode(module, variables, tokens, *, max_len: int,
     )
     best, best_scores = out[:, 0], scores[:, 0]  # top_k sorts descending
     return (best, best_scores) if return_scores else best
-
-
-def sample_decode(module, variables, tokens, key, *, max_len: int,
-                  bos_id: int, temperature: float = 1.0,
-                  eos_id: Optional[int] = None, pad_id: int = 0) -> Any:
-    """Temperature sampling over the same compiled loop as
-    :func:`greedy_decode`.
-
-    Each step draws from ``softmax(logits / temperature)`` with a key
-    folded from ``key`` and the step index — same arguments otherwise.
-    ``temperature -> 0`` recovers greedy decoding (exactly in float32;
-    under bf16 activations two logits one ULP apart can round differently
-    in the two compiled loops, so near-tied steps may diverge).
-    """
-    if temperature <= 0:
-        raise ValueError(f"temperature={temperature} must be > 0 "
-                         "(use greedy_decode for argmax decoding)")
-    b = tokens.shape[0]
-    tgt0 = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
-    out0 = jnp.full((b, max_len), pad_id, jnp.int32)
-    finished0 = jnp.zeros((b,), bool)
-    inv_t = jnp.float32(1.0 / temperature)
-    step_fn = _make_stepper(module, variables, tokens)
-
-    def body(i, carry):
-        tgt, out, finished = carry
-        logits = step_fn(tgt)
-        step = logits[:, i].astype(jnp.float32) * inv_t
-        nxt = jax.random.categorical(
-            jax.random.fold_in(key, i), step, axis=-1
-        ).astype(jnp.int32)
-        nxt = jnp.where(finished, pad_id, nxt)
-        out = out.at[:, i].set(nxt)
-        if eos_id is not None:
-            finished = finished | (nxt == eos_id)
-        col = jnp.minimum(i + 1, max_len - 1)
-        tgt = jnp.where(i + 1 < max_len, tgt.at[:, col].set(nxt), tgt)
-        return tgt, out, finished
-
-    _, out, _ = jax.lax.fori_loop(0, max_len, body, (tgt0, out0, finished0))
-    return out

@@ -76,7 +76,7 @@ def test_eos_pads_the_tail(model_and_vars):
             np.testing.assert_array_equal(row_s, row_p)
 
 
-def test_decode_of_moe_seq2seq_compiles(model_and_vars):
+def test_decode_of_moe_seq2seq_compiles():
     module = Seq2SeqTransformer(
         input_vocab_size=16, output_vocab_size=16, embed_dim=32,
         num_heads=2, dim_feedforward=64, num_encoder_layers=2,

@@ -70,17 +70,18 @@ def main():
     print(f"platform={jax.default_backend()} batch={BATCH} max_len={MAXLEN} "
           f"layers={LAYERS}", flush=True)
 
+    # the conventional per-token loop: jitted step (compiled ONCE, outside
+    # the timed region), but one dispatch + one argmax fetch per token
+    host_apply = jax.jit(
+        lambda v, s, t: module.apply(v, [s, t], deterministic=True)
+    )
+
     def host_loop(variables, src):
-        # the conventional per-token loop: jitted step, but one dispatch +
-        # one argmax fetch per token
-        apply = jax.jit(
-            lambda v, s, t: module.apply(v, [s, t], deterministic=True)
-        )
         tgt = np.zeros((BATCH, MAXLEN), np.int32)
         tgt[:, 0] = BOS
         out = np.zeros((BATCH, MAXLEN), np.int32)
         for i in range(MAXLEN):
-            logits = apply(variables, src, jnp.asarray(tgt))
+            logits = host_apply(variables, src, jnp.asarray(tgt))
             nxt = np.asarray(jnp.argmax(logits[:, i], -1))
             out[:, i] = nxt
             if i + 1 < MAXLEN:
