@@ -299,6 +299,9 @@ class MoEDecoderLayer(nn.Module):
     orderings as ``chambers_tpu.layers.transformer.DecoderLayer``
     (reference transformer.py:113-252), including the pre-norm path's
     shared-``norm2`` memory normalization quirk kept there for parity.
+    Any wiring or parity fix to ``DecoderLayer`` must be mirrored here;
+    ``test_moe_decoder_layer_matches_dense_decoder_outside_mlp`` pins the
+    equivalence.
     """
 
     embed_dim: int = 512

@@ -106,6 +106,10 @@ class EncoderLayer(nn.Module):
 
 
 class DecoderLayer(nn.Module):
+    # NOTE: chambers_tpu.layers.moe.MoEDecoderLayer mirrors this block's
+    # attention/norm/residual wiring (incl. the pre-norm shared-norm2
+    # quirk) with a routed MLP — apply any parity or wiring fix THERE too;
+    # tests/layers/test_moe.py pins the equivalence.
     embed_dim: int = 512
     num_heads: int = 8
     ff_dim: int = 2048
