@@ -338,15 +338,24 @@ class Trainer:
                     intermediates = {}
                     extra_vars = state.extra_vars
                 loss_value = self.loss(y, y_pred)
-                if intermediates:
+                # static check (dict structure is fixed at trace time):
+                # does anything sow a routed-MoE aux loss?
+                aux = None
+                if intermediates and any(
+                    getattr(p, "key", None) == "moe_aux_loss"
+                    for path, _ in jax.tree_util.tree_leaves_with_path(
+                        intermediates)
+                    for p in path
+                ):
                     from chambers_tpu.layers.moe import moe_aux_loss
 
-                    loss_value = loss_value + moe_aux_loss(intermediates)
-                return loss_value, (y_pred, extra_vars)
+                    aux = moe_aux_loss(intermediates)
+                    loss_value = loss_value + aux
+                return loss_value, (y_pred, extra_vars, aux)
 
-            (loss_value, (y_pred, extra_vars)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+            (loss_value, (y_pred, extra_vars, aux)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            )
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )
@@ -359,6 +368,10 @@ class Trainer:
             # loss (Keras semantics); streaming states accumulate on device
             logs, metric_states = _metric_logs(y, y_pred, metric_states)
             logs["loss"] = loss_value
+            if aux is not None:
+                # routing-health observability: the balance (+z) term the
+                # step just added to the objective, logged on its own
+                logs["moe_aux_loss"] = aux
             return new_state, metric_states, logs
 
         def eval_step(params, extra_vars, metric_states, x, y):

@@ -459,6 +459,9 @@ def test_trainer_adds_moe_aux_loss():
     data = _batches()
     history = trainer.fit(data, epochs=10, verbose=False)
     assert history[-1]["loss"] < history[0]["loss"]
+    # routing health logged on its own alongside the combined loss
+    assert "moe_aux_loss" in history[0]
+    assert 0.0 < float(history[0]["moe_aux_loss"]) < float(history[0]["loss"])
     assert "intermediates" not in trainer.variables
     router_after = np.asarray(
         trainer.variables["params"]["MoEMLP_0"]["w_router"]
