@@ -108,6 +108,14 @@ SURFACE = [
     ("chambers_tpu.models.backbones", "ResNeXt101"),
     ("chambers_tpu.models.backbones", "BNInception"),
     ("chambers_tpu.models", "Seq2SeqTransformer"),
+    # beyond-reference: compiled generation + MoE (COVERAGE.md §2.8/EP)
+    ("chambers_tpu.models", "greedy_decode"),
+    ("chambers_tpu.models", "sample_decode"),
+    ("chambers_tpu.models", "beam_search_decode"),
+    ("chambers_tpu.layers", "MoEMLP"),
+    ("chambers_tpu.layers", "MoEEncoderLayer"),
+    ("chambers_tpu.layers", "MoEDecoderLayer"),
+    ("chambers_tpu.layers", "moe_aux_loss"),
     # §2.5 data (reference chambers/data)
     ("chambers_tpu.data", "set_n_parallel"),
     ("chambers_tpu.data", "InterleaveImageClassDataset"),
