@@ -111,7 +111,9 @@ def main(argv=None):
         if first_loss is None:
             first_loss = loss
         last_loss = loss
-        print(f"epoch {epoch}: loss={loss:.4f}")
+        # the Trainer logs the routed layers' balance(+z) term on its own
+        aux = float(logs[-1]["moe_aux_loss"])
+        print(f"epoch {epoch}: loss={loss:.4f} moe_aux={aux:.5f}")
 
     print(f"loss {first_loss:.4f} -> {last_loss:.4f} "
           f"({'improved' if last_loss < first_loss else 'NOT improved'})")
