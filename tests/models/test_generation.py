@@ -208,3 +208,19 @@ def test_beam_search_validates_beam_size(model_and_vars):
     with pytest.raises(ValueError, match="beam_size"):
         beam_search_decode(module, variables, jnp.zeros((1, 8), jnp.int32),
                            max_len=4, bos_id=BOS, beam_size=0)
+
+
+def test_decode_invariant_to_trailing_source_padding(model_and_vars):
+    """Appending pad columns to the source must not change the decode:
+    the input mask excludes pad keys from encoder self-attention and from
+    cross-attention, so real positions see identical context."""
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(13).integers(1, 16, (3, 6)), jnp.int32
+    )
+    padded = jnp.concatenate(
+        [src, jnp.zeros((3, 4), jnp.int32)], axis=1
+    )
+    a = greedy_decode(module, variables, src, max_len=8, bos_id=BOS)
+    b = greedy_decode(module, variables, padded, max_len=8, bos_id=BOS)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
