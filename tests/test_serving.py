@@ -144,3 +144,29 @@ def test_export_batchnorm_model(tmp_path):
         np.asarray(served(x)),
         np.asarray(module.apply(variables, x, deterministic=True)),
         rtol=1e-6)
+
+
+def test_export_moe_model(tmp_path):
+    """A top-2 routed ViT exports and reloads: the MoE layer is pure
+    einsums (top_k + one-hots, no gather/scatter, no host callbacks), so
+    the StableHLO artifact serves it like any dense model. Inference
+    ignores the sown aux (apply_fn returns logits only)."""
+    vit = VisionTransformer(
+        patch_size=8, patch_dim=32, n_encoder_layers=2, n_heads=2,
+        ff_dim=64, dropout_rate=0.0, include_top=True, classes=7,
+        pooling="cls", moe_every_n=2, moe_n_experts=4,
+        moe_n_selected_experts=2,
+    )
+    x = jnp.zeros((1, 32, 32, 3))
+    model = Model(vit, vit.init(jax.random.PRNGKey(0), x))
+
+    path = str(tmp_path / "moe.stablehlo")
+    export_serving_artifact(model, path, (32, 32, 3), batch_size=4)
+    served = load_serving_artifact(path)
+    batch = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 32, 32, 3)), jnp.float32
+    )
+    want = model.apply_fn(model.variables, batch, deterministic=True)
+    got = served(batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
