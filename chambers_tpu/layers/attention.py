@@ -194,7 +194,8 @@ class MultiHeadAttention(nn.Module):
     score_dtype: Optional[Any] = None  # None = float32 (parity default)
 
     @nn.compact
-    def __call__(self, inputs: Sequence[jax.Array], mask=None, deterministic: bool = True):
+    def __call__(self, inputs: Sequence[jax.Array], mask=None, deterministic: bool = True,
+                 decode: bool = False, decode_index=None):
         q = inputs[0]
         v = inputs[1]
         k = inputs[2] if len(inputs) > 2 else v
@@ -225,7 +226,17 @@ class MultiHeadAttention(nn.Module):
                 "btd,dnh->bnth", x, w.astype(dtype), precision=self.precision
             ) + b.astype(dtype)
 
-        if self_attention:
+        # cross-attention with a primed decode cache: the memory K/V are
+        # already projected and stored — skip their einsums entirely
+        cached_cross = (
+            decode
+            and not self_attention
+            and self.has_variable("cache", "cached_key")
+        )
+        if cached_cross:
+            query = project(q, w_query, b_query)
+            key = value = None
+        elif self_attention:
             w_qkv = jnp.stack([w_query, w_value, w_key]).astype(dtype)
             b_qkv = jnp.stack([b_query, b_value, b_key]).astype(dtype)
             qkv = jnp.einsum(
@@ -238,6 +249,75 @@ class MultiHeadAttention(nn.Module):
             key = project(k, w_key, b_key)
 
         q_mask, v_mask = (mask if mask is not None else (None, None))
+        causal = self.causal
+
+        if decode:
+            # Incremental-decode KV cache (models/generation.py use_cache
+            # path). Two behaviors keyed on the call shape:
+            #  - self-attention: an indexed ring of per-step K/V plus a
+            #    validity row per position (pad tokens stay masked exactly
+            #    as the full-buffer loop's `targets != 0` mask does);
+            #    causality is implied — unwritten slots are invalid.
+            #  - cross-attention: the projected memory K/V stored once at
+            #    prime time (the full-buffer priming call) and reused.
+            # The priming call runs the normal full-length path below while
+            # creating the variables, so cache shapes come from the buffer.
+            if self_attention:
+                is_init = self.has_variable("cache", "cached_key")
+                cached_key = self.variable(
+                    "cache", "cached_key", jnp.zeros, key.shape, key.dtype)
+                cached_value = self.variable(
+                    "cache", "cached_value", jnp.zeros, value.shape, value.dtype)
+                cached_mask = self.variable(
+                    "cache", "valid_mask", jnp.zeros,
+                    (key.shape[0], key.shape[2]), jnp.bool_)
+                cache_index = self.variable(
+                    "cache", "cache_index",
+                    lambda: jnp.zeros((), jnp.int32))
+                if is_init:
+                    if query.shape[2] != 1:
+                        raise ValueError(
+                            "cached decode expects one query position per "
+                            f"step, got {query.shape[2]} (prime the cache "
+                            "with a full-length call first)."
+                        )
+                    # Prefer the caller-supplied position (the decode loop's
+                    # scan xs) over the carried counter: on this TPU backend
+                    # a dynamic_update_slice indexed by a loop-CARRIED scalar
+                    # corrupts same-iteration reads of the buffer (wrong
+                    # numerics under both fori_loop and scan; xs-derived
+                    # indices are exact — tools/diagnose_fori_loop_aliasing).
+                    i = cache_index.value if decode_index is None else (
+                        jnp.asarray(decode_index, jnp.int32))
+                    cached_key.value = jax.lax.dynamic_update_slice_in_dim(
+                        cached_key.value, key, i, axis=2)
+                    cached_value.value = jax.lax.dynamic_update_slice_in_dim(
+                        cached_value.value, value, i, axis=2)
+                    step_valid = (
+                        v_mask if v_mask is not None
+                        else jnp.ones((key.shape[0], 1), jnp.bool_)
+                    )
+                    cached_mask.value = jax.lax.dynamic_update_slice_in_dim(
+                        cached_mask.value, step_valid, i, axis=1)
+                    cache_index.value = i + 1
+                    key, value = cached_key.value, cached_value.value
+                    v_mask = cached_mask.value
+                    causal = False  # the validity row masks future slots
+            else:
+                cached_key = self.variable(
+                    "cache", "cached_key", jnp.zeros,
+                    (0,) if key is None else key.shape,
+                    dtype if key is None else key.dtype)
+                cached_value = self.variable(
+                    "cache", "cached_value", jnp.zeros,
+                    (0,) if value is None else value.shape,
+                    dtype if value is None else value.dtype)
+                if cached_cross:
+                    key = cached_key.value
+                    value = cached_value.value
+                else:
+                    cached_key.value = key
+                    cached_value.value = value
 
         dropout_rng = None
         if self.dropout_rate > 0.0 and not deterministic:
@@ -256,7 +336,10 @@ class MultiHeadAttention(nn.Module):
         # the XLA path in those cases so training with dropout "just works"
         impl = self.attention_impl
         if impl == "flash" and (
-            dropout_rng is not None or q_mask is not None or v_mask is not None
+            decode
+            or dropout_rng is not None
+            or q_mask is not None
+            or v_mask is not None
         ):
             impl = "xla"
 
@@ -264,7 +347,7 @@ class MultiHeadAttention(nn.Module):
             query,
             value,
             key,
-            causal=self.causal,
+            causal=causal,
             q_mask=q_mask,
             v_mask=v_mask,
             dropout_rate=self.dropout_rate,

@@ -159,34 +159,42 @@ class DecoderLayer(nn.Module):
         self.dropout2 = nn.Dropout(self.dense_dropout_rate)
         self.dropout3 = nn.Dropout(self.dense_dropout_rate)
 
-    def __call__(self, inputs, mask=None, deterministic: bool = True):
+    def __call__(self, inputs, mask=None, deterministic: bool = True,
+                 decode: bool = False, decode_index=None):
         x, x_enc = inputs
         q_mask = mask[0] if mask is not None else None
         v_mask = mask[1] if mask is not None else None
 
         if self.pre_norm:
-            x = x + self._self_attn(self.norm1(x), q_mask, deterministic)
+            x = x + self._self_attn(self.norm1(x), q_mask, deterministic,
+                                    decode, decode_index)
             # Reference quirk kept for parity: memory is normalized with the
             # same norm2 as the query (transformer.py:179-185).
             x = x + self._cross_attn(
-                self.norm2(x), self.norm2(x_enc), q_mask, v_mask, deterministic
+                self.norm2(x), self.norm2(x_enc), q_mask, v_mask,
+                deterministic, decode
             )
             x = x + self._mlp(self.norm3(x), deterministic)
         else:
-            x = self.norm1(x + self._self_attn(x, q_mask, deterministic))
-            x = self.norm2(x + self._cross_attn(x, x_enc, q_mask, v_mask, deterministic))
+            x = self.norm1(x + self._self_attn(x, q_mask, deterministic,
+                                               decode, decode_index))
+            x = self.norm2(x + self._cross_attn(x, x_enc, q_mask, v_mask,
+                                                deterministic, decode))
             x = self.norm3(x + self._mlp(x, deterministic))
         return x
 
-    def _self_attn(self, q, mask, deterministic):
+    def _self_attn(self, q, mask, deterministic, decode=False,
+                   decode_index=None):
         attention = self.multi_head_attention1(
-            [q, q, q], mask=[mask, mask], deterministic=deterministic
+            [q, q, q], mask=[mask, mask], deterministic=deterministic,
+            decode=decode, decode_index=decode_index,
         )
         return self.dropout1(attention, deterministic=deterministic)
 
-    def _cross_attn(self, q, v, q_mask, v_mask, deterministic):
+    def _cross_attn(self, q, v, q_mask, v_mask, deterministic, decode=False):
         attention = self.multi_head_attention2(
-            [q, v, v], mask=[q_mask, v_mask], deterministic=deterministic
+            [q, v, v], mask=[q_mask, v_mask], deterministic=deterministic,
+            decode=decode,
         )
         return self.dropout2(attention, deterministic=deterministic)
 
@@ -356,12 +364,31 @@ class Decoder(nn.Module):
             else None
         )
 
-    def __call__(self, inputs, mask=None, deterministic: bool = True):
+    def __call__(self, inputs, mask=None, deterministic: bool = True,
+                 decode: bool = False, decode_index=None):
         x, x_encoder = inputs
+
+        if decode and self.moe_every_n > 0:
+            # MoE layers contest expert capacity across buffer positions and
+            # cannot reproduce full-buffer numerics one token at a time —
+            # generation auto-falls back to full recompute for them
+            # (models/generation.py _resolve_use_cache); error loudly rather
+            # than decode a routed stack with a silently wrong cache.
+            raise NotImplementedError(
+                "KV-cached decode is not supported for MoE-routed decoders "
+                f"(moe_every_n={self.moe_every_n}); use the full-recompute "
+                "path (use_cache=False)."
+            )
 
         decode_sequence = []
         for layer in self.layers:
-            x = layer([x, x_encoder], mask=mask, deterministic=deterministic)
+            if decode:
+                x = layer([x, x_encoder], mask=mask,
+                          deterministic=deterministic, decode=True,
+                          decode_index=decode_index)
+            else:
+                x = layer([x, x_encoder], mask=mask,
+                          deterministic=deterministic)
             decode_sequence.append(x)
 
         if self.return_sequence:

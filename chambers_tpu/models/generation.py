@@ -5,30 +5,103 @@ models/transformer.py:9-56, is train-only; users decode with host loops).
 A Python host loop is the worst possible shape for this hardware: every
 step pays a host->device dispatch (tens of ms on a relay-attached chip)
 and re-traces nothing it can reuse. This module runs the WHOLE decode as
-one jitted program — a ``lax.fori_loop`` over a static-length target
+one jitted program — a ``lax.scan`` over a static-length target
 buffer, so XLA compiles one step body and the loop stays on device.
 
 The encoder runs ONCE per call (hoisted out of the loop via the module's
-``encode``/``decode`` split when available); no KV cache beyond that —
-each step re-runs the decoder over the full (static) target
-buffer. For the sequence lengths this model family targets (tens to a few
-hundred tokens) the recompute is cheap relative to what the loop saves in
-dispatch latency; the padding mask (token 0) keeps not-yet-generated
-positions inert and causal self-attention keeps position ``i``'s logits
-independent of them, so intermediate logits equal the incremental ones
-exactly.
+``encode``/``decode`` split when available). With ``use_cache`` (the
+default where supported) each step feeds ONE token through an incremental
+KV cache — self-attention K/V written per position into a preallocated
+``[b, n, max_len, h]`` buffer, cross-attention memory K/V projected once
+at prime time — so a step is O(t) instead of the O(t²) full-buffer
+recompute, and the whole loop still compiles into one device program.
+``use_cache=False`` falls back to re-running the decoder over the full
+(static) target buffer each step; the padding mask (token 0) keeps
+not-yet-generated positions inert and causal self-attention keeps
+position ``i``'s logits independent of them, so the two paths emit the
+same tokens (pinned exactly in tests at f32).
 
 MoE-routed decoders (``moe_every_n > 0``): expert capacity is contested
 across ALL buffer positions, padded ones included, so a step's logits can
 differ from a hand-rolled incremental decode when experts overflow. Keep
 ``moe_capacity_factor`` ample at inference (or route per-group) if exact
-step-equivalence matters.
+step-equivalence matters. For the same reason the KV-cache path cannot
+reproduce full-buffer routing one token at a time — ``use_cache=None``
+(auto) selects the full-recompute loop for routed decoders.
 """
 
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def _scan_steps(body, carry, max_len: int):
+    """Run ``carry = body(i, carry)`` for ``i in range(max_len)`` via
+    ``lax.scan``.
+
+    Deliberately NOT ``lax.fori_loop``: on the TPU backend this targets, a
+    ``fori_loop`` whose body dynamic-update-slices a carried buffer and then
+    reads that buffer through a matmul in the same iteration miscompiles
+    (the KV-cache decode read garbage from masked slots; reproduced in pure
+    lax, wrong at every batch size, while the identical body under
+    ``lax.scan`` is bit-exact — see tools/diagnose_fori_loop_aliasing.py).
+    """
+
+    def scan_body(c, i):
+        return body(i, c), None
+
+    carry, _ = jax.lax.scan(scan_body, carry, jnp.arange(max_len))
+    return carry
+
+
+def _cache_supported(module) -> bool:
+    """True when the module exposes the incremental-decode surface and its
+    decoder is dense (MoE routing is position-coupled — see module doc)."""
+    return (
+        hasattr(module, "encode")
+        and hasattr(module, "decode_step")
+        and getattr(module, "moe_every_n", 0) == 0
+    )
+
+
+def _resolve_use_cache(module, use_cache) -> bool:
+    if use_cache is None:
+        return _cache_supported(module)
+    if use_cache and not _cache_supported(module):
+        raise NotImplementedError(
+            "use_cache=True needs the module to expose encode/decode_step "
+            "and a dense (non-MoE) decoder; got "
+            f"{type(module).__name__} with moe_every_n="
+            f"{getattr(module, 'moe_every_n', 0)}. Pass use_cache=False."
+        )
+    return bool(use_cache)
+
+
+def _prime_cache(module, variables, tokens, max_len, repeat: int = 1):
+    """Run the encoder once and the full-length decoder once (over a pad
+    buffer, outputs discarded) to create the KV-cache variables sized
+    ``max_len``; returns ``(step, cache0)`` where ``step(token, i, cache)
+    -> (logits [b·repeat, 1, vocab], cache)``."""
+    x_enc, input_mask = module.apply(variables, tokens, method="encode")
+    if repeat > 1:
+        x_enc = jnp.repeat(x_enc, repeat, axis=0)
+        input_mask = jnp.repeat(input_mask, repeat, axis=0)
+    b = tokens.shape[0] * repeat
+    buffer = jnp.zeros((b, max_len), jnp.int32)
+    _, cache0 = module.apply(
+        variables, buffer, x_enc, input_mask,
+        method="decode", decode=True, mutable=["cache"],
+    )
+
+    def step(token, i, cache):
+        logits, cache = module.apply(
+            {**variables, **cache}, token, i, x_enc, input_mask, max_len,
+            method="decode_step", mutable=["cache"],
+        )
+        return logits, cache
+
+    return step, cache0
 
 
 def _make_stepper(module, variables, tokens, repeat: int = 1):
@@ -79,12 +152,39 @@ def _decode_loop(step_logits, select, b, max_len, bos_id, eos_id, pad_id):
         tgt = jnp.where(i + 1 < max_len, tgt.at[:, col].set(nxt), tgt)
         return tgt, out, finished
 
-    _, out, _ = jax.lax.fori_loop(0, max_len, body, (tgt0, out0, finished0))
+    _, out, _ = _scan_steps(body, (tgt0, out0, finished0), max_len)
+    return out
+
+
+def _cached_decode_loop(module, variables, tokens, select, max_len, bos_id,
+                        eos_id, pad_id):
+    """KV-cached greedy/sampling loop: one token through the primed cache
+    per step, the cache pytree threaded through the ``fori_loop`` carry."""
+    step, cache0 = _prime_cache(module, variables, tokens, max_len)
+    b = tokens.shape[0]
+    token0 = jnp.full((b, 1), bos_id, jnp.int32)
+    out0 = jnp.full((b, max_len), pad_id, jnp.int32)
+    finished0 = jnp.zeros((b,), bool)
+
+    def body(i, carry):
+        token, out, finished, cache = carry
+        logits, cache = step(token, i, cache)
+        nxt = select(i, logits[:, 0].astype(jnp.float32)).astype(jnp.int32)
+        nxt = jnp.where(finished, pad_id, nxt)
+        out = out.at[:, i].set(nxt)
+        if eos_id is not None:
+            finished = finished | (nxt == eos_id)
+        return nxt[:, None], out, finished, cache
+
+    _, out, _, _ = _scan_steps(
+        body, (token0, out0, finished0, cache0), max_len
+    )
     return out
 
 
 def greedy_decode(module, variables, tokens, *, max_len: int, bos_id: int,
-                  eos_id: Optional[int] = None, pad_id: int = 0) -> Any:
+                  eos_id: Optional[int] = None, pad_id: int = 0,
+                  use_cache: Optional[bool] = None) -> Any:
     """Greedy-decode ``max_len`` tokens for every sequence in ``tokens``.
 
     :param module: a ``Seq2SeqTransformer``-shaped Flax module:
@@ -97,22 +197,30 @@ def greedy_decode(module, variables, tokens, *, max_len: int, bos_id: int,
     :param eos_id: optional end token — once a sequence emits it, its later
         positions emit ``pad_id`` (the emitted ``eos_id`` itself is kept).
     :param pad_id: the padding id (0 for the reference's ``mask_zero``).
+    :param use_cache: decode through the incremental KV cache (O(t)/step).
+        ``None`` (default) = auto: cached when the module supports it,
+        full-recompute otherwise (e.g. MoE-routed decoders).
     :returns: ``[b, max_len]`` int32 — the token predicted at each target
         position (BOS not included), matching the conventional host loop.
 
     Wrap in ``jax.jit`` (or call inside a jitted function) to compile the
     entire decode into one device program.
     """
+    select = lambda i, l: jnp.argmax(l, axis=-1)
+    if _resolve_use_cache(module, use_cache):
+        return _cached_decode_loop(module, variables, tokens, select,
+                                   max_len, bos_id, eos_id, pad_id)
     step_logits = _make_stepper(module, variables, tokens)
     return _decode_loop(
-        step_logits, lambda i, l: jnp.argmax(l, axis=-1),
+        step_logits, select,
         tokens.shape[0], max_len, bos_id, eos_id, pad_id,
     )
 
 
 def sample_decode(module, variables, tokens, key, *, max_len: int,
                   bos_id: int, temperature: float = 1.0,
-                  eos_id: Optional[int] = None, pad_id: int = 0) -> Any:
+                  eos_id: Optional[int] = None, pad_id: int = 0,
+                  use_cache: Optional[bool] = None) -> Any:
     """Temperature sampling over the same compiled loop as
     :func:`greedy_decode`.
 
@@ -126,21 +234,37 @@ def sample_decode(module, variables, tokens, key, *, max_len: int,
         raise ValueError(f"temperature={temperature} must be > 0 "
                          "(use greedy_decode for argmax decoding)")
     inv_t = jnp.float32(1.0 / temperature)
-    step_logits = _make_stepper(module, variables, tokens)
 
     def select(i, logits_f32):
         return jax.random.categorical(
             jax.random.fold_in(key, i), logits_f32 * inv_t, axis=-1
         )
 
+    if _resolve_use_cache(module, use_cache):
+        return _cached_decode_loop(module, variables, tokens, select,
+                                   max_len, bos_id, eos_id, pad_id)
+    step_logits = _make_stepper(module, variables, tokens)
     return _decode_loop(step_logits, select, tokens.shape[0], max_len,
                         bos_id, eos_id, pad_id)
+
+
+def _gather_beam_cache(cache, parent, b, k):
+    """Reshuffle every per-hypothesis cache array (leading dim ``b·k``) to
+    its winning parent beam; scalars (cache indices) pass through."""
+    def gather(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == b * k:
+            y = x.reshape((b, k) + x.shape[1:])
+            idx = parent.reshape((b, k) + (1,) * (x.ndim - 1))
+            return jnp.take_along_axis(y, idx, axis=1).reshape(x.shape)
+        return x
+    return jax.tree.map(gather, cache)
 
 
 def beam_search_decode(module, variables, tokens, *, max_len: int,
                        bos_id: int, beam_size: int,
                        eos_id: Optional[int] = None, pad_id: int = 0,
-                       return_scores: bool = False) -> Any:
+                       return_scores: bool = False,
+                       use_cache: Optional[bool] = None) -> Any:
     """Beam search as one compiled program — static ``[b·beam]`` decode
     batch (the encoder still runs once over the ``[b]`` sources), one joint
     ``lax.top_k`` over the (beam × vocab) candidates per step, and the
@@ -161,20 +285,16 @@ def beam_search_decode(module, variables, tokens, *, max_len: int,
         raise ValueError(f"beam_size={beam_size} must be >= 1")
     b = tokens.shape[0]
     k = beam_size
-    step_logits = _make_stepper(module, variables, tokens, repeat=k)
-    tgt0 = jnp.full((b * k, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
     out0 = jnp.full((b, k, max_len), pad_id, jnp.int32)
     # all k hypotheses start identical: give only beam 0 a live score so
     # step 0's joint top-k picks k DISTINCT first tokens
     scores0 = jnp.full((b, k), -jnp.inf).at[:, 0].set(0.0)
     finished0 = jnp.zeros((b, k), bool)
 
-    def body(i, carry):
-        tgt, out, scores, finished = carry
-        logits = step_logits(tgt)
-        logp = jax.nn.log_softmax(
-            logits[:, i].astype(jnp.float32), axis=-1
-        ).reshape(b, k, -1)
+    def advance(logp_flat, i, out, scores, finished):
+        """Joint (beam × vocab) top-k from ``[b·k, vocab]`` step log-probs;
+        returns the winning parents and the reshuffled per-beam state."""
+        logp = logp_flat.reshape(b, k, -1)
         vocab = logp.shape[-1]
         if eos_id is not None:
             # finished hypotheses: pad at zero cost, everything else -inf
@@ -184,24 +304,57 @@ def beam_search_decode(module, variables, tokens, *, max_len: int,
         scores, flat_idx = jax.lax.top_k(total, k)     # [b, k], sorted desc
         parent = flat_idx // vocab
         token = (flat_idx % vocab).astype(jnp.int32)
-
-        # reshuffle every per-hypothesis state to its winning parent
-        tgt = jnp.take_along_axis(
-            tgt.reshape(b, k, max_len), parent[:, :, None], axis=1
-        )
         out = jnp.take_along_axis(out, parent[:, :, None], axis=1)
         out = out.at[:, :, i].set(token)
         if eos_id is not None:
             finished = jnp.take_along_axis(finished, parent, axis=1)
             finished = finished | (token == eos_id)
-        col = jnp.minimum(i + 1, max_len - 1)
-        tgt = jnp.where(
-            i + 1 < max_len, tgt.at[:, :, col].set(token), tgt
-        ).reshape(b * k, max_len)
-        return tgt, out, scores, finished
+        return parent, token, out, scores, finished
 
-    _, out, scores, _ = jax.lax.fori_loop(
-        0, max_len, body, (tgt0, out0, scores0, finished0)
-    )
+    if _resolve_use_cache(module, use_cache):
+        step, cache0 = _prime_cache(module, variables, tokens, max_len,
+                                    repeat=k)
+        token0 = jnp.full((b * k, 1), bos_id, jnp.int32)
+
+        def body(i, carry):
+            token_in, out, scores, finished, cache = carry
+            logits, cache = step(token_in, i, cache)
+            logp_flat = jax.nn.log_softmax(
+                logits[:, 0].astype(jnp.float32), axis=-1)
+            parent, token, out, scores, finished = advance(
+                logp_flat, i, out, scores, finished)
+            # each surviving hypothesis continues from its parent's KV state
+            cache = _gather_beam_cache(cache, parent, b, k)
+            return token.reshape(b * k, 1), out, scores, finished, cache
+
+        _, out, scores, _, _ = _scan_steps(
+            body, (token0, out0, scores0, finished0, cache0), max_len
+        )
+    else:
+        step_logits = _make_stepper(module, variables, tokens, repeat=k)
+        tgt0 = (
+            jnp.full((b * k, max_len), pad_id, jnp.int32).at[:, 0].set(bos_id)
+        )
+
+        def body(i, carry):
+            tgt, out, scores, finished = carry
+            logits = step_logits(tgt)
+            logp_flat = jax.nn.log_softmax(
+                logits[:, i].astype(jnp.float32), axis=-1)
+            parent, token, out, scores, finished = advance(
+                logp_flat, i, out, scores, finished)
+            # reshuffle the target buffer to the winning parents
+            tgt = jnp.take_along_axis(
+                tgt.reshape(b, k, max_len), parent[:, :, None], axis=1
+            )
+            col = jnp.minimum(i + 1, max_len - 1)
+            tgt = jnp.where(
+                i + 1 < max_len, tgt.at[:, :, col].set(token), tgt
+            ).reshape(b * k, max_len)
+            return tgt, out, scores, finished
+
+        _, out, scores, _ = _scan_steps(
+            body, (tgt0, out0, scores0, finished0), max_len
+        )
     best, best_scores = out[:, 0], scores[:, 0]  # top_k sorts descending
     return (best, best_scores) if return_scores else best

@@ -13,10 +13,14 @@ not-to-replicate).
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from chambers_tpu.layers.embedding import PositionalEncoding1D
+from chambers_tpu.layers.embedding import (
+    PositionalEncoding1D,
+    positional_encoding_1d,
+)
 from chambers_tpu.layers.transformer import Decoder, Encoder
 
 
@@ -102,16 +106,55 @@ class Seq2SeqTransformer(nn.Module):
                              deterministic=deterministic)
         return x_enc, input_mask
 
-    def decode(self, targets, x_enc, input_mask, deterministic: bool = True):
-        """Target side given precomputed encoder memory -> vocab logits."""
+    def decode(self, targets, x_enc, input_mask, deterministic: bool = True,
+               decode: bool = False):
+        """Target side given precomputed encoder memory -> vocab logits.
+
+        ``decode=True`` runs the same full-length forward while creating the
+        incremental KV-cache variables (collection ``"cache"``) — call once
+        with ``mutable=["cache"]`` over a ``[b, max_len]`` buffer to prime
+        the cache, then step with :meth:`decode_step`.
+        """
         target_mask = targets != 0
         x_dec = self.targets_embed(targets)
         x_dec = self.pos_encoding(x_dec)
         x_dec = self.decoder(
             [x_dec, x_enc], mask=[target_mask, input_mask],
-            deterministic=deterministic,
+            deterministic=deterministic, decode=decode,
         )
         return self.vocab_head(x_dec)
+
+    def decode_step(self, token, index, x_enc, input_mask, max_len: int):
+        """One incremental decode step over a primed KV cache.
+
+        :param token: ``[b, 1]`` int — the token fed at target position
+            ``index`` (BOS for step 0, then the previously emitted token).
+        :param index: scalar int32 — the target position being decoded
+            (must equal the number of steps already taken).
+        :param max_len: static decode-buffer length; the positional row is
+            sliced from the same ``positional_encoding_1d(max_len, d)``
+            table the full-length path uses, so logits match it exactly.
+        :returns: ``[b, 1, vocab]`` logits for position ``index``.
+
+        Call with ``mutable=["cache"]`` and thread the returned cache into
+        the next step (``models/generation.py`` does this inside one
+        compiled ``fori_loop``).
+        """
+        target_mask = token != 0
+        x = self.targets_embed(token)
+        enc = jnp.asarray(
+            positional_encoding_1d(max_len, self.embed_dim), x.dtype
+        )
+        x = x + jax.lax.dynamic_slice_in_dim(enc, index, 1, axis=1)
+        # decode_index rides down to the cache writes: the decode loops feed
+        # the scan xs value here, which the TPU backend handles correctly
+        # where the carried cache_index counter miscompiles (see
+        # MultiHeadAttention and tools/diagnose_fori_loop_aliasing.py)
+        x = self.decoder(
+            [x, x_enc], mask=[target_mask, input_mask],
+            deterministic=True, decode=True, decode_index=index,
+        )
+        return self.vocab_head(x)
 
     def __call__(self, inputs, deterministic: bool = True):
         """``inputs = [input_tokens, target_tokens]`` int arrays ``[b, t]``.

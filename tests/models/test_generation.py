@@ -224,3 +224,88 @@ def test_decode_invariant_to_trailing_source_padding(model_and_vars):
     a = greedy_decode(module, variables, src, max_len=8, bos_id=BOS)
     b = greedy_decode(module, variables, padded, max_len=8, bos_id=BOS)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# KV-cache path (use_cache): one token per step through cached K/V must
+# reproduce the full-recompute loop exactly — tokens for greedy/sample/beam,
+# scores to float tolerance (different contraction order).
+# ---------------------------------------------------------------------------
+
+
+def test_cached_greedy_equals_full_recompute(model_and_vars):
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(20).integers(1, 16, (3, 8)), jnp.int32
+    )
+    full = greedy_decode(module, variables, src, max_len=8, bos_id=BOS,
+                         use_cache=False)
+    cached = jax.jit(lambda v, s: greedy_decode(
+        module, v, s, max_len=8, bos_id=BOS, use_cache=True
+    ))(variables, src)
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+
+
+def test_cached_greedy_eos_equals_full_recompute(model_and_vars):
+    """Pad tokens fed after EOS must stay masked in the cache exactly as the
+    full loop's `targets != 0` mask excludes them."""
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(21).integers(1, 16, (4, 8)), jnp.int32
+    )
+    plain = np.asarray(greedy_decode(module, variables, src, max_len=8,
+                                     bos_id=BOS, use_cache=False))
+    eos = int(plain[0, 0])
+    full = greedy_decode(module, variables, src, max_len=8, bos_id=BOS,
+                         eos_id=eos, use_cache=False)
+    cached = greedy_decode(module, variables, src, max_len=8, bos_id=BOS,
+                           eos_id=eos, use_cache=True)
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+
+
+def test_cached_sample_equals_full_recompute(model_and_vars):
+    from chambers_tpu.models import sample_decode
+
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(22).integers(1, 16, (3, 8)), jnp.int32
+    )
+    key = jax.random.PRNGKey(3)
+    full = sample_decode(module, variables, src, key, max_len=8, bos_id=BOS,
+                         temperature=1.5, use_cache=False)
+    cached = sample_decode(module, variables, src, key, max_len=8,
+                           bos_id=BOS, temperature=1.5, use_cache=True)
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+
+
+def test_cached_beam_equals_full_recompute(model_and_vars):
+    from chambers_tpu.models import beam_search_decode
+
+    module, variables = model_and_vars
+    src = jnp.asarray(
+        np.random.default_rng(23).integers(1, 16, (3, 8)), jnp.int32
+    )
+    full, fs = beam_search_decode(module, variables, src, max_len=8,
+                                  bos_id=BOS, beam_size=4, eos_id=2,
+                                  return_scores=True, use_cache=False)
+    cached, cs = jax.jit(lambda v, s: beam_search_decode(
+        module, v, s, max_len=8, bos_id=BOS, beam_size=4, eos_id=2,
+        return_scores=True, use_cache=True
+    ))(variables, src)
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+    np.testing.assert_allclose(np.asarray(cs), np.asarray(fs), atol=1e-5)
+
+
+def test_use_cache_raises_on_moe_decoder():
+    module = Seq2SeqTransformer(
+        input_vocab_size=16, output_vocab_size=16, embed_dim=32,
+        num_heads=2, dim_feedforward=64, num_encoder_layers=2,
+        num_decoder_layers=2, dropout_rate=0.0,
+        moe_every_n=2, moe_n_experts=4,
+    )
+    dummy = (jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32))
+    variables = module.init(jax.random.PRNGKey(0), dummy)
+    src = jnp.ones((2, 8), jnp.int32)
+    with pytest.raises(NotImplementedError, match="use_cache"):
+        greedy_decode(module, variables, src, max_len=4, bos_id=BOS,
+                      use_cache=True)

@@ -39,6 +39,10 @@ BATCH = int(os.environ.get("BATCH", "32"))
 MAXLEN = int(os.environ.get("MAXLEN", "32"))
 LAYERS = int(os.environ.get("LAYERS", "6"))
 VOCAB = int(os.environ.get("VOCAB", "1024"))
+# DTYPE=float32 is the numerics diagnostic: the cached and full-recompute
+# loops must agree exactly in f32 (bf16 rounds the two matmul shapes
+# differently, so flat untrained logits flip argmax near-ties)
+DTYPE = os.environ.get("DTYPE", "bfloat16")
 REPEATS = int(os.environ.get("REPEATS", "3"))
 BOS = 1
 
@@ -57,7 +61,8 @@ def main():
     module = Seq2SeqTransformer(
         input_vocab_size=VOCAB, output_vocab_size=VOCAB, embed_dim=256,
         num_heads=8, dim_feedforward=1024, num_encoder_layers=LAYERS,
-        num_decoder_layers=LAYERS, dropout_rate=0.0, dtype=jnp.bfloat16,
+        num_decoder_layers=LAYERS, dropout_rate=0.0,
+        dtype=jnp.dtype(DTYPE).type,
     )
     src = jnp.asarray(
         np.random.default_rng(0).integers(1, VOCAB, (BATCH, MAXLEN)),
@@ -91,22 +96,43 @@ def main():
     t_host, out_host = timed(host_loop, variables, src)
     print(f"host loop        : {t_host * 1e3:9.1f} ms", flush=True)
 
-    fn = jax.jit(lambda v, s: greedy_decode(module, v, s, max_len=MAXLEN,
-                                            bos_id=BOS))
+    def mismatch(a, b):
+        """Fraction of differing tokens — under bf16 the untrained model's
+        near-uniform logits make argmax ties round differently between the
+        full-buffer and one-token matmul shapes; a handful of flips is
+        numerics, not a bug (the f32 test suite pins exact equality)."""
+        return float((np.asarray(a) != np.asarray(b)).mean())
+
+    fn = jax.jit(lambda v, s: greedy_decode(
+        module, v, s, max_len=MAXLEN, bos_id=BOS, use_cache=False))
     t_greedy, out_greedy = timed(fn, variables, src)
-    same = bool((out_host == out_greedy).all())
     print(f"greedy (compiled): {t_greedy * 1e3:9.1f} ms "
-          f"({t_host / t_greedy:5.1f}x, match_host={same})", flush=True)
+          f"({t_host / t_greedy:5.1f}x, vs_host mismatch "
+          f"{mismatch(out_host, out_greedy):.3f})", flush=True)
+
+    fn = jax.jit(lambda v, s: greedy_decode(
+        module, v, s, max_len=MAXLEN, bos_id=BOS, use_cache=True))
+    t_cached, out_cached = timed(fn, variables, src)
+    print(f"greedy (KV cache): {t_cached * 1e3:9.1f} ms "
+          f"({t_host / t_cached:5.1f}x, vs_full mismatch "
+          f"{mismatch(out_greedy, out_cached):.3f})", flush=True)
 
     fn = jax.jit(lambda v, s, k: sample_decode(
         module, v, s, k, max_len=MAXLEN, bos_id=BOS, temperature=1.0))
     t_sample, _ = timed(fn, variables, src, jax.random.PRNGKey(0))
-    print(f"sample (compiled): {t_sample * 1e3:9.1f} ms", flush=True)
+    print(f"sample (KV cache): {t_sample * 1e3:9.1f} ms", flush=True)
 
     fn = jax.jit(lambda v, s: beam_search_decode(
-        module, v, s, max_len=MAXLEN, bos_id=BOS, beam_size=4))
+        module, v, s, max_len=MAXLEN, bos_id=BOS, beam_size=4,
+        use_cache=False))
     t_beam, _ = timed(fn, variables, src)
     print(f"beam-4 (compiled): {t_beam * 1e3:9.1f} ms", flush=True)
+
+    fn = jax.jit(lambda v, s: beam_search_decode(
+        module, v, s, max_len=MAXLEN, bos_id=BOS, beam_size=4,
+        use_cache=True))
+    t_beam_c, _ = timed(fn, variables, src)
+    print(f"beam-4 (KV cache): {t_beam_c * 1e3:9.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -56,19 +56,24 @@ def n_params(variables):
     return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(variables))
 
 
-def timed_scan(step_fn, init, eps):
+def timed_scan(step_fn, init, eps, *args):
+    """``args`` (e.g. params) ride as jit ARGUMENTS, not closure constants —
+    closed-over arrays get baked into the serialized program and a 70M-param
+    model blows the relay's remote-compile request-size limit (HTTP 413)."""
     f = jax.jit(
-        lambda init, eps: jax.lax.scan(step_fn, init, eps)[0]
+        lambda init, eps, *a: jax.lax.scan(
+            lambda c, e: step_fn(c, e, *a), init, eps
+        )[0]
     )
     def fetch(out):
         # scalar checksum fetch (completion barrier that works on the relay)
         float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
 
-    fetch(f(init, eps))  # compile + fetch
+    fetch(f(init, eps, *args))  # compile + fetch
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        fetch(f(init, eps))
+        fetch(f(init, eps, *args))
         times.append(time.perf_counter() - t0)
     return float(np.median(times)) / STEPS
 
@@ -94,11 +99,11 @@ def main():
                    jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16))
 
         if MODE == "forward":
-            def step(c, e, m=m, v=v):
-                y = m.apply(v, x + e)
+            def step(c, e, vv, m=m):
+                y = m.apply(vv, x + e)
                 return c + jnp.sum(y.astype(jnp.float32)), None
 
-            ms = timed_scan(step, jnp.float32(0), eps) * 1e3
+            ms = timed_scan(step, jnp.float32(0), eps, v) * 1e3
         else:
             params = v["params"]
 
