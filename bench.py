@@ -30,6 +30,11 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 # produced by tools/measure_tf_baseline.py: fused augment+ViT-B/16 = 0.85
 # img/s on CPU).
 REFERENCE_IMG_S = float(os.environ.get("CHAMBERS_BASELINE_IMG_S", "0.85"))
+# BENCH_QUANT=1: serve the model through int8 dynamic PTQ
+# (chambers_tpu.quantization) — measured 1.13x on config 1 (BASELINE.md).
+# Off by default: the headline numbers stay at the parity-grade bf16
+# numerics; int8 is an opt-in accuracy/throughput trade.
+QUANT = bool(int(os.environ.get("BENCH_QUANT", "0")))
 
 
 def _timed(run_scan, args, batch):
@@ -61,6 +66,11 @@ def _augment_infer_bench(batch, *, model_builder, size, augment, label,
     # and the pretrained-weight parity gate uses that default.
     model = model_builder(weights=None, input_shape=(size, size, 3),
                           dtype=jnp.bfloat16, score_dtype=jnp.bfloat16)
+    if QUANT:
+        from chambers_tpu.quantization import quantize_variables
+
+        model.variables = jax.jit(quantize_variables)(model.variables)
+        label += "+int8"
     normalize = ImageNetNormalization(mode="tf")
 
     @jax.jit

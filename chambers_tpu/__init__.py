@@ -20,6 +20,9 @@ capability surface TPU-first:
 - ``chambers_tpu.parallel``     — ``jax.sharding`` mesh utilities for
   data/model/context-parallel training over TPU slices.
 - ``chambers_tpu.serving``      — AOT StableHLO export/load for deployment.
+- ``chambers_tpu.quantization`` — int8 dynamic post-training quantization for
+  the serving path (per-channel int8 weights + per-token activations on the
+  MXU's 2× int8 rate).
 
 Reference parity notes cite ``/root/reference`` file:line in docstrings.
 """
@@ -29,7 +32,7 @@ __version__ = "0.1.0"
 _SUBMODULES = (
     "activations", "augmentations", "callbacks", "data", "layers", "losses",
     "metrics", "miners", "models", "ops", "optimizers", "parallel",
-    "schedules", "serving", "training", "utils",
+    "quantization", "schedules", "serving", "training", "utils",
 )
 
 

@@ -221,10 +221,31 @@ class MultiHeadAttention(nn.Module):
         dtype = self.dtype or q.dtype
         q, v, k = (x.astype(dtype) for x in (q, v, k))
 
-        def project(x, w, b):
-            return jnp.einsum(
-                "btd,dnh->bnth", x, w.astype(dtype), precision=self.precision
-            ) + b.astype(dtype)
+        # int8 serving path (chambers_tpu.quantization): projections are
+        # stored int8 with per-(n,h)/per-d scales in the "quant" collection;
+        # activations quantize per token on the fly, the MXU accumulates in
+        # int32, and everything downstream (scores, softmax, norms) stays in
+        # the compute dtype
+        quantized = self.has_variable("quant", "w_query_scale")
+
+        def project(x, w, b, s_w=None):
+            if s_w is None:
+                return jnp.einsum(
+                    "btd,dnh->bnth", x, w.astype(dtype),
+                    precision=self.precision
+                ) + b.astype(dtype)
+            from chambers_tpu.quantization import dynamic_quantize
+
+            x_q, s_x = dynamic_quantize(x)               # s_x [b, t, 1]
+            acc = jnp.einsum("btd,dnh->bnth", x_q, w,
+                             preferred_element_type=jnp.int32)
+            out = (acc.astype(jnp.float32)
+                   * s_x[:, None, :, :]                  # [b, 1, t, 1]
+                   * s_w[:, :, None, :])                 # [1, n, 1, h]
+            return out.astype(dtype) + b.astype(dtype)
+
+        def _scale(name):
+            return self.get_variable("quant", name) if quantized else None
 
         # cross-attention with a primed decode cache: the memory K/V are
         # already projected and stored — skip their einsums entirely
@@ -234,19 +255,36 @@ class MultiHeadAttention(nn.Module):
             and self.has_variable("cache", "cached_key")
         )
         if cached_cross:
-            query = project(q, w_query, b_query)
+            query = project(q, w_query, b_query, _scale("w_query_scale"))
             key = value = None
         elif self_attention:
-            w_qkv = jnp.stack([w_query, w_value, w_key]).astype(dtype)
             b_qkv = jnp.stack([b_query, b_value, b_key]).astype(dtype)
-            qkv = jnp.einsum(
-                "btd,sdnh->sbnth", q, w_qkv, precision=self.precision
-            ) + b_qkv[:, None]
+            if quantized:
+                from chambers_tpu.quantization import dynamic_quantize
+
+                w_qkv = jnp.stack([w_query, w_value, w_key])  # int8
+                s_w = jnp.stack([
+                    self.get_variable("quant", "w_query_scale"),
+                    self.get_variable("quant", "w_value_scale"),
+                    self.get_variable("quant", "w_key_scale"),
+                ])                                        # [3, 1, n, h]
+                x_q, s_x = dynamic_quantize(q)            # s_x [b, t, 1]
+                acc = jnp.einsum("btd,sdnh->sbnth", x_q, w_qkv,
+                                 preferred_element_type=jnp.int32)
+                qkv = (acc.astype(jnp.float32)
+                       * s_x[None, :, None, :, :]          # [1, b, 1, t, 1]
+                       * s_w[:, :, :, None, :]             # [3, 1, n, 1, h]
+                       ).astype(dtype) + b_qkv[:, None]
+            else:
+                w_qkv = jnp.stack([w_query, w_value, w_key]).astype(dtype)
+                qkv = jnp.einsum(
+                    "btd,sdnh->sbnth", q, w_qkv, precision=self.precision
+                ) + b_qkv[:, None]
             query, value, key = qkv[0], qkv[1], qkv[2]
         else:
-            query = project(q, w_query, b_query)
-            value = project(v, w_value, b_value)
-            key = project(k, w_key, b_key)
+            query = project(q, w_query, b_query, _scale("w_query_scale"))
+            value = project(v, w_value, b_value, _scale("w_value_scale"))
+            key = project(k, w_key, b_key, _scale("w_key_scale"))
 
         q_mask, v_mask = (mask if mask is not None else (None, None))
         causal = self.causal
@@ -358,8 +396,20 @@ class MultiHeadAttention(nn.Module):
             score_dtype=self.score_dtype,
         )
 
-        x = jnp.einsum(
-            "bnth,ndh->btd", attention, w_projection.astype(dtype),
-            precision=self.precision,
-        ) + b_projection.astype(dtype)
+        if quantized:
+            from chambers_tpu.quantization import dynamic_quantize
+
+            s_wp = self.get_variable("quant", "w_projection_scale")  # [1,d,1]
+            a_q, s_a = dynamic_quantize(attention, reduce_axes=(1, 3))
+            acc = jnp.einsum("bnth,ndh->btd", a_q, w_projection,
+                             preferred_element_type=jnp.int32)
+            x = (acc.astype(jnp.float32)
+                 * s_a[:, 0, :, :]                        # [b, t, 1]
+                 * s_wp.reshape(1, 1, -1)                 # [1, 1, d]
+                 ).astype(dtype) + b_projection.astype(dtype)
+        else:
+            x = jnp.einsum(
+                "bnth,ndh->btd", attention, w_projection.astype(dtype),
+                precision=self.precision,
+            ) + b_projection.astype(dtype)
         return x

@@ -29,6 +29,7 @@ from flax import linen as nn
 from chambers_tpu.activations import gelu
 from chambers_tpu.layers.attention import MultiHeadAttention
 from chambers_tpu.layers.normalization import FastLayerNorm
+from chambers_tpu.quantization import QuantDense
 
 
 def _make_norm(epsilon, dtype, param_dtype, stats_dtype):
@@ -76,9 +77,9 @@ class EncoderLayer(nn.Module):
                                  self.param_dtype, self.norm_stats_dtype)
         self.norm2 = _make_norm(self.norm_epsilon, self.dtype,
                                  self.param_dtype, self.norm_stats_dtype)
-        self.dense1 = nn.Dense(self.ff_dim, kernel_init=self.kernel_init,
+        self.dense1 = QuantDense(self.ff_dim, kernel_init=self.kernel_init,
                                dtype=self.dtype, param_dtype=self.param_dtype)
-        self.dense2 = nn.Dense(self.embed_dim, kernel_init=self.kernel_init,
+        self.dense2 = QuantDense(self.embed_dim, kernel_init=self.kernel_init,
                                dtype=self.dtype, param_dtype=self.param_dtype)
         self.dropout1 = nn.Dropout(self.dense_dropout_rate)
         self.dropout2 = nn.Dropout(self.dense_dropout_rate)
@@ -153,8 +154,8 @@ class DecoderLayer(nn.Module):
                                  self.param_dtype, self.norm_stats_dtype)
         self.norm3 = _make_norm(self.norm_epsilon, self.dtype,
                                  self.param_dtype, self.norm_stats_dtype)
-        self.dense1 = nn.Dense(self.ff_dim, **common)
-        self.dense2 = nn.Dense(self.embed_dim, **common)
+        self.dense1 = QuantDense(self.ff_dim, **common)
+        self.dense2 = QuantDense(self.embed_dim, **common)
         self.dropout1 = nn.Dropout(self.dense_dropout_rate)
         self.dropout2 = nn.Dropout(self.dense_dropout_rate)
         self.dropout3 = nn.Dropout(self.dense_dropout_rate)

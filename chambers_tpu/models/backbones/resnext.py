@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from chambers_tpu.models.model import Model
+from chambers_tpu.quantization import QuantDense
 
 _BN_EPS = 1.001e-5
 
@@ -105,7 +106,7 @@ class ResNeXtModule(nn.Module):
 
         if self.include_top:
             x = jnp.mean(x, axis=(1, 2))
-            x = nn.Dense(self.classes, dtype=self.dtype)(x)
+            x = QuantDense(self.classes, dtype=self.dtype)(x)
             # Keras ResNet classifier_activation="softmax" default
             x = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
         elif self.pooling == "avg":

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from chambers_tpu.models.model import Model
+from chambers_tpu.quantization import QuantDense
 
 ModelParams = collections.namedtuple(
     "ModelParams",
@@ -245,7 +246,7 @@ class SENetModule(nn.Module):
             x = jnp.mean(x, axis=(1, 2))
             if p.dropout is not None:
                 x = nn.Dropout(p.dropout)(x, deterministic=deterministic)
-            x = nn.Dense(self.classes, dtype=self.dtype)(x)
+            x = QuantDense(self.classes, dtype=self.dtype)(x)
             x = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
         return x.astype(jnp.float32)
 

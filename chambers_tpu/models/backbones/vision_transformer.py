@@ -40,6 +40,7 @@ from flax import linen as nn
 from chambers_tpu.layers.embedding import ConcatEmbedding, LearnedEmbedding1D
 from chambers_tpu.layers.transformer import Encoder
 from chambers_tpu.models.model import Model
+from chambers_tpu.quantization import QuantDense
 
 # Registry of released pretrained-weight specs (vision_transformer.py:16-96).
 # model_name -> {weights_spec: (top_md5, no_top_md5, file_suffix)}
@@ -244,12 +245,12 @@ class VisionTransformer(nn.Module):
             name="encoder",
         )
         if self.feature_dim is not None:
-            self.feature = nn.Dense(
+            self.feature = QuantDense(
                 self.feature_dim, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="feature",
             )
         if self.include_top:
-            self.predictions = nn.Dense(
+            self.predictions = QuantDense(
                 self.classes, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="predictions",
             )
@@ -357,11 +358,11 @@ class DistilledVisionTransformer(nn.Module):
             name="encoder",
         )
         if self.include_top:
-            self.predictions = nn.Dense(
+            self.predictions = QuantDense(
                 self.classes, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="predictions",
             )
-            self.predictions_dist = nn.Dense(
+            self.predictions_dist = QuantDense(
                 self.classes, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="predictions_dist",
             )

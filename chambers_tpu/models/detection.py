@@ -19,6 +19,7 @@ from flax import linen as nn
 from chambers_tpu.layers.embedding import PositionalEncoding2D
 from chambers_tpu.layers.transformer import Decoder, Encoder
 from chambers_tpu.models.model import Model
+from chambers_tpu.quantization import QuantDense
 
 
 class DETR(nn.Module):
@@ -66,12 +67,12 @@ class DETR(nn.Module):
             "query_embed", nn.initializers.normal(1.0),
             (self.num_queries, self.embed_dim),
         )
-        self.class_head = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+        self.class_head = QuantDense(self.num_classes + 1, dtype=self.dtype,
                                    name="class_head")
         self.bbox_head = [
-            nn.Dense(self.embed_dim, dtype=self.dtype),
-            nn.Dense(self.embed_dim, dtype=self.dtype),
-            nn.Dense(4, dtype=self.dtype),
+            QuantDense(self.embed_dim, dtype=self.dtype),
+            QuantDense(self.embed_dim, dtype=self.dtype),
+            QuantDense(4, dtype=self.dtype),
         ]
 
     def __call__(self, images, deterministic: bool = True):

@@ -22,6 +22,7 @@ from chambers_tpu.layers.embedding import (
     positional_encoding_1d,
 )
 from chambers_tpu.layers.transformer import Decoder, Encoder
+from chambers_tpu.quantization import QuantDense
 
 
 class Seq2SeqTransformer(nn.Module):
@@ -90,7 +91,7 @@ class Seq2SeqTransformer(nn.Module):
             dtype=self.dtype,
             name="decoder",
         )
-        self.vocab_head = nn.Dense(self.output_vocab_size, dtype=self.dtype)
+        self.vocab_head = QuantDense(self.output_vocab_size, dtype=self.dtype)
 
     def encode(self, tokens, deterministic: bool = True):
         """Source side only: ``[b, t_src]`` tokens -> ``(memory, mask)``.

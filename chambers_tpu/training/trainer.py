@@ -183,6 +183,14 @@ class Trainer:
             if name not in self._streaming
         }
 
+        if "quant" in model.variables:
+            raise ValueError(
+                "model variables carry a 'quant' collection (int8 serving "
+                "weights, chambers_tpu.quantization). Quantized variables "
+                "are inference-only — jnp.round has zero gradient, so "
+                "training through them would silently learn nothing. Train "
+                "the float model, then quantize_variables() for serving."
+            )
         params = model.variables["params"]
         extra_vars = {
             k: dict(v) if hasattr(v, "items") else v

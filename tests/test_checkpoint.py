@@ -183,3 +183,61 @@ def test_checkpoint_resume_on_dp_mesh(tmp_path):
     assert np.isfinite(h[0]["loss"])
     cb.manager.close()
     cb2.manager.close()
+
+
+def test_checkpoint_restore_across_topologies(tmp_path):
+    """Production elasticity: a checkpoint written from one mesh restores
+    onto a DIFFERENT topology. Orbax reshards to the target state's
+    shardings, so TP-sharded kernels written from a {data:2, model:4} mesh
+    land correctly on {data:4, model:2} and on a single device (serving).
+    The reference has no equivalent (single-process Keras .h5 files)."""
+    from jax.sharding import PartitionSpec as P
+
+    from chambers_tpu.parallel import create_mesh
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            return nn.Dense(1)(nn.relu(nn.Dense(8, name="wide")(x)))
+
+    rules = [("wide/kernel", P(None, "model"))]
+    rng = np.random.RandomState(0)
+    data = [(rng.randn(16, 4).astype(np.float32),
+             rng.randn(16, 1).astype(np.float32)) for _ in range(2)]
+
+    def make_trainer(mesh_shape):
+        module = Net()
+        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+        mesh = create_mesh(mesh_shape) if mesh_shape else None
+        return Trainer(
+            Model(module, variables),
+            loss=lambda yt, yp: jnp.mean((yt - yp) ** 2),
+            optimizer=optax.adam(1e-2),
+            mesh=mesh,
+            param_sharding_rules=rules if mesh else None,
+        )
+
+    t1 = make_trainer({"data": 2, "model": 4})
+    cb = CheckpointCallback(str(tmp_path / "ckpt"), t1)
+    t1.fit(data, epochs=1, callbacks=[cb], verbose=False)
+    cb.manager.wait()
+    step_after = int(t1.state.step)
+    params_after = jax.tree.map(np.asarray, t1.state.params)
+
+    for shape in ({"data": 4, "model": 2}, None):
+        t2 = make_trainer(shape)
+        cb2 = CheckpointCallback(str(tmp_path / "ckpt"), t2)
+        assert cb2.restore_into(t2), shape
+        assert int(t2.state.step) == step_after
+        for a, b in zip(jax.tree.leaves(t2.state.params),
+                        jax.tree.leaves(params_after)):
+            np.testing.assert_array_equal(np.asarray(a), b)
+        if shape:
+            # the restored kernel is genuinely sharded on the NEW mesh
+            wide = t2.state.params["wide"]["kernel"]
+            assert wide.sharding.spec == P(None, "model")
+            assert wide.sharding.mesh.shape["model"] == shape["model"]
+        h = t2.fit(data, epochs=1, verbose=False)
+        assert np.isfinite(h[0]["loss"])
+        cb2.manager.close()
+    cb.manager.close()

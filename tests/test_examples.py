@@ -53,3 +53,14 @@ def test_train_moe_vit_example(capsys):
     out = capsys.readouterr().out
     assert "mesh: data=2 x expert=4" in out
     assert "moe aux loss" in out
+
+
+def test_serve_quantized_example(capsys, tmp_path):
+    _run_example("serve_quantized.py", [
+        "--image-size", "32", "--patch-size", "8", "--dim", "64",
+        "--layers", "2", "--heads", "4", "--ff", "128",
+        "--out", str(tmp_path / "tiny_int8.stablehlo"),
+    ])
+    out = capsys.readouterr().out
+    assert "relative logit error" in out
+    assert "served logits shape: (4," in out
