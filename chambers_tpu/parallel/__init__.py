@@ -22,4 +22,5 @@ from chambers_tpu.parallel.sharding import (
     replicate,
     shard_batch,
     shard_params,
+    shard_quantized,
 )

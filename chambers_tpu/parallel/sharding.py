@@ -60,6 +60,51 @@ def shard_params(params, mesh: Mesh,
     return jax.tree.map(jax.device_put, params, shardings)
 
 
+def shard_quantized(variables, mesh: Mesh,
+                    rules: Optional[Sequence[Tuple[str, P]]] = None):
+    """Place int8-quantized variables (chambers_tpu.quantization) on a mesh.
+
+    The int8 kernels shard by the same ``rules`` as their float originals
+    (identical shapes/paths). Each ``<name>_scale`` leaf in the ``quant``
+    collection inherits its weight's spec with the axes the quantization
+    reduced (size-1 dims of the scale) forced to ``None`` — a size-1 axis
+    cannot be partitioned. Example: ``w_projection (n, d, h)`` row-parallel
+    ``P('model', None, None)`` → scale ``[1, d, 1]`` replicated. Other
+    collections (e.g. ``batch_stats``) replicate.
+
+    Under GSPMD the int8 einsums partition like their float counterparts,
+    and the per-token activation absmax over a model-sharded axis gets its
+    cross-shard max inserted automatically — the sharded quantized forward
+    matches single-device to f32 rounding (GSPMD may delay the row-parallel
+    all-reduce past the linear dequant rescale; tests/test_parallel.py).
+    """
+    rules = list(rules or [])
+    out = {}
+    for col, tree in variables.items():
+        if col == "params":
+            out[col] = shard_params(tree, mesh, rules)
+        elif col == "quant":
+            def spec_for(path, leaf):
+                if path.endswith("_scale"):
+                    path = path[: -len("_scale")]
+                for pattern, spec in rules:
+                    if re.search(pattern, path) and len(spec) <= leaf.ndim:
+                        masked = P(*(
+                            None if leaf.shape[i] == 1 else axis
+                            for i, axis in enumerate(spec)
+                        ))
+                        return NamedSharding(mesh, masked)
+                return NamedSharding(mesh, P())
+
+            paths = iter(_param_paths(tree))
+            shardings = jax.tree.map(
+                lambda leaf: spec_for(next(paths), leaf), tree)
+            out[col] = jax.tree.map(jax.device_put, tree, shardings)
+        else:
+            out[col] = replicate(tree, mesh)
+    return out
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -247,3 +247,49 @@ def test_streaming_metric_inside_mesh_eval():
         pred = module.apply(variables, jnp.asarray(x))
         ref.update_state(y, np.asarray(pred))
     np.testing.assert_allclose(logs["f1"], ref.result(), rtol=1e-6)
+
+
+def test_quantized_tensor_parallel_forward_matches_single_device():
+    """Int8-quantized serving composes with tensor parallelism: the TP-
+    sharded quantized EncoderLayer forward matches the single-device
+    quantized forward to f32 rounding (GSPMD may delay the row-parallel
+    all-reduce past the linear dequant rescale, so int32-exact partial
+    sums become f32 adds of scaled partials — ~1e-7). Int8 kernels shard
+    by the float rules; `shard_quantized` masks each scale's reduced
+    (size-1) axes out of its weight's spec (w_projection row-parallel ->
+    scale replicated); GSPMD inserts the cross-shard max for the per-token
+    absmax when the activation's contraction axis is model-sharded
+    (dense2's input)."""
+    from chambers_tpu.layers import EncoderLayer
+    from chambers_tpu.parallel import create_mesh, shard_batch, shard_quantized
+    from chambers_tpu.quantization import quantize_variables
+
+    mesh = create_mesh({"data": 2, "model": 4})
+    layer = EncoderLayer(embed_dim=32, num_heads=4, ff_dim=64,
+                         attention_dropout_rate=0.0, dense_dropout_rate=0.0,
+                         pre_norm=True)
+    x = np.random.RandomState(0).randn(4, 6, 32).astype(np.float32)
+    qv = quantize_variables(
+        layer.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 32))))
+
+    out_single = np.asarray(layer.apply(qv, x))
+
+    rules = [
+        (r"w_(query|key|value)$", P(None, "model", None)),
+        (r"b_(query|key|value)$", P("model", None, None)),
+        (r"w_projection$", P("model", None, None)),
+        (r"dense1/kernel$", P(None, "model")),
+        (r"dense1/bias$", P("model")),
+        (r"dense2/kernel$", P("model", None)),
+    ]
+    placed = shard_quantized(qv, mesh, rules)
+    # the sharded scale layout matches its weight: qkv scales [1,n,h] ride
+    # the heads axis, the projection scale [1,d,1] stays replicated
+    mha = placed["quant"]["multi_head_attention"]
+    assert mha["w_query_scale"].sharding.spec == P(None, "model", None)
+    assert mha["w_projection_scale"].sharding.spec == P(None, None, None)
+    assert placed["quant"]["dense1"]["kernel_scale"].sharding.spec == P(None, "model")
+
+    x_s = shard_batch(jnp.asarray(x), mesh)
+    out_tp = jax.jit(lambda v, a: layer.apply(v, a))(placed, x_s)
+    np.testing.assert_allclose(np.asarray(out_tp), out_single, atol=1e-5)
