@@ -158,13 +158,36 @@ class MoEMLP(nn.Module):
                     used = used + jnp.sum(oh, axis=1)
 
         expert_in = jnp.einsum("gsec,gsd->gecd", dispatch, xg.astype(dtype))
-        h = gelu(
-            jnp.einsum("gecd,edf->gecf", expert_in, w1.astype(dtype))
-            + b1.astype(dtype)[None, :, None, :],
-            approximate=self.gelu_approximate,
-        )
-        expert_out = jnp.einsum("gecf,efd->gecd", h, w2.astype(dtype)) \
-            + b2.astype(dtype)[None, :, None, :]
+        # int8 serving path (chambers_tpu.quantization): the expert banks
+        # w1/w2 are stored int8 with per-expert-per-channel scales; each
+        # dispatched row quantizes on the fly and the MXU accumulates in
+        # int32. The router and the 0/1 dispatch/combine routing stay float.
+        if self.has_variable("quant", "w1_scale"):
+            from chambers_tpu.quantization import dynamic_quantize
+
+            s_w1 = self.get_variable("quant", "w1_scale")  # [E, 1, F]
+            s_w2 = self.get_variable("quant", "w2_scale")  # [E, 1, d]
+            x_q, s_x = dynamic_quantize(expert_in)         # [g, E, c, 1]
+            acc = jnp.einsum("gecd,edf->gecf", x_q, w1,
+                             preferred_element_type=jnp.int32)
+            pre = (acc.astype(jnp.float32)
+                   * s_x * s_w1[:, 0][None, :, None, :]).astype(dtype) \
+                + b1.astype(dtype)[None, :, None, :]
+            h = gelu(pre, approximate=self.gelu_approximate)
+            h_q, s_h = dynamic_quantize(h)
+            acc2 = jnp.einsum("gecf,efd->gecd", h_q, w2,
+                              preferred_element_type=jnp.int32)
+            expert_out = (acc2.astype(jnp.float32)
+                          * s_h * s_w2[:, 0][None, :, None, :]).astype(dtype) \
+                + b2.astype(dtype)[None, :, None, :]
+        else:
+            h = gelu(
+                jnp.einsum("gecd,edf->gecf", expert_in, w1.astype(dtype))
+                + b1.astype(dtype)[None, :, None, :],
+                approximate=self.gelu_approximate,
+            )
+            expert_out = jnp.einsum("gecf,efd->gecd", h, w2.astype(dtype)) \
+                + b2.astype(dtype)[None, :, None, :]
 
         y = jnp.einsum("gsec,gecd->gsd", combine, expert_out)
 

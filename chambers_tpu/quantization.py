@@ -22,11 +22,12 @@ Scheme (standard dynamic PTQ, calibration-free):
   and cast back to the layer compute dtype. Biases, LayerNorms, softmax,
   and the patch-embedding conv stay in the original dtypes.
 
-What gets quantized: 2-D ``nn.Dense``/:class:`QuantDense` kernels and the
+What gets quantized: 2-D ``nn.Dense``/:class:`QuantDense` kernels, the
 MultiHeadAttention projection tensors (``w_query/w_key/w_value`` ``(d,n,h)``
-and ``w_projection`` ``(n,d,h)``). Conv kernels (4-D), biases, norms,
-embeddings, and MoE expert banks are left untouched — consuming layers that
-don't understand the int8 layout never see it.
+and ``w_projection`` ``(n,d,h)``), and the MoE expert banks (``w1/w2``
+``(E,d,F)/(E,F,d)``, per-expert-per-channel scales). Conv kernels (4-D),
+biases, norms, embeddings, and the MoE router are left untouched —
+consuming layers that don't understand the int8 layout never see it.
 
 Quantized variables are **inference-only**: ``jnp.round`` has zero gradient,
 so training through them would silently learn nothing. The Trainer refuses
@@ -64,6 +65,7 @@ _EPS = 1e-12
 # ("reduce") axes; everything else is left in the original dtype
 _MHA_QKV = ("w_query", "w_key", "w_value")  # (d, n, h): contract d
 _MHA_PROJ = "w_projection"                  # (n, d, h): contract (n, h)
+_MOE_BANKS = ("w1", "w2")                   # (E, d, F)/(E, F, d): contract ax 1
 
 
 def quantize_weight(w, reduce_axes):
@@ -169,6 +171,9 @@ def _quantize_params(params: dict, quant: dict, path: str,
             out[name], quant[f"{name}_scale"] = q, s
         elif name == _MHA_PROJ and getattr(value, "ndim", 0) == 3:
             q, s = quantize_weight(value, (0, 2))        # scale [1, d, 1]
+            out[name], quant[f"{name}_scale"] = q, s
+        elif name in _MOE_BANKS and getattr(value, "ndim", 0) == 3:
+            q, s = quantize_weight(value, (1,))          # scale [E, 1, out]
             out[name], quant[f"{name}_scale"] = q, s
         else:
             out[name] = value

@@ -181,6 +181,52 @@ def test_vit_quantized_end_to_end():
     assert _rel_err(got, want) < 0.05
 
 
+@pytest.mark.parametrize("k", [1, 2])
+def test_moe_mlp_quantized_error_bound(k):
+    """MoE expert banks quantize per expert per channel; routing (router
+    softmax, top-k, dispatch/combine) stays float, so the quantized layer
+    routes identically and only the expert MLP math carries int8 error."""
+    from chambers_tpu.layers.moe import MoEMLP
+
+    moe = MoEMLP(ff_dim=32, n_experts=4, capacity_factor=2.0,
+                 n_selected_experts=k)
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, 8, 16))
+    v = moe.init(jax.random.PRNGKey(21), x)
+    qv = quantize_variables(v)
+    assert qv["params"]["w1"].dtype == jnp.int8
+    assert qv["params"]["w2"].dtype == jnp.int8
+    # router must stay float — its softmax drives routing decisions
+    assert qv["params"]["w_router"].dtype == v["params"]["w_router"].dtype
+    assert qv["quant"]["w1_scale"].shape == (4, 1, 32)
+    assert qv["quant"]["w2_scale"].shape == (4, 1, 16)
+    got = moe.apply(qv, x)
+    want = moe.apply(v, x)
+    assert _rel_err(got, want) < 0.03
+
+
+def test_moe_quantized_expert_parallel_matches_replicated():
+    """Quantized expert banks shard over the expert axis (scales ride the
+    same leading axis via shard_quantized) and the EP forward matches the
+    replicated quantized forward."""
+    from chambers_tpu.layers.moe import MoEMLP
+    from chambers_tpu.parallel import create_mesh, shard_quantized
+    from chambers_tpu.parallel.expert_parallel import (
+        moe_expert_parallel_rules,
+    )
+
+    mesh = create_mesh({"expert": 8})
+    moe = MoEMLP(ff_dim=32, n_experts=8, capacity_factor=2.0)
+    x = jax.random.normal(jax.random.PRNGKey(22), (4, 8, 16))
+    qv = quantize_variables(moe.init(jax.random.PRNGKey(23), x))
+    want = np.asarray(moe.apply(qv, x))
+
+    placed = shard_quantized(qv, mesh, moe_expert_parallel_rules("expert"))
+    assert placed["params"]["w1"].sharding.spec[0] == "expert"
+    assert placed["quant"]["w1_scale"].sharding.spec[0] == "expert"
+    got = jax.jit(lambda v, a: moe.apply(v, a))(placed, x)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
 def test_quantized_greedy_decode_runs_cached_and_full():
     """Quantized variables flow through the compiled decode loops: the KV
     cache primes/updates through the int8 projections, and cached ==
