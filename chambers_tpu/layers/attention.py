@@ -234,12 +234,10 @@ class MultiHeadAttention(nn.Module):
                     "btd,dnh->bnth", x, w.astype(dtype),
                     precision=self.precision
                 ) + b.astype(dtype)
-            from chambers_tpu.quantization import dynamic_quantize
+            from chambers_tpu.quantization import int8_einsum
 
-            x_q, s_x = dynamic_quantize(x)               # s_x [b, t, 1]
-            acc = jnp.einsum("btd,dnh->bnth", x_q, w,
-                             preferred_element_type=jnp.int32)
-            out = (acc.astype(jnp.float32)
+            acc, s_x = int8_einsum("btd,dnh->bnth", x, w)  # s_x [b, t, 1]
+            out = (acc
                    * s_x[:, None, :, :]                  # [b, 1, t, 1]
                    * s_w[:, :, None, :])                 # [1, n, 1, h]
             return out.astype(dtype) + b.astype(dtype)
@@ -260,7 +258,7 @@ class MultiHeadAttention(nn.Module):
         elif self_attention:
             b_qkv = jnp.stack([b_query, b_value, b_key]).astype(dtype)
             if quantized:
-                from chambers_tpu.quantization import dynamic_quantize
+                from chambers_tpu.quantization import int8_einsum
 
                 w_qkv = jnp.stack([w_query, w_value, w_key])  # int8
                 s_w = jnp.stack([
@@ -268,10 +266,8 @@ class MultiHeadAttention(nn.Module):
                     self.get_variable("quant", "w_value_scale"),
                     self.get_variable("quant", "w_key_scale"),
                 ])                                        # [3, 1, n, h]
-                x_q, s_x = dynamic_quantize(q)            # s_x [b, t, 1]
-                acc = jnp.einsum("btd,sdnh->sbnth", x_q, w_qkv,
-                                 preferred_element_type=jnp.int32)
-                qkv = (acc.astype(jnp.float32)
+                acc, s_x = int8_einsum("btd,sdnh->sbnth", q, w_qkv)
+                qkv = (acc
                        * s_x[None, :, None, :, :]          # [1, b, 1, t, 1]
                        * s_w[:, :, :, None, :]             # [3, 1, n, 1, h]
                        ).astype(dtype) + b_qkv[:, None]
@@ -397,13 +393,12 @@ class MultiHeadAttention(nn.Module):
         )
 
         if quantized:
-            from chambers_tpu.quantization import dynamic_quantize
+            from chambers_tpu.quantization import int8_einsum
 
             s_wp = self.get_variable("quant", "w_projection_scale")  # [1,d,1]
-            a_q, s_a = dynamic_quantize(attention, reduce_axes=(1, 3))
-            acc = jnp.einsum("bnth,ndh->btd", a_q, w_projection,
-                             preferred_element_type=jnp.int32)
-            x = (acc.astype(jnp.float32)
+            acc, s_a = int8_einsum("bnth,ndh->btd", attention,
+                                   w_projection, x_reduce_axes=(1, 3))
+            x = (acc
                  * s_a[:, 0, :, :]                        # [b, t, 1]
                  * s_wp.reshape(1, 1, -1)                 # [1, 1, d]
                  ).astype(dtype) + b_projection.astype(dtype)

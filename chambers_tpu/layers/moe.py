@@ -163,22 +163,18 @@ class MoEMLP(nn.Module):
         # dispatched row quantizes on the fly and the MXU accumulates in
         # int32. The router and the 0/1 dispatch/combine routing stay float.
         if self.has_variable("quant", "w1_scale"):
-            from chambers_tpu.quantization import dynamic_quantize
+            from chambers_tpu.quantization import int8_einsum
 
             s_w1 = self.get_variable("quant", "w1_scale")  # [E, 1, F]
             s_w2 = self.get_variable("quant", "w2_scale")  # [E, 1, d]
-            x_q, s_x = dynamic_quantize(expert_in)         # [g, E, c, 1]
-            acc = jnp.einsum("gecd,edf->gecf", x_q, w1,
-                             preferred_element_type=jnp.int32)
-            pre = (acc.astype(jnp.float32)
-                   * s_x * s_w1[:, 0][None, :, None, :]).astype(dtype) \
+            acc, s_x = int8_einsum("gecd,edf->gecf", expert_in, w1)
+            pre = (acc * s_x                               # s_x [g, E, c, 1]
+                   * s_w1[:, 0][None, :, None, :]).astype(dtype) \
                 + b1.astype(dtype)[None, :, None, :]
             h = gelu(pre, approximate=self.gelu_approximate)
-            h_q, s_h = dynamic_quantize(h)
-            acc2 = jnp.einsum("gecf,efd->gecd", h_q, w2,
-                              preferred_element_type=jnp.int32)
-            expert_out = (acc2.astype(jnp.float32)
-                          * s_h * s_w2[:, 0][None, :, None, :]).astype(dtype) \
+            acc2, s_h = int8_einsum("gecf,efd->gecd", h, w2)
+            expert_out = (acc2 * s_h
+                          * s_w2[:, 0][None, :, None, :]).astype(dtype) \
                 + b2.astype(dtype)[None, :, None, :]
         else:
             h = gelu(

@@ -36,21 +36,30 @@ VIT_TENSOR_PARALLEL_RULES: List[Tuple[str, P]] = [
 from chambers_tpu.utils.pytree import param_paths as _param_paths
 
 
+def _match_spec(path: str, leaf, rules) -> P:
+    """First-match-wins rule lookup; falls back to replication. Rules whose
+    spec is longer than the leaf's rank never match."""
+    for pattern, spec in rules:
+        if re.search(pattern, path) and len(spec) <= leaf.ndim:
+            return spec
+    return P()
+
+
+def _sharding_tree(tree, mesh: Mesh, rules, spec_fn):
+    """Map ``spec_fn(path, leaf) -> PartitionSpec`` over a pytree, pairing
+    each leaf with its ``/``-joined param path."""
+    paths = iter(_param_paths(tree))
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, spec_fn(next(paths), leaf)), tree)
+
+
 def make_param_shardings(params, mesh: Mesh,
                          rules: Optional[Sequence[Tuple[str, P]]] = None):
     """NamedSharding pytree for params: first matching rule wins; unmatched
     params are fully replicated."""
     rules = list(rules or [])
-
-    def spec_for(path, leaf):
-        for pattern, spec in rules:
-            if re.search(pattern, path):
-                if len(spec) <= leaf.ndim:
-                    return NamedSharding(mesh, spec)
-        return NamedSharding(mesh, P())
-
-    paths = iter(_param_paths(params))
-    return jax.tree.map(lambda leaf: spec_for(next(paths), leaf), params)
+    return _sharding_tree(params, mesh, rules,
+                          lambda path, leaf: _match_spec(path, leaf, rules))
 
 
 def shard_params(params, mesh: Mesh,
@@ -84,21 +93,18 @@ def shard_quantized(variables, mesh: Mesh,
         if col == "params":
             out[col] = shard_params(tree, mesh, rules)
         elif col == "quant":
-            def spec_for(path, leaf):
+            def scale_spec(path, leaf):
                 if path.endswith("_scale"):
                     path = path[: -len("_scale")]
-                for pattern, spec in rules:
-                    if re.search(pattern, path) and len(spec) <= leaf.ndim:
-                        masked = P(*(
-                            None if leaf.shape[i] == 1 else axis
-                            for i, axis in enumerate(spec)
-                        ))
-                        return NamedSharding(mesh, masked)
-                return NamedSharding(mesh, P())
+                spec = _match_spec(path, leaf, rules)
+                # a scale keeps its weight's spec except on the reduced
+                # (size-1) axes, which cannot be partitioned
+                return P(*(
+                    None if leaf.shape[i] == 1 else axis
+                    for i, axis in enumerate(spec)
+                ))
 
-            paths = iter(_param_paths(tree))
-            shardings = jax.tree.map(
-                lambda leaf: spec_for(next(paths), leaf), tree)
+            shardings = _sharding_tree(tree, mesh, rules, scale_spec)
             out[col] = jax.tree.map(jax.device_put, tree, shardings)
         else:
             out[col] = replicate(tree, mesh)

@@ -39,7 +39,14 @@ Usage::
     qvars = quantize_variables(model.variables)
     logits = jax.jit(model.apply_fn)(qvars, images, deterministic=True)
     # or bake into an AOT serving artifact:
-    export_serving_artifact(model.module, qvars, ...)
+    model.variables = qvars
+    export_serving_artifact(model, path, input_shape=(384, 384, 3))
+
+Scope caveat: quantization is keyed on parameter names, so it is safe for
+every module in this package (all Dense layers are :class:`QuantDense`)
+but NOT for arbitrary user modules — a plain ``flax.linen.nn.Dense`` would
+receive a raw int8 kernel it multiplies unscaled. User modules must use
+:class:`QuantDense` (a drop-in ``nn.Dense``) before quantizing.
 
 Measured (tools/bench_int8_matmul.py, v5e, within-run comparisons): at
 ViT-L/16@384 batch-128 MLP shapes [73856,1024,4096] the dynamic-quant
@@ -99,6 +106,19 @@ def dynamic_quantize(x, reduce_axes=(-1,)):
     return q, scale
 
 
+def int8_einsum(eq: str, x, w_q, x_reduce_axes=(-1,)):
+    """Shared int8 contraction core: quantize ``x`` per row over its
+    contraction axes, contract with the int8 weight accumulating in int32.
+
+    :returns: ``(acc float32, s_x)`` — callers apply their layout-specific
+        weight-scale broadcast, multiply by ``s_x`` (reduced axes kept as
+        size-1 dims), and cast to the compute dtype.
+    """
+    x_q, s_x = dynamic_quantize(x, x_reduce_axes)
+    acc = jnp.einsum(eq, x_q, w_q, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32), s_x
+
+
 class QuantDense(nn.Dense):
     """``nn.Dense`` that takes the int8 MXU path when the variables carry a
     ``"quant"`` scale for its kernel (see :func:`quantize_variables`).
@@ -133,13 +153,12 @@ class QuantDense(nn.Dense):
             return y
 
         s_w = self.get_variable("quant", "kernel_scale")  # [1, features]
-        x_q, s_x = dynamic_quantize(inputs)               # [..., 1]
-        acc = jax.lax.dot_general(
-            x_q, kernel, (((x_q.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        dtype = self.dtype or jnp.result_type(inputs)
-        y = (acc.astype(jnp.float32) * s_x * s_w.reshape(
+        acc, s_x = int8_einsum("...k,kf->...f", inputs, kernel)
+        # the float branch's output dtype is promote_dtype(inputs, kernel,
+        # bias, dtype=self.dtype); the kernel's LOGICAL dtype here is
+        # param_dtype (it is stored int8), so mirror that promotion exactly
+        dtype = self.dtype or jnp.result_type(inputs, self.param_dtype)
+        y = (acc * s_x * s_w.reshape(
             (1,) * (acc.ndim - 1) + (-1,))).astype(dtype)
         if bias is not None:
             y = y + jnp.reshape(bias.astype(dtype),
@@ -177,6 +196,23 @@ def _quantize_params(params: dict, quant: dict, path: str,
             out[name], quant[f"{name}_scale"] = q, s
         else:
             out[name] = value
+
+    # grouped weights must quantize atomically: the consuming layers key
+    # their whole int8 path on ONE sentinel scale (w_query_scale /
+    # w1_scale), so an `include` regex that splits a group would feed raw
+    # int8 integers through a float einsum (silent garbage) or crash on a
+    # missing companion scale
+    for group in (set(_MHA_QKV) | {_MHA_PROJ}, set(_MOE_BANKS)):
+        present = [n for n in group
+                   if n in out and not isinstance(out[n], dict)]
+        done = [n for n in present if f"{n}_scale" in quant]
+        if done and len(done) != len(present):
+            raise ValueError(
+                f"include pattern splits the quantization group at "
+                f"{path or '<root>'!r}: {sorted(done)} quantized but "
+                f"{sorted(set(present) - set(done))} not — these weights "
+                "are consumed by one layer and must quantize together"
+            )
     return out
 
 

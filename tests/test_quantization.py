@@ -109,6 +109,32 @@ def test_quantize_variables_structure_and_include():
         quantize_variables(v, include="no_such_param")
 
 
+def test_include_cannot_split_a_weight_group():
+    """Grouped weights (MHA q/k/v/projection, MoE w1/w2) key their whole
+    int8 path on one sentinel scale, so a partial include would silently
+    feed raw int8 through a float einsum — must raise instead."""
+    from chambers_tpu.layers import MultiHeadAttention
+
+    mha = MultiHeadAttention(head_dim=8, num_heads=2, dropout_rate=0.0)
+    x = jnp.ones((1, 3, 16))
+    v = mha.init(jax.random.PRNGKey(0), [x, x])
+    with pytest.raises(ValueError, match="splits the quantization group"):
+        quantize_variables(v, include=r"w_projection$")
+    with pytest.raises(ValueError, match="splits the quantization group"):
+        quantize_variables(v, include=r"w_(query|key)$")
+
+
+def test_quant_dense_dtype_matches_float_branch_promotion():
+    """With dtype=None, f32 params, and bf16 inputs the float branch
+    promotes to f32 (nn.Dense promote_dtype semantics); the int8 branch
+    must resolve the same output dtype, not the input dtype."""
+    x = jax.random.normal(jax.random.PRNGKey(30), (4, 16)).astype(jnp.bfloat16)
+    dense = QuantDense(8)
+    v = dense.init(jax.random.PRNGKey(31), x)
+    assert dense.apply(v, x).dtype == jnp.float32
+    assert dense.apply(quantize_variables(v), x).dtype == jnp.float32
+
+
 def test_dequantize_round_trip():
     x = jax.random.normal(jax.random.PRNGKey(6), (8, 32))
     dense = QuantDense(16)

@@ -72,15 +72,15 @@ def main():
         jax.random.PRNGKey(0),
         (jnp.zeros((1, MAXLEN), jnp.int32), jnp.zeros((1, MAXLEN), jnp.int32)),
     )
-    if os.environ.get("QUANT"):
+    quant = bool(int(os.environ.get("QUANT", "0")))  # QUANT=0 means float
+    if quant:
         # int8 dynamic PTQ (chambers_tpu.quantization): decode at small
         # batch is weight-bound, so int8 weights halve the per-step HBM read
         from chambers_tpu.quantization import quantize_variables
 
         variables = jax.jit(quantize_variables)(variables)
     print(f"platform={jax.default_backend()} batch={BATCH} max_len={MAXLEN} "
-          f"layers={LAYERS} quant={bool(os.environ.get('QUANT'))}",
-          flush=True)
+          f"layers={LAYERS} quant={quant}", flush=True)
 
     # the conventional per-token loop: jitted step (compiled ONCE, outside
     # the timed region), but one dispatch + one argmax fetch per token
