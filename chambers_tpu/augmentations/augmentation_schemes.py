@@ -33,6 +33,39 @@ _FILL_VALUE = 128
 _MAX_MAGNITUDE = 10.0
 
 
+def _fused_round_applicable(scheme, images) -> bool:
+    """The per-image-dispatch Pallas round kernel applies on TPU for uint8
+    RGB batches whose working set fits scoped VMEM;
+    ``scheme.fused_round_kernel = True/False`` forces it (tests run it in
+    interpret mode on CPU, where no VMEM limit exists)."""
+    forced = getattr(scheme, "fused_round_kernel", None)
+    if forced is not None:
+        return forced
+    return (jax.default_backend() == "tpu"
+            and images.dtype == jnp.uint8 and images.shape[-1] == 3
+            and _fused_round_fits_vmem(images))
+
+
+def _fused_round_fits_vmem(images) -> bool:
+    """Whether ``fused_round_pallas``'s per-image working set fits the TPU's
+    16 MB scoped-VMEM stack.
+
+    The kernel's peak is ~6 live fill-padded f32/i32 planes of the folded
+    image (pad sized for the worst-case 30-degree rotation, as in
+    ``_policy_warp``). Calibrated against Mosaic's own stack accounting:
+    at 224px (pad 32) the kernel compiles and runs; at 384px (pad 53) the
+    compiler reports a 17.01 MB stack against the 16 MB limit — the model
+    predicts 5.9 MB and 17.3 MB for those. Oversized images fall back to
+    the masked compute-all composition (bit-identical by construction).
+    """
+    h, w, c = images.shape[1], images.shape[2], images.shape[3]
+    d = max(h, w)
+    theta = 30.0 * math.pi / 180.0
+    pad = int(np.ceil(np.tan(theta / 2.0) * (d - 1) / 2.0)) + 2
+    est_bytes = 6 * (h + 2 * pad) * (w + 2 * pad) * c * 4
+    return est_bytes <= 14 * 1024 * 1024
+
+
 def _policy_warp(images, mats, max_rotation_rad=None):
     """One warp per policy round, per-image affine ``mats`` [b, 8].
 
@@ -259,12 +292,21 @@ class AutoAugment:
     def _apply_elementwise(self, images, key_policy, key_s1, key_s2):
         """Per-image sub-policy selection with all projective candidates fused
         into a single warp per stage (see RandAugment for the rationale:
-        warps are general gathers, the expensive op class on TPU)."""
+        warps are general gathers, the expensive op class on TPU).
+
+        On TPU the stage's non-LUT work (warp / Color / passthrough — the
+        V0 table samples no other non-LUT op) runs as one per-image-dispatch
+        Pallas kernel: each image computes only its sampled op, so images
+        that drew a pointwise op (or failed the probability gate) skip the
+        warp entirely instead of warping through an identity matrix.
+        Bit-identical to the masked composition
+        (tests/augmentations/test_warp_pallas.py)."""
         from chambers_tpu.ops import image_ops
 
         b, h, w = images.shape[0], images.shape[1], images.shape[2]
         n_pol = len(self.policies)
         policy_idx = jax.random.randint(key_policy, (b,), 0, n_pol)
+        use_kernel = _fused_round_applicable(self, images)
 
         for stage, stage_key in ((0, key_s1), (1, key_s2)):
             op_of_policy = jnp.asarray([p[stage][0] for p in self.policies])
@@ -302,12 +344,14 @@ class AutoAugment:
                     cand = image_ops.translate_y_matrices(sign * px)
                 mats = jnp.where((op_idx == k_i)[:, None], cand, mats)
 
-            if any_projective:
-                max_rot = max(
-                    ((m or 0) / _MAX_MAGNITUDE * 30.0 * math.pi / 180.0
-                     for n_, m in self._op_specs if n_ == "Rotate"),
-                    default=0.0,
-                )
+            max_rot = max(
+                ((m or 0) / _MAX_MAGNITUDE * 30.0 * math.pi / 180.0
+                 for n_, m in self._op_specs if n_ == "Rotate"),
+                default=0.0,
+            )
+            if use_kernel:
+                result = self._fused_stage(images, mats, op_idx, do, max_rot)
+            elif any_projective:
                 result = _policy_warp(images, mats, max_rotation_rad=max_rot)
             else:
                 result = images
@@ -360,7 +404,11 @@ class AutoAugment:
 
             lut_out = image_ops.apply_channel_luts(images, lut)
             result = jnp.where(is_lut_op[:, None, None, None], lut_out, result)
-            if bool(np.any([s[0] == "Color" for s in self._op_specs])):
+            if (not use_kernel
+                    and bool(np.any([s[0] == "Color"
+                                     for s in self._op_specs]))):
+                # kernel mode colors in-kernel; only the masked composition
+                # needs the shared full-batch Color pass
                 color_out = image_ops.color(images, color_factor)
                 result = jnp.where(
                     is_color_op[:, None, None, None], color_out, result
@@ -368,6 +416,40 @@ class AutoAugment:
 
             images = jnp.where(do[:, None, None, None], result, images)
         return images
+
+    def _fused_stage(self, images, mats, op_idx, do, max_rot):
+        """One stage's non-LUT ops through the per-image-dispatch kernel.
+
+        Op classes and Color factors are static per op spec, gathered by the
+        sampled op index (constant-table gathers are cheap on TPU); images
+        whose chance gate failed dispatch as PASSTHROUGH — the final
+        ``where(do, ...)`` would discard their result anyway, so skipping
+        the compute changes nothing. LUT-class images also pass through;
+        the batched LUT pass overwrites them."""
+        from chambers_tpu.ops import warp_pallas as wpk
+
+        d = max(images.shape[1], images.shape[2])
+        pad = int(np.ceil(np.tan(abs(max_rot) / 2.0) * (d - 1) / 2.0)) + 2
+
+        classes = np.full(len(self._op_specs), wpk.PASSTHROUGH, np.int32)
+        color_f = np.zeros(len(self._op_specs), np.float32)
+        for k_i, (name, magnitude) in enumerate(self._op_specs):
+            if name in self._PROJECTIVE_NAMES:
+                classes[k_i] = wpk.WARP
+            elif name == "Color":
+                classes[k_i] = wpk.COLOR
+                color_f[k_i] = _magnitude_to_enhance_kwargs(
+                    magnitude)["factor"]
+        op_class = jnp.where(do, jnp.asarray(classes)[op_idx],
+                             wpk.PASSTHROUGH)
+        b = images.shape[0]
+        zeros = jnp.zeros((b,), jnp.int32)
+        return wpk.fused_round_pallas(
+            images, mats, op_class, zeros, zeros,
+            fill_value=_FILL_VALUE, pad=pad,
+            color_factor=jnp.asarray(color_f)[op_idx], sharp_factor=0.0,
+            cut_half=0, cut_fill=0,
+        )
 
 
 class RandAugment:
@@ -413,14 +495,7 @@ class RandAugment:
         return self._choice(images, key=key)
 
     def _use_fused_round_kernel(self, images):
-        """The per-image-dispatch Pallas round kernel applies on TPU for
-        uint8 RGB batches; ``self.fused_round_kernel = True/False`` forces
-        it (tests run it in interpret mode on CPU)."""
-        forced = getattr(self, "fused_round_kernel", None)
-        if forced is not None:
-            return forced
-        return (jax.default_backend() == "tpu"
-                and images.dtype == jnp.uint8 and images.shape[-1] == 3)
+        return _fused_round_applicable(self, images)
 
     def _apply_elementwise_fused(self, images, key):
         from chambers_tpu.ops import image_ops

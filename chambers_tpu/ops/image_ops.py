@@ -32,6 +32,20 @@ _GRAY_WEIGHTS = np.array([0.299, 0.587, 0.114], np.float32)  # ITU-R 601
 # blending / tonal ops
 # ---------------------------------------------------------------------------
 
+def _pin_product(x):
+    """Identity that pins a float32 product's rounding.
+
+    Without it the backend may contract ``a * b`` into a following add as an
+    FMA, and whether it does depends on the fusion context — the same
+    expression then rounds differently between programs (observed on
+    XLA:CPU: 144 + 1.72*(69-144) is 15.0 as mul-then-add, 14.999998 fused,
+    which truncates to a different uint8). Contraction cannot cross a
+    ``minimum``, so every backend computes round(mul) then round(add) — the
+    reference's (TF/Eigen) arithmetic. The bound is an identity for any
+    finite f32 value below ~3.4e38."""
+    return jnp.minimum(x, jnp.float32(3.0e38))
+
+
 def blend(image1, image2, factor):
     """Blend two uint8 images: ``image1 + factor * (image2 - image1)``.
 
@@ -44,20 +58,32 @@ def blend(image1, image2, factor):
         factor = factor[:, None, None, None]
     img1 = image1.astype(jnp.float32)
     img2 = image2.astype(jnp.float32)
-    temp = img1 + factor * (img2 - img1)
+    temp = img1 + _pin_product(factor * (img2 - img1))
     # The interpolation range check is static only for scalar factors; a
     # single clip is semantically identical for in-range results.
     return jnp.clip(temp, 0.0, 255.0).astype(jnp.uint8)
 
 
 def to_grayscale(images):
-    """RGB -> single-channel grayscale with tf.image.rgb_to_grayscale's exact
+    """RGB -> single-channel grayscale with tf.image.rgb_to_grayscale's
     arithmetic: scale to [0, 1] float32, weighted sum, then TF's
     ``convert_image_dtype`` float->uint8 contract — multiply by 255.5 and
-    truncate (saturating)."""
+    truncate (saturating).
+
+    The weighted sum is written out left-associated with each product
+    pinned (:func:`_pin_product`) instead of a ``tensordot``: a reduction's
+    f32 rounding is backend- and context-dependent (XLA may FMA-contract or
+    reorder it), and on boundary pixels where ``gray * 255.5`` lands within
+    1 ulp of an integer that flips the truncated gray level. Pinning makes
+    the result identical across CPU/TPU/Pallas so the fused-kernel paths
+    (warp_pallas COLOR branch) can be bit-equal to this one. TF itself is
+    only matched to ±1 gray level on such pixels (tests tolerate <5%)."""
     inv = jnp.float32(1.0) / jnp.float32(255.0)
     unit = images.astype(jnp.float32) * inv
-    gray = jnp.tensordot(unit, jnp.asarray(_GRAY_WEIGHTS), axes=[[-1], [0]])
+    w = [jnp.float32(v) for v in np.asarray(_GRAY_WEIGHTS, np.float32)]
+    gray = (_pin_product(w[0] * unit[..., 0])
+            + _pin_product(w[1] * unit[..., 1])
+            ) + _pin_product(w[2] * unit[..., 2])
     return (gray * jnp.float32(255.5)).clip(0, 255).astype(jnp.uint8)[..., None]
 
 

@@ -173,15 +173,15 @@ def transform_affine_separable_pallas(images, transforms, fill_value, pad,
 # fused per-image-dispatch round kernel
 # ---------------------------------------------------------------------------
 
-def _fused_round_kernel(meta_ref, img_ref, n1_ref, n1m_ref, n2e_ref,
-                        n2me_ref, n3_ref, n3m_ref, o_ref, *, h, wp, c, pad,
-                        w, fill, color_factor, sharp_factor, cut_half,
-                        cut_fill):
+def _fused_round_kernel(meta_ref, factors_ref, img_ref, n1_ref, n1m_ref,
+                        n2e_ref, n2me_ref, n3_ref, n3m_ref, o_ref, *, h, wp,
+                        c, pad, w, fill, cut_half, cut_fill):
     """One augmentation round for one image: dispatch on the sampled op.
 
     ``meta_ref`` is scalar-prefetched ``[b, 3]`` int32: (op class, cutout
-    center y, cutout center x). Exactly one `pl.when` branch runs per
-    image; every branch writes the full output block.
+    center y, cutout center x); ``factors_ref`` is ``[b, 2]`` float32
+    per-image (Color, Sharpness) blend factors. Exactly one `pl.when`
+    branch runs per image; every branch writes the full output block.
     """
     i = pl.program_id(0)
     opc = meta_ref[i, 0]
@@ -212,17 +212,26 @@ def _fused_round_kernel(meta_ref, img_ref, n1_ref, n1m_ref, n2e_ref,
         inv = jnp.float32(1.0) / jnp.float32(255.0)
         # Mosaic has no direct u8->f32 cast; i32 is the supported route
         unit = img.astype(jnp.int32).astype(jnp.float32) * inv
-        g = (jnp.float32(_GRAY_W[0]) * unit
-             + jnp.float32(_GRAY_W[1]) * jnp.roll(unit, -1, axis=1)
-             + jnp.float32(_GRAY_W[2]) * jnp.roll(unit, -2, axis=1))
+        # products pinned + left-associated to mirror image_ops.to_grayscale
+        # bit-for-bit (see _pin_product there: FMA contraction of a product
+        # into the adds would flip boundary pixels' gray level)
+        big = jnp.float32(3.0e38)
+        g = (jnp.minimum(jnp.float32(_GRAY_W[0]) * unit, big)
+             + jnp.minimum(
+                 jnp.float32(_GRAY_W[1]) * jnp.roll(unit, -1, axis=1), big)
+             ) + jnp.minimum(
+                 jnp.float32(_GRAY_W[2]) * jnp.roll(unit, -2, axis=1), big)
         g = jnp.where(ch == 0, g, 0.0)  # valid at r-lanes only
         gray = g + jnp.roll(g, 1, axis=1) + jnp.roll(g, 2, axis=1)
         degen = jnp.floor(
             jnp.clip(gray * jnp.float32(255.5), 0.0, 255.0)
         )  # == uint8 truncation, kept in f32 for the blend
-        f = jnp.float32(color_factor)
+        f = factors_ref[i, 0]
         imgf = img.astype(jnp.int32).astype(jnp.float32)
-        temp = degen + f * (imgf - degen)
+        # minimum = identity that blocks FMA contraction of f*diff into the
+        # add — keeps mul-then-add rounding, matching image_ops.blend (which
+        # pins the same way; see the note there)
+        temp = degen + jnp.minimum(f * (imgf - degen), jnp.float32(3.0e38))
         # f32->u8 routes via i32; truncation toward zero == uint8 cast here
         o_ref[0] = (jnp.clip(temp, 0.0, 255.0)
                     .astype(jnp.int32).astype(jnp.uint8))
@@ -251,9 +260,10 @@ def _fused_round_kernel(meta_ref, img_ref, n1_ref, n1m_ref, n2e_ref,
         interior = ((yrow >= 1) & (yrow <= h - 2)
                     & (xpix >= 1) & (xpix <= w - 2))
         result = jnp.where(interior, degen, x32).astype(jnp.float32)  # i32->f32
-        f = jnp.float32(sharp_factor)
+        f = factors_ref[i, 1]
         imgf = img.astype(jnp.int32).astype(jnp.float32)
-        temp = result + f * (imgf - result)
+        # same contraction pin as the COLOR branch / image_ops.blend
+        temp = result + jnp.minimum(f * (imgf - result), jnp.float32(3.0e38))
         o_ref[0] = (jnp.clip(temp, 0.0, 255.0)
                     .astype(jnp.int32).astype(jnp.uint8))
 
@@ -282,7 +292,11 @@ def fused_round_pallas(images, transforms, op_class, cut_cy, cut_cx, *,
     :param cut_cy, cut_cx: ``[b]`` int32 cutout centers (ignored for other
         classes; derived by the caller from the op's PRNG key so the random
         stream matches the unfused path exactly).
-    :param color_factor, sharp_factor: static blend factors.
+    :param color_factor, sharp_factor: blend factors — a static scalar
+        (RandAugment: one magnitude) or a ``[b]`` per-image array
+        (AutoAugment: each sub-policy carries its own magnitude). The
+        arithmetic is identical either way (the factor rides scalar memory
+        and enters the same f32 blend).
     :param cut_half: static half side of the cutout square.
     :param cut_fill: static cutout fill value.
     """
@@ -296,31 +310,37 @@ def fused_round_pallas(images, transforms, op_class, cut_cy, cut_cx, *,
          jnp.asarray(cut_cy, jnp.int32),
          jnp.asarray(cut_cx, jnp.int32)], axis=1,
     )  # [b, 3]
+    factors = jnp.stack(
+        [jnp.broadcast_to(jnp.asarray(color_factor, jnp.float32), (b,)),
+         jnp.broadcast_to(jnp.asarray(sharp_factor, jnp.float32), (b,))],
+        axis=1,
+    )  # [b, 2]
     img = images.reshape(b, h, w * c)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    # index maps under scalar prefetch receive the prefetched array as a
-    # trailing argument
-    row_spec = pl.BlockSpec((1, h, 1), lambda i, meta: (i, 0, 0))
-    col_spec = pl.BlockSpec((1, 1, wp * c), lambda i, meta: (i, 0, 0))
+    # index maps under scalar prefetch receive the prefetched arrays as
+    # trailing arguments
+    row_spec = pl.BlockSpec((1, h, 1), lambda i, meta, factors: (i, 0, 0))
+    col_spec = pl.BlockSpec((1, 1, wp * c),
+                            lambda i, meta, factors: (i, 0, 0))
+    img_spec = pl.BlockSpec((1, h, w * c),
+                            lambda i, meta, factors: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, w * c), lambda i, meta: (i, 0, 0)),
+            img_spec,
             row_spec, row_spec, col_spec, col_spec, row_spec, row_spec,
         ],
-        out_specs=pl.BlockSpec((1, h, w * c), lambda i, meta: (i, 0, 0)),
+        out_specs=img_spec,
     )
     out = pl.pallas_call(
         partial(_fused_round_kernel, h=h, wp=wp, c=c, pad=pad, w=w,
-                fill=fill, color_factor=float(color_factor),
-                sharp_factor=float(sharp_factor), cut_half=int(cut_half),
-                cut_fill=int(cut_fill)),
+                fill=fill, cut_half=int(cut_half), cut_fill=int(cut_fill)),
         out_shape=jax.ShapeDtypeStruct((b, h, w * c), jnp.uint8),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(meta, img, n1, n1m, n2e, n2me, n3, n3m)
+    )(meta, factors, img, n1, n1m, n2e, n2me, n3, n3m)
     return out.reshape(b, h, w, c)

@@ -96,16 +96,22 @@ def test_fused_round_kernel_matches_masked_composition():
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.randint(0, 256, (16, 64, 64, 3), dtype=np.uint8))
 
-    for seed in range(4):
-        key = jax.random.PRNGKey(seed)
-        aug = RandAugment(n_transforms=2, magnitude=10, elementwise=True)
-        aug.fused_round_kernel = False
-        want = aug(imgs, key=key)
-        aug_k = RandAugment(n_transforms=2, magnitude=10, elementwise=True)
-        aug_k.fused_round_kernel = True  # interpret mode on CPU
-        got = aug_k(imgs, key=key)
-        diff = int(jnp.sum(want != got))
-        assert diff == 0, (seed, diff)
+    # magnitude 9 is adversarial for blend rounding: float32(1.72)·(−75)
+    # rounds to exactly −129.0 as a separate multiply but not as an FMA —
+    # the case the contraction pin in blend/the kernel exists for
+    for magnitude in (10, 9):
+        for seed in range(4):
+            key = jax.random.PRNGKey(seed)
+            aug = RandAugment(n_transforms=2, magnitude=magnitude,
+                              elementwise=True)
+            aug.fused_round_kernel = False
+            want = aug(imgs, key=key)
+            aug_k = RandAugment(n_transforms=2, magnitude=magnitude,
+                                elementwise=True)
+            aug_k.fused_round_kernel = True  # interpret mode on CPU
+            got = aug_k(imgs, key=key)
+            diff = int(jnp.sum(want != got))
+            assert diff == 0, (magnitude, seed, diff)
 
 
 def test_fused_round_kernel_zero_magnitude():
@@ -125,3 +131,41 @@ def test_fused_round_kernel_zero_magnitude():
     aug_k.fused_round_kernel = True
     got = aug_k(imgs, key=key)
     assert bool(jnp.all(want == got))
+
+
+def test_autoaugment_fused_stage_matches_masked_composition():
+    """AutoAugment's per-image stage through the dispatch kernel (warp /
+    per-image-factor Color / passthrough, chance gate folded into the
+    class) must be bit-identical to the masked compute-all composition.
+    Several seeds so policies covering every op family get drawn."""
+    import jax
+
+    from chambers_tpu.augmentations.augmentation_schemes import AutoAugment
+
+    rng = np.random.RandomState(2)
+    imgs = jnp.asarray(rng.randint(0, 256, (16, 64, 64, 3), dtype=np.uint8))
+
+    for seed in range(6):
+        key = jax.random.PRNGKey(seed)
+        aug = AutoAugment(elementwise=True)
+        aug.fused_round_kernel = False
+        want = aug(imgs, key=key)
+        aug_k = AutoAugment(elementwise=True)
+        aug_k.fused_round_kernel = True  # interpret mode on CPU
+        got = aug_k(imgs, key=key)
+        diff = int(jnp.sum(want != got))
+        assert diff == 0, (seed, diff)
+
+
+def test_fused_round_vmem_gate():
+    """The auto-dispatch gate must admit 224px (proven on-chip) and reject
+    384px, where Mosaic's stack accounting measured 17.01 MB against the
+    16 MB scoped-VMEM limit (config-3 would fail to compile)."""
+    from chambers_tpu.augmentations.augmentation_schemes import (
+        _fused_round_fits_vmem,
+    )
+
+    ok = jnp.zeros((2, 224, 224, 3), jnp.uint8)
+    too_big = jnp.zeros((2, 384, 384, 3), jnp.uint8)
+    assert _fused_round_fits_vmem(ok)
+    assert not _fused_round_fits_vmem(too_big)
