@@ -50,19 +50,21 @@ def _fused_round_fits_vmem(images) -> bool:
     """Whether ``fused_round_pallas``'s per-image working set fits the TPU's
     16 MB scoped-VMEM stack.
 
-    The kernel's peak is ~6 live fill-padded f32/i32 planes of the folded
-    image (pad sized for the worst-case 30-degree rotation, as in
-    ``_policy_warp``). Calibrated against Mosaic's own stack accounting:
-    at 224px (pad 32) the kernel compiles and runs; at 384px (pad 53) the
-    compiler reports a 17.01 MB stack against the 16 MB limit — the model
-    predicts 5.9 MB and 17.3 MB for those. Oversized images fall back to
-    the masked compute-all composition (bit-identical by construction).
-    """
+    The pointwise branches strip-mine their f32 temporaries over 128-row
+    chunks (warp_pallas._fused_round_kernel), so the scaling term is the
+    WARP branch: ~6 live uint8 planes of the fill-padded folded image
+    (pad sized for the worst-case 30-degree rotation, as in
+    ``_policy_warp``), plus the chunked f32 planes. Calibrated on-chip:
+    224px and 384px compile and run (the pre-chunking kernel measured a
+    17.01 MB stack at 384px in Mosaic's accounting). Oversized images fall
+    back to the masked compute-all composition (bit-identical by
+    construction)."""
     h, w, c = images.shape[1], images.shape[2], images.shape[3]
     d = max(h, w)
     theta = 30.0 * math.pi / 180.0
     pad = int(np.ceil(np.tan(theta / 2.0) * (d - 1) / 2.0)) + 2
-    est_bytes = 6 * (h + 2 * pad) * (w + 2 * pad) * c * 4
+    est_bytes = (6 * h * (w + 2 * pad) * c          # warp: u8 padded planes
+                 + 6 * min(h, 128) * w * c * 4)     # chunked f32 planes
     return est_bytes <= 14 * 1024 * 1024
 
 

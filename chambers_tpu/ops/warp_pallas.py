@@ -51,6 +51,13 @@ _GRAY_W = (0.299, 0.587, 0.114)
 # op-class ids for fused_round_pallas (kernel-internal contract)
 PASSTHROUGH, WARP, COLOR, SHARPNESS, CUTOUT = range(5)
 
+# fused_round_pallas pointwise branches: if a whole-image f32 plane set
+# (~6 live) stays under this budget the branch compiles as one chunk
+# (224px: 3.6 MB); above it, 128-row strips keep the scoped-VMEM stack
+# under the 16 MB limit (384px whole-image measured 17.01 MB). Tests
+# shrink the budget to force the multi-chunk path on small images.
+_POINTWISE_WHOLE_IMAGE_BUDGET = 8 * 1024 * 1024
+
 
 def _resolve_fill(fill_value, dtype):
     """Static fill via the same dtype conversion as the XLA path's
@@ -204,68 +211,98 @@ def _fused_round_kernel(meta_ref, factors_ref, img_ref, n1_ref, n1m_ref,
             n3_ref[0], n3m_ref[0], h=h, wp=wp, c=c, pad=pad, w=w, fill=fill,
         )
 
+    # The COLOR / SHARPNESS branches strip-mine over static row chunks:
+    # their temporaries are f32/i32 planes (4 bytes/px vs the warp's u8),
+    # and with ~6 of them live a whole-image formulation busts the 16 MB
+    # scoped-VMEM stack at 384px (Mosaic measured 17.01 MB). Both ops are
+    # row-local (sharpness needs a ±1-row halo, provided below), so
+    # chunking changes no pixel's arithmetic. Small images keep the
+    # single whole-image chunk (unchanged codegen — chunking 224px
+    # measured ~2% off on config 1); big ones take 128-row strips
+    # (each plane ≤ ~0.6 MB at 384px).
+    _CHUNK = (h if 6 * h * w * c * 4 <= _POINTWISE_WHOLE_IMAGE_BUDGET
+              else 128)
+
     @pl.when(opc == COLOR)
     def _():
         # image_ops.color == blend(to_grayscale(x) broadcast, x, factor),
         # arithmetic order mirrored exactly: unit-scale, ITU-R 601 weighted
         # sum, ×255.5 clip truncate, then blend's clip-truncate
-        inv = jnp.float32(1.0) / jnp.float32(255.0)
-        # Mosaic has no direct u8->f32 cast; i32 is the supported route
-        unit = img.astype(jnp.int32).astype(jnp.float32) * inv
-        # products pinned + left-associated to mirror image_ops.to_grayscale
-        # bit-for-bit (see _pin_product there: FMA contraction of a product
-        # into the adds would flip boundary pixels' gray level)
-        big = jnp.float32(3.0e38)
-        g = (jnp.minimum(jnp.float32(_GRAY_W[0]) * unit, big)
-             + jnp.minimum(
-                 jnp.float32(_GRAY_W[1]) * jnp.roll(unit, -1, axis=1), big)
-             ) + jnp.minimum(
-                 jnp.float32(_GRAY_W[2]) * jnp.roll(unit, -2, axis=1), big)
-        g = jnp.where(ch == 0, g, 0.0)  # valid at r-lanes only
-        gray = g + jnp.roll(g, 1, axis=1) + jnp.roll(g, 2, axis=1)
-        degen = jnp.floor(
-            jnp.clip(gray * jnp.float32(255.5), 0.0, 255.0)
-        )  # == uint8 truncation, kept in f32 for the blend
         f = factors_ref[i, 0]
-        imgf = img.astype(jnp.int32).astype(jnp.float32)
-        # minimum = identity that blocks FMA contraction of f*diff into the
-        # add — keeps mul-then-add rounding, matching image_ops.blend (which
-        # pins the same way; see the note there)
-        temp = degen + jnp.minimum(f * (imgf - degen), jnp.float32(3.0e38))
-        # f32->u8 routes via i32; truncation toward zero == uint8 cast here
-        o_ref[0] = (jnp.clip(temp, 0.0, 255.0)
-                    .astype(jnp.int32).astype(jnp.uint8))
+        for r0 in range(0, h, _CHUNK):
+            rows = min(_CHUNK, h - r0)
+            sub = img[r0:r0 + rows]
+            inv = jnp.float32(1.0) / jnp.float32(255.0)
+            # Mosaic has no direct u8->f32 cast; i32 is the supported route
+            unit = sub.astype(jnp.int32).astype(jnp.float32) * inv
+            # products pinned + left-associated to mirror
+            # image_ops.to_grayscale bit-for-bit (see _pin_product there:
+            # FMA contraction of a product into the adds would flip
+            # boundary pixels' gray level)
+            big = jnp.float32(3.0e38)
+            g = (jnp.minimum(jnp.float32(_GRAY_W[0]) * unit, big)
+                 + jnp.minimum(
+                     jnp.float32(_GRAY_W[1]) * jnp.roll(unit, -1, axis=1),
+                     big)
+                 ) + jnp.minimum(
+                     jnp.float32(_GRAY_W[2]) * jnp.roll(unit, -2, axis=1),
+                     big)
+            g = jnp.where(ch == 0, g, 0.0)  # valid at r-lanes only
+            gray = g + jnp.roll(g, 1, axis=1) + jnp.roll(g, 2, axis=1)
+            degen = jnp.floor(
+                jnp.clip(gray * jnp.float32(255.5), 0.0, 255.0)
+            )  # == uint8 truncation, kept in f32 for the blend
+            imgf = sub.astype(jnp.int32).astype(jnp.float32)
+            # minimum = identity that blocks FMA contraction of f*diff into
+            # the add — keeps mul-then-add rounding, matching
+            # image_ops.blend (which pins the same way; see the note there)
+            temp = degen + jnp.minimum(f * (imgf - degen),
+                                       jnp.float32(3.0e38))
+            # f32->u8 routes via i32; truncation toward zero == uint8 cast
+            o_ref[0, r0:r0 + rows] = (jnp.clip(temp, 0.0, 255.0)
+                                      .astype(jnp.int32).astype(jnp.uint8))
 
     @pl.when(opc == SHARPNESS)
     def _():
         # image_ops.sharpness: 9-term int32 neighborhood sum on the
         # interior, exact round-half-to-even ÷13, blend toward original.
         # x-neighbors are ±c lane-rolls, y-neighbors ±1 sublane-rolls.
-        x32 = img.astype(jnp.int32)
-
-        def nb(dy, dx):
-            out = x32
-            if dy:
-                out = jnp.roll(out, -dy, axis=0)
-            if dx:
-                out = jnp.roll(out, -dx * c, axis=1)
-            return out
-
-        s = (nb(-1, -1) + nb(-1, 0) + nb(-1, 1)
-             + nb(0, -1) + 5 * x32 + nb(0, 1)
-             + nb(1, -1) + nb(1, 0) + nb(1, 1))
-        n = s // 13
-        r = s - 13 * n
-        degen = n + (2 * r > 13).astype(jnp.int32)
-        interior = ((yrow >= 1) & (yrow <= h - 2)
-                    & (xpix >= 1) & (xpix <= w - 2))
-        result = jnp.where(interior, degen, x32).astype(jnp.float32)  # i32->f32
         f = factors_ref[i, 1]
-        imgf = img.astype(jnp.int32).astype(jnp.float32)
-        # same contraction pin as the COLOR branch / image_ops.blend
-        temp = result + jnp.minimum(f * (imgf - result), jnp.float32(3.0e38))
-        o_ref[0] = (jnp.clip(temp, 0.0, 255.0)
+        for r0 in range(0, h, _CHUNK):
+            rows = min(_CHUNK, h - r0)
+            # ±1-row halo: written rows' y-neighbors are real image rows
+            # (the roll's wrap only ever lands on a halo row, never on a
+            # written one); global borders stay original via `interior`.
+            lo = max(r0 - 1, 0)
+            hi = min(r0 + rows + 1, h)
+            sub = img[lo:hi]
+            x32 = sub.astype(jnp.int32)
+
+            def nb(dy, dx, x32=x32):
+                out = x32
+                if dy:
+                    out = jnp.roll(out, -dy, axis=0)
+                if dx:
+                    out = jnp.roll(out, -dx * c, axis=1)
+                return out
+
+            s = (nb(-1, -1) + nb(-1, 0) + nb(-1, 1)
+                 + nb(0, -1) + 5 * x32 + nb(0, 1)
+                 + nb(1, -1) + nb(1, 0) + nb(1, 1))
+            n = s // 13
+            r = s - 13 * n
+            degen = n + (2 * r > 13).astype(jnp.int32)
+            ysub = lo + jax.lax.broadcasted_iota(jnp.int32, (hi - lo, 1), 0)
+            interior = ((ysub >= 1) & (ysub <= h - 2)
+                        & (xpix >= 1) & (xpix <= w - 2))
+            result = jnp.where(interior, degen, x32).astype(jnp.float32)
+            imgf = sub.astype(jnp.int32).astype(jnp.float32)
+            # same contraction pin as the COLOR branch / image_ops.blend
+            temp = result + jnp.minimum(f * (imgf - result),
+                                        jnp.float32(3.0e38))
+            out8 = (jnp.clip(temp, 0.0, 255.0)
                     .astype(jnp.int32).astype(jnp.uint8))
+            o_ref[0, r0:r0 + rows] = out8[r0 - lo:r0 - lo + rows]
 
     @pl.when(opc == CUTOUT)
     def _():

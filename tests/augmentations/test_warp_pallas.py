@@ -158,14 +158,49 @@ def test_autoaugment_fused_stage_matches_masked_composition():
 
 
 def test_fused_round_vmem_gate():
-    """The auto-dispatch gate must admit 224px (proven on-chip) and reject
-    384px, where Mosaic's stack accounting measured 17.01 MB against the
-    16 MB scoped-VMEM limit (config-3 would fail to compile)."""
+    """The auto-dispatch gate must admit 224px and 384px (both proven to
+    compile and run on-chip with the row-chunked pointwise branches) and
+    reject sizes whose WARP-branch u8 working set alone approaches the
+    16 MB scoped-VMEM stack."""
     from chambers_tpu.augmentations.augmentation_schemes import (
         _fused_round_fits_vmem,
     )
 
-    ok = jnp.zeros((2, 224, 224, 3), jnp.uint8)
-    too_big = jnp.zeros((2, 384, 384, 3), jnp.uint8)
-    assert _fused_round_fits_vmem(ok)
-    assert not _fused_round_fits_vmem(too_big)
+    assert _fused_round_fits_vmem(jnp.zeros((2, 224, 224, 3), jnp.uint8))
+    assert _fused_round_fits_vmem(jnp.zeros((2, 384, 384, 3), jnp.uint8))
+    assert not _fused_round_fits_vmem(jnp.zeros((2, 768, 768, 3), jnp.uint8))
+
+
+def test_fused_round_kernel_row_chunked_branches():
+    """COLOR and SHARPNESS strip-mine f32 temporaries over 128-row chunks
+    (the whole-image formulation busts scoped VMEM at 384px); at h > 128
+    the multi-chunk path — including sharpness's ±1-row halo across the
+    chunk seam — must stay bit-identical to the image_ops reference ops."""
+    import jax
+
+    from chambers_tpu.ops import warp_pallas as wpk
+
+    rng = np.random.RandomState(7)
+    b, h, w = 5, 160, 96  # two chunks: rows [0,128) and [128,160)
+    imgs = jnp.asarray(rng.randint(0, 256, (b, h, w, 3), dtype=np.uint8))
+    ident = jnp.broadcast_to(jnp.asarray(image_ops.identity_matrices(1))[0],
+                             (b, 8))
+    zeros = jnp.zeros((b,), jnp.int32)
+
+    # force the strip-mined path (small images normally compile whole-image)
+    budget = wpk._POINTWISE_WHOLE_IMAGE_BUDGET
+    wpk._POINTWISE_WHOLE_IMAGE_BUDGET = 0
+    try:
+        for cls, want_fn in (
+            (wpk.COLOR, lambda x: image_ops.color(x, 1.72)),
+            (wpk.SHARPNESS, lambda x: image_ops.sharpness(x, 1.72)),
+        ):
+            got = wpk.fused_round_pallas(
+                imgs, ident, jnp.full((b,), cls, jnp.int32), zeros, zeros,
+                fill_value=128, pad=4, color_factor=1.72, sharp_factor=1.72,
+                cut_half=0, cut_fill=0, interpret=True,
+            )
+            want = want_fn(imgs)
+            assert int(jnp.sum(want != got)) == 0, cls
+    finally:
+        wpk._POINTWISE_WHOLE_IMAGE_BUDGET = budget
