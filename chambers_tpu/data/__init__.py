@@ -13,6 +13,7 @@ from chambers_tpu.data.io import (
     read_and_decode_image,
     read_and_decode_images,
     url_to_img,
+    validate_dir_path,
 )
 from chambers_tpu.data.records import dataset_to_records, records_to_dataset
 from chambers_tpu.data.persist import load_dataset, save_dataset

@@ -40,12 +40,20 @@ import numpy as np
 AUTOTUNE = -1
 
 
+# tf.data cardinality sentinels (reference utils/data.py:6-11 branches on
+# them via tf.data.INFINITE_CARDINALITY / UNKNOWN_CARDINALITY)
+INFINITE_CARDINALITY = -1
+UNKNOWN_CARDINALITY = -2
+
+
 class Dataset:
     """A re-iterable pipeline of NumPy-element tuples."""
 
-    def __init__(self, gen_fn: Callable[[], Iterator], element_spec=None):
+    def __init__(self, gen_fn: Callable[[], Iterator], element_spec=None,
+                 cardinality: int = UNKNOWN_CARDINALITY):
         self._gen_fn = gen_fn
         self.element_spec = element_spec
+        self._cardinality = cardinality
 
     # -- constructors -------------------------------------------------------
     @staticmethod
@@ -64,11 +72,12 @@ class Dataset:
 
         else:
             array = np.asarray(tensors)
+            n = len(array)
 
             def gen():
                 yield from array
 
-        return Dataset(gen)
+        return Dataset(gen, cardinality=n)
 
     @staticmethod
     def from_generator(gen_fn: Callable[[], Iterator]) -> "Dataset":
@@ -76,7 +85,8 @@ class Dataset:
 
     @staticmethod
     def range(*args) -> "Dataset":
-        return Dataset(lambda: iter(np.arange(*args)))
+        return Dataset(lambda: iter(np.arange(*args)),
+                       cardinality=len(np.arange(*args)))
 
     # -- combinators --------------------------------------------------------
     def map(self, fn: Callable, num_parallel_calls: Optional[int] = None) -> "Dataset":
@@ -115,7 +125,7 @@ class Dataset:
                     for f in futures:
                         f.cancel()
 
-        return Dataset(gen)
+        return Dataset(gen, cardinality=self._cardinality)
 
     def batch(self, batch_size: int, drop_remainder: bool = False) -> "Dataset":
         def gen():
@@ -128,7 +138,13 @@ class Dataset:
             if buf and not drop_remainder:
                 yield _stack(buf)
 
-        return Dataset(gen)
+        n = self._cardinality
+        if n >= 0:
+            card = (n // batch_size if drop_remainder
+                    else -(-n // batch_size))
+        else:
+            card = n  # infinite stays infinite, unknown unknown
+        return Dataset(gen, cardinality=card)
 
     def unbatch(self) -> "Dataset":
         def gen():
@@ -140,7 +156,10 @@ class Dataset:
                 else:
                     yield from np.asarray(el)
 
-        return Dataset(gen)
+        card = (INFINITE_CARDINALITY
+                if self._cardinality == INFINITE_CARDINALITY
+                else UNKNOWN_CARDINALITY)
+        return Dataset(gen, cardinality=card)
 
     def shuffle(self, buffer_size: int, seed: Optional[int] = None,
                 reshuffle_each_iteration: bool = True) -> "Dataset":
@@ -167,7 +186,7 @@ class Dataset:
                 buf[idx], buf[-1] = buf[-1], buf[idx]
                 yield buf.pop()
 
-        return Dataset(gen)
+        return Dataset(gen, cardinality=self._cardinality)
 
     def repeat(self, count: Optional[int] = None) -> "Dataset":
         def gen():
@@ -178,13 +197,26 @@ class Dataset:
                 for _ in range(count):
                     yield from self._iter_elements()
 
-        return Dataset(gen)
+        n = self._cardinality
+        if count is None or count == -1:
+            card = (0 if n == 0
+                    else INFINITE_CARDINALITY if n > 0
+                    else n)  # empty stays empty; unknown could be empty
+        elif n >= 0:
+            card = n * count
+        else:
+            card = n
+        return Dataset(gen, cardinality=card)
 
     def take(self, count: int) -> "Dataset":
         def gen():
             yield from itertools.islice(self._iter_elements(), count)
 
-        return Dataset(gen)
+        n = self._cardinality
+        card = (min(n, count) if n >= 0
+                else count if n == INFINITE_CARDINALITY
+                else n)
+        return Dataset(gen, cardinality=card)
 
     def skip(self, count: int) -> "Dataset":
         def gen():
@@ -192,14 +224,23 @@ class Dataset:
             next(itertools.islice(it, count, count), None)
             yield from it
 
-        return Dataset(gen)
+        n = self._cardinality
+        card = max(n - count, 0) if n >= 0 else n
+        return Dataset(gen, cardinality=card)
 
     def concatenate(self, other: "Dataset") -> "Dataset":
         def gen():
             yield from self._iter_elements()
             yield from other._iter_elements()
 
-        return Dataset(gen)
+        a, b = self._cardinality, other._cardinality
+        if INFINITE_CARDINALITY in (a, b):
+            card = INFINITE_CARDINALITY
+        elif a >= 0 and b >= 0:
+            card = a + b
+        else:
+            card = UNKNOWN_CARDINALITY
+        return Dataset(gen, cardinality=card)
 
     def shard(self, num_shards: int, index: int) -> "Dataset":
         """Every ``num_shards``-th element starting at ``index`` (tf.data
@@ -217,7 +258,9 @@ class Dataset:
             yield from itertools.islice(
                 self._iter_elements(), index, None, num_shards)
 
-        return Dataset(gen)
+        n = self._cardinality
+        card = (len(range(index, n, num_shards)) if n >= 0 else n)
+        return Dataset(gen, cardinality=card)
 
     def flat_map(self, fn: Callable[..., "Dataset"]) -> "Dataset":
         def gen():
@@ -323,7 +366,7 @@ class Dataset:
             finally:
                 stop.set()
 
-        return Dataset(gen)
+        return Dataset(gen, cardinality=self._cardinality)
 
     def filter(self, predicate: Callable) -> "Dataset":
         def gen():
@@ -352,7 +395,7 @@ class Dataset:
                 storage.extend(local)
                 done.set()
 
-        return Dataset(gen)
+        return Dataset(gen, cardinality=self._cardinality)
 
     # -- consumption --------------------------------------------------------
     def _iter_elements(self) -> Iterator:
@@ -365,8 +408,13 @@ class Dataset:
         return self._iter_elements()
 
     def cardinality(self) -> int:
-        """-2 (unknown); provided for API familiarity."""
-        return -2
+        """Element count when statically known, else the tf.data sentinels
+        ``INFINITE_CARDINALITY`` (−1) / ``UNKNOWN_CARDINALITY`` (−2).
+        Known for sized sources (``from_tensor_slices``/``range``) through
+        count-preserving or count-transforming combinators; ``filter`` /
+        ``flat_map`` / ``interleave`` / ``from_generator`` are unknown,
+        as in tf.data."""
+        return self._cardinality
 
 
 def _apply(fn, el):

@@ -21,6 +21,14 @@ VALID_IMAGE_EXTENTIONS = [
 VALID_IMAGE_EXTENSIONS = VALID_IMAGE_EXTENTIONS
 
 
+def validate_dir_path(dir_path):
+    """Ensure ``dir_path`` ends with ``/`` (io.py:21-25; plain strings
+    here, where the reference used tf.strings)."""
+    if not dir_path.endswith("/"):
+        dir_path = dir_path + "/"
+    return dir_path
+
+
 def match_nested_set(path):
     """Glob the class subdirectories of ``path`` (io.py:28-29)."""
     return glob.glob(os.path.join(path, "*/"))

@@ -11,8 +11,10 @@ from chambers_tpu.layers.embedding import (
     LearnedEmbedding1D,
     PositionalEncoding1D,
     PositionalEncoding2D,
+    angle_rates,
     positional_encoding_1d,
     positional_encoding_2d,
+    sequence_sin_cos_angles,
 )
 from chambers_tpu.layers.normalization import L2Normalization, l2_normalize
 from chambers_tpu.layers.distance import (

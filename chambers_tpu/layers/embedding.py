@@ -25,6 +25,32 @@ import numpy as np
 from flax import linen as nn
 
 
+def angle_rates(embedding_range, embedding_dim, temperature: float = 10000.0):
+    """Per-channel sinusoid rates ``temperature^(-2*(j//2)/dim)``.
+
+    Public parity helper (reference chambers/layers/embedding.py:5-11,
+    same signature): ``embedding_range`` is the channel-index vector,
+    returned with a leading broadcast axis ``[1, len(range)]``. Traceable
+    (jnp), unlike the module's static-precompute internals."""
+    r = jnp.asarray(embedding_range, jnp.float32)[None, :]
+    exponent = (2.0 * jnp.floor(r / 2.0)) / jnp.float32(embedding_dim)
+    return 1.0 / jnp.power(jnp.float32(temperature), exponent)
+
+
+def sequence_sin_cos_angles(seq, embedding_dim, temperature: float = 10000.0):
+    """Interleaved sin/cos encoding of a position column ``seq``.
+
+    Public parity helper (reference embedding.py:14-31, same signature
+    and output shape ``[1, seq_len, dim]``): ``seq`` is ``[seq_len, 1]``
+    positions; sin rides even channels, cos odd ones."""
+    rng = jnp.arange(embedding_dim, dtype=jnp.float32)
+    rads = jnp.asarray(seq, jnp.float32) * angle_rates(
+        rng, embedding_dim, temperature)
+    sine_cos = jnp.stack(
+        [jnp.sin(rads[..., 0::2]), jnp.cos(rads[..., 1::2])], axis=-1)
+    return sine_cos.reshape(1, rads.shape[0], -1)
+
+
 def _angle_rates(dim: int, temperature: float) -> np.ndarray:
     j = np.arange(dim, dtype=np.float64)
     exponent = (2.0 * (j // 2)) / float(dim)

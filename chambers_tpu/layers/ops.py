@@ -23,15 +23,26 @@ class Matmul:
         return a @ b
 
 
-class _Reduce:
-    _fn = None
+class ReduceFunctionWrapper:
+    """Wrap any ``fn(x, axis=, keepdims=)`` reduction as a layer-style
+    callable — the extension point the reference exposes
+    (chambers/layers/ops.py:54-76); ``Sum``/``Max``/... below are its
+    preconfigured instances."""
 
-    def __init__(self, axis=None, keepdims=False):
+    def __init__(self, reduce_fn, axis=None, keepdims=False):
+        self.reduce_fn = reduce_fn
         self.axis = axis
         self.keepdims = keepdims
 
     def __call__(self, inputs):
-        return type(self)._fn(inputs, axis=self.axis, keepdims=self.keepdims)
+        return self.reduce_fn(inputs, axis=self.axis, keepdims=self.keepdims)
+
+
+class _Reduce(ReduceFunctionWrapper):
+    _fn = None
+
+    def __init__(self, axis=None, keepdims=False):
+        super().__init__(type(self)._fn, axis=axis, keepdims=keepdims)
 
 
 class Sum(_Reduce):
@@ -50,16 +61,25 @@ class Min(_Reduce):
     _fn = staticmethod(jnp.min)
 
 
-class _ArgReduce:
-    _fn = None
+class ArgReduceFunctionWrapper:
+    """Wrap any ``fn(x, axis=)`` arg-reduction, cast to ``output_type`` —
+    the reference's extension point (chambers/layers/ops.py:79-101);
+    ``Argmax``/``Argmin`` are its preconfigured instances."""
 
-    def __init__(self, axis=None, output_type=jnp.int32):
+    def __init__(self, reduce_fn, axis=None, output_type=jnp.int32):
+        self.reduce_fn = reduce_fn
         self.axis = axis
         self.output_type = output_type
 
     def __call__(self, inputs):
-        out = type(self)._fn(inputs, axis=self.axis)
-        return out.astype(self.output_type)
+        return self.reduce_fn(inputs, axis=self.axis).astype(self.output_type)
+
+
+class _ArgReduce(ArgReduceFunctionWrapper):
+    _fn = None
+
+    def __init__(self, axis=None, output_type=jnp.int32):
+        super().__init__(type(self)._fn, axis=axis, output_type=output_type)
 
 
 class Argmax(_ArgReduce):

@@ -19,6 +19,13 @@ import numpy as np
 from chambers_tpu.data.core import Dataset
 
 
+def valid_cardinality(dataset) -> bool:
+    """True iff the dataset reports a finite, known cardinality
+    (utils/data.py:6-11; this build's ``Dataset.cardinality`` uses the
+    same negative sentinels as tf.data: −1 infinite, −2 unknown)."""
+    return dataset.cardinality() >= 0
+
+
 def pair_iteration_dataset(q, c, bq, bc, yq=None, yc=None) -> Dataset:
     """Cartesian batch iteration (utils/data.py:30-61): every query batch is
     paired with every candidate batch, candidate-major within a query batch."""

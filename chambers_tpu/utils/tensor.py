@@ -29,6 +29,19 @@ def remove_diagonal(mat):
     return mat[jnp.asarray(rows), jnp.asarray(cols)].reshape(n, m - 1)
 
 
+def arg_to_gather_nd(arg):
+    """Turn per-row indices ``[n, k]`` into flat ``[n*k, 2]`` (row, col)
+    coordinate pairs — the reference's helper for feeding argsort output to
+    ``gather_nd`` (utils/tensor.py:28-34). On jnp prefer
+    :func:`take_along_rows`, which gathers directly; this exists for users
+    porting code that builds explicit coordinate lists."""
+    arg = jnp.asarray(arg)
+    n = arg.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=arg.dtype)[:, None],
+                            arg.shape)
+    return jnp.stack([rows, arg], axis=-1).reshape(-1, 2)
+
+
 def take_along_rows(mat, indices):
     """Gather ``mat[i, indices[i, j]]`` — the dense equivalent of the
     reference's ``arg_to_gather_nd`` + ``gather_nd`` pattern

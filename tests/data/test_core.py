@@ -172,3 +172,39 @@ def test_device_prefetch_order_and_placement():
 
     with pytest.raises(ValueError):
         list(device_prefetch(batches, size=0))
+
+
+def test_cardinality_propagation():
+    """tf.data cardinality semantics (reference utils/data.py:6-11 relies
+    on the -1 infinite / -2 unknown sentinels): known for sized sources
+    through count-preserving/transforming combinators, unknown where the
+    element count is data-dependent."""
+    from chambers_tpu.data.core import (
+        INFINITE_CARDINALITY,
+        UNKNOWN_CARDINALITY,
+    )
+    from chambers_tpu.utils.data import valid_cardinality
+
+    d = Dataset.from_tensor_slices(np.arange(10))
+    assert d.cardinality() == 10
+    assert d.batch(3).cardinality() == 4
+    assert d.batch(3, drop_remainder=True).cardinality() == 3
+    assert d.repeat().cardinality() == INFINITE_CARDINALITY
+    assert d.repeat(3).cardinality() == 30
+    assert d.take(4).cardinality() == 4
+    assert d.take(99).cardinality() == 10
+    assert d.skip(4).cardinality() == 6
+    assert d.shard(3, 1).cardinality() == 3
+    assert d.concatenate(d).cardinality() == 20
+    assert d.map(lambda x: x).cardinality() == 10
+    assert d.shuffle(4, seed=0).cardinality() == 10
+    assert d.repeat().take(7).cardinality() == 7
+    assert d.filter(lambda x: True).cardinality() == UNKNOWN_CARDINALITY
+    assert Dataset.from_generator(lambda: iter([1])).cardinality() \
+        == UNKNOWN_CARDINALITY
+    # reported counts match what actually streams
+    for ds in (d.batch(3), d.shard(3, 1), d.skip(4), d.repeat(3)):
+        assert sum(1 for _ in ds) == ds.cardinality()
+    assert valid_cardinality(d)
+    assert not valid_cardinality(d.repeat())
+    assert not valid_cardinality(d.filter(lambda x: True))

@@ -87,3 +87,51 @@ def test_model_memory_usage():
     assert gb_params_only > 0  # 2048x2048 fp32 ≈ 0.016 GB
     gb_with_acts = get_model_memory_usage(8, model, input_shape=(2048,))
     assert gb_with_acts >= gb_params_only
+
+
+def test_reference_helper_parity():
+    """Public helpers the reference exports (caught by the round-3 symbol
+    sweep): validate_dir_path (io.py:21-25), arg_to_gather_nd
+    (utils/tensor.py:28-34), the Reduce/ArgReduce wrapper extension points
+    (layers/ops.py:54-101), and the sincos helpers (embedding.py:5-31)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chambers_tpu.data import validate_dir_path
+    from chambers_tpu.layers import angle_rates, sequence_sin_cos_angles
+    from chambers_tpu.layers.embedding import positional_encoding_1d
+    from chambers_tpu.layers.ops import (
+        ArgReduceFunctionWrapper,
+        ReduceFunctionWrapper,
+        Sum,
+    )
+    from chambers_tpu.utils.tensor import arg_to_gather_nd, take_along_rows
+
+    assert validate_dir_path("a/b") == "a/b/"
+    assert validate_dir_path("a/b/") == "a/b/"
+
+    # sincos helpers reproduce the precomputed 1D encoding
+    seq = jnp.arange(7, dtype=jnp.float32)[:, None]
+    enc = sequence_sin_cos_angles(seq, 16)
+    np.testing.assert_allclose(enc, positional_encoding_1d(7, 16),
+                               atol=1e-6)
+    rates = angle_rates(jnp.arange(16), 16)
+    assert rates.shape == (1, 16) and float(rates[0, 0]) == 1.0
+
+    # wrapper extension points equal their preconfigured instances
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 5).astype(np.float32))
+    np.testing.assert_array_equal(
+        ReduceFunctionWrapper(jnp.sum, axis=1)(x), Sum(axis=1)(x))
+    med = ReduceFunctionWrapper(
+        lambda v, axis, keepdims: jnp.median(v, axis=axis,
+                                             keepdims=keepdims), axis=0)(x)
+    np.testing.assert_array_equal(med, jnp.median(x, axis=0))
+    am = ArgReduceFunctionWrapper(jnp.argmax, axis=1)(x)
+    np.testing.assert_array_equal(am, jnp.argmax(x, axis=1))
+
+    # arg_to_gather_nd coordinates gather the same values as the dense path
+    idx = jnp.asarray([[2, 0], [1, 1], [0, 2], [4, 3]])
+    coords = arg_to_gather_nd(idx)
+    assert coords.shape == (8, 2)
+    gathered = x[coords[:, 0], coords[:, 1]].reshape(4, 2)
+    np.testing.assert_array_equal(gathered, take_along_rows(x, idx))
