@@ -16,5 +16,11 @@ from chambers_tpu.data.io import (
     validate_dir_path,
 )
 from chambers_tpu.data.records import dataset_to_records, records_to_dataset
+from chambers_tpu.data.tfrecord import (
+    dataset_to_tfrecord,
+    make_dataset_deserialize_fn,
+    serialize_to_example,
+    tfrecord_to_dataset,
+)
 from chambers_tpu.data.persist import load_dataset, save_dataset
 from chambers_tpu.data.loader import device_prefetch
