@@ -52,7 +52,7 @@ def _timed(run_scan, args, batch):
 
 
 def _augment_infer_bench(batch, *, model_builder, size, augment, label,
-                         default_batch):
+                         default_batch, quantize=False):
     """Shared harness: fused on-device augmentation -> bf16 ViT inference."""
     import jax
     import jax.numpy as jnp
@@ -66,7 +66,7 @@ def _augment_infer_bench(batch, *, model_builder, size, augment, label,
     # and the pretrained-weight parity gate uses that default.
     model = model_builder(weights=None, input_shape=(size, size, 3),
                           dtype=jnp.bfloat16, score_dtype=jnp.bfloat16)
-    if QUANT:
+    if QUANT or quantize:
         from chambers_tpu.quantization import quantize_variables
 
         model.variables = jax.jit(quantize_variables)(model.variables)
@@ -99,7 +99,7 @@ def _augment_infer_bench(batch, *, model_builder, size, augment, label,
     return f"{label}, batch {batch})", img_s, per_batch
 
 
-def _bench_randaugment_vitb16(batch):
+def _bench_randaugment_vitb16(batch, quantize=False):
     """BASELINE configs 1+2: per-image RandAugment(2,10) -> ViT-B/16 @224."""
     from chambers_tpu.augmentations import RandAugment
     from chambers_tpu.models.backbones import ViTB16
@@ -108,8 +108,17 @@ def _bench_randaugment_vitb16(batch):
         batch, model_builder=ViTB16, size=224,
         augment=RandAugment(n_transforms=2, magnitude=10, elementwise=True),
         label="images/sec/chip (per-image RandAugment(2,10)+ViT-B/16 bf16 "
-              "infer, 224px", default_batch=32,
+              "infer, 224px", default_batch=32, quantize=quantize,
     )
+
+
+def _bench_randaugment_vitb16_int8(batch):
+    """Config 1 served through int8 dynamic PTQ (chambers_tpu.quantization):
+    every Dense/MHA projection runs weights+activations int8 on the MXU's
+    2x int8 rate; augmentation, normalize, softmax/LN/GELU stay bf16.
+    Accuracy envelope: <=3% relative error per quantized block
+    (tests/test_quantization.py) — the serving knob a user opts into."""
+    return _bench_randaugment_vitb16(batch, quantize=True)
 
 
 def _bench_autoaugment_vitl16_384(batch):
@@ -273,6 +282,7 @@ def _bench_detr(batch):
 
 CONFIGS = {
     "randaugment_vitb16_224": _bench_randaugment_vitb16,
+    "randaugment_vitb16_224_int8": _bench_randaugment_vitb16_int8,
     "autoaugment_vitl16_384": _bench_autoaugment_vitl16_384,
     "metric_learning": _bench_metric_learning,
     "detr": _bench_detr,
@@ -286,12 +296,14 @@ def main():
         "metric": metric,
         "value": round(img_s, 1),
         "unit": "img/s",
-        # only the primary config has a measured reference pipeline (the
-        # TF-CPU fused run, BASELINE.md); other configs report null rather
-        # than a fabricated cross-config ratio
+        # only the primary pipeline has a measured reference baseline (the
+        # TF-CPU fused run, BASELINE.md); the int8 config is that same
+        # pipeline served through PTQ, so the same baseline applies. Other
+        # configs report null rather than a fabricated cross-config ratio.
         "vs_baseline": (
             round(img_s / REFERENCE_IMG_S, 2)
-            if CONFIG == "randaugment_vitb16_224" else None
+            if CONFIG in ("randaugment_vitb16_224",
+                          "randaugment_vitb16_224_int8") else None
         ),
         "p50_batch_latency_ms": round(per_batch * 1000, 2),
     }

@@ -89,9 +89,12 @@ int cj_jpeg_dims(const char* path, int* height, int* width) {
 }
 
 // out must hold height*width*3 bytes (RGB8, HWC). -3 = dims changed between
-// the probe and the decode (file mutated underneath us).
+// the probe and the decode (file mutated underneath us). fast_dct selects
+// libjpeg's JDCT_IFAST (what tf.io.decode_jpeg defaults to — the reference
+// pipeline's actual substrate) over the default JDCT_ISLOW (byte-identical
+// to the PIL path).
 int cj_decode_into(const char* path, unsigned char* out,
-                   int expected_h, int expected_w) {
+                   int expected_h, int expected_w, int fast_dct) {
     FileBytes bytes = read_file(path);
     if (!bytes.ok) return -1;
 
@@ -109,6 +112,7 @@ int cj_decode_into(const char* path, unsigned char* out,
                  static_cast<unsigned long>(bytes.data.size()));
     jpeg_read_header(&cinfo, TRUE);
     cinfo.out_color_space = JCS_RGB;
+    if (fast_dct) cinfo.dct_method = JDCT_IFAST;
     jpeg_start_decompress(&cinfo);
     if (static_cast<int>(cinfo.output_height) != expected_h ||
         static_cast<int>(cinfo.output_width) != expected_w ||
@@ -136,6 +140,7 @@ struct BatchJob {
     const int* ws;
     int* results;
     int n;
+    int fast_dct;
     std::atomic<int> next{0};
 };
 
@@ -146,7 +151,7 @@ void* batch_worker(void* arg) {
         if (i >= job->n) break;
         job->results[i] =
             cj_decode_into(job->paths[i], job->outs[i], job->hs[i],
-                           job->ws[i]);
+                           job->ws[i], job->fast_dct);
     }
     return nullptr;
 }
@@ -156,7 +161,8 @@ void* batch_worker(void* arg) {
 // Decode n files with a pool of n_threads workers (work-stealing counter).
 // results[i] gets the per-file status; returns the number of failures.
 int cj_decode_batch(const char** paths, unsigned char** outs, const int* hs,
-                    const int* ws, int* results, int n, int n_threads) {
+                    const int* ws, int* results, int n, int n_threads,
+                    int fast_dct) {
     BatchJob job;
     job.paths = paths;
     job.outs = outs;
@@ -164,6 +170,7 @@ int cj_decode_batch(const char** paths, unsigned char** outs, const int* hs,
     job.ws = ws;
     job.results = results;
     job.n = n;
+    job.fast_dct = fast_dct;
 
     if (n_threads < 1) n_threads = 1;
     if (n_threads > n) n_threads = n;

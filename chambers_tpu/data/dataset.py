@@ -16,6 +16,7 @@ test_units/data/test_dataset.py):
   dirs, dirs without are triplet dirs (dataset.py:196-233).
 """
 
+import itertools
 import math
 from functools import partial
 from typing import Optional
@@ -27,6 +28,8 @@ from chambers_tpu.data.io import (
     match_img_files,
     match_img_files_triplet,
     read_and_decode_image,
+    read_and_decode_image_batch,
+    read_and_decode_images,
 )
 
 __CONFIG = {"N_PARALLEL": AUTOTUNE}
@@ -172,13 +175,66 @@ def _interleave_dataset(inputs, interleave_fn, cycle_length, block_length,
     )
 
 
+class _DecodedImageDataset(Dataset):
+    """Dataset of decoded ``(image, label)`` elements with batch-fused decode.
+
+    Python-side pipeline work is O(batches), not O(elements) — the tf.data
+    C++-runtime property the reference rides (dataset.py:255-260):
+
+    - ``.batch(B)`` REWRITES the pipeline to ``paths.batch(B) → native
+      whole-batch decode``: the C thread pool decodes every image of the
+      batch directly into one ``[B, h, w, c]`` buffer under a single GIL
+      release (``io.read_and_decode_image_batch``), identical output to
+      per-element decode + stack.
+    - per-element iteration decodes ahead in chunks through the same native
+      batch call, yielding elements from the decoded chunk (order
+      preserved; read-ahead is bounded by the chunk size).
+    """
+
+    _CHUNK = 32
+
+    def __init__(self, paths_ds: Dataset, image_channels: int):
+        self._paths_ds = paths_ds
+        self._image_channels = image_channels
+        super().__init__(self._chunked_gen, cardinality=paths_ds._cardinality)
+
+    def _chunked_gen(self):
+        it = self._paths_ds._iter_elements()
+        while True:
+            block = list(itertools.islice(it, self._CHUNK))
+            if not block:
+                return
+            imgs = read_and_decode_images(
+                [f for f, _ in block], channels=self._image_channels)
+            for img, (_, y) in zip(imgs, block):
+                yield img, y
+
+    def batch(self, batch_size: int, drop_remainder: bool = False) -> Dataset:
+        channels = self._image_channels
+
+        def decode_batch(files, labels):
+            return (read_and_decode_image_batch(files, channels=channels),
+                    np.asarray(labels))
+
+        return self._paths_ds.batch(batch_size, drop_remainder).map(
+            decode_batch)
+
+
 def _decode_map(td: Dataset, image_channels: int) -> Dataset:
-    td = td.map(
-        lambda x, y: (read_and_decode_image(x, channels=image_channels), y),
-        num_parallel_calls=__CONFIG["N_PARALLEL"],
-    )
-    td._num_parallel_calls = __CONFIG["N_PARALLEL"]  # introspection parity
-    return td
+    from chambers_tpu.data import native
+
+    if native.available():
+        decoded: Dataset = _DecodedImageDataset(td, image_channels)
+    else:
+        # no native library: keep the per-element thread-pool map so decode
+        # still parallelizes across cores through the Python pool
+        decoded = td.map(
+            lambda x, y: (read_and_decode_image(x, channels=image_channels),
+                          y),
+            num_parallel_calls=__CONFIG["N_PARALLEL"],
+        )
+    decoded._num_parallel_calls = __CONFIG["N_PARALLEL"]  # introspection parity
+    return decoded
 
 
 def InterleaveImageClassDataset(

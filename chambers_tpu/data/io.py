@@ -8,6 +8,7 @@ extension in ``VALID_IMAGE_EXTENSIONS`` order, sorted within each pattern
 
 import glob
 import os
+import time
 from io import BytesIO
 from urllib.request import Request, urlopen
 
@@ -34,6 +35,22 @@ def match_nested_set(path):
     return glob.glob(os.path.join(path, "*/"))
 
 
+# Directory-listing cache for match_img_files, validated by the directory's
+# mtime (one stat syscall instead of 10 glob patterns over the entry list).
+# Interleave pipelines re-glob every class dir once per epoch refill —
+# measured ~9% of the whole single-core input pipeline (tf.data pays the
+# same listing in C++). A file added/removed/renamed in the directory bumps
+# its mtime and invalidates the entry; file *content* changes don't matter
+# (only names are listed).
+_MATCH_CACHE: dict = {}
+_MATCH_CACHE_MAX = 65536
+
+
+def clear_match_cache():
+    """Drop all cached directory listings (match_img_files)."""
+    _MATCH_CACHE.clear()
+
+
 def match_img_files(dir_path):
     """All image files in a directory, grouped by extension pattern, each
     group sorted (tf.io.matching_files semantics).
@@ -43,10 +60,28 @@ def match_img_files(dir_path):
     dir_path = str(dir_path)
     if not dir_path.endswith("/"):
         dir_path = dir_path + "/"
+    try:
+        mtime = os.stat(dir_path).st_mtime_ns
+    except OSError:
+        mtime = None
+    if mtime is not None:
+        hit = _MATCH_CACHE.get(dir_path)
+        if hit is not None and hit[0] == mtime:
+            return list(hit[1])
     files = []
     for ext in VALID_IMAGE_EXTENTIONS:
         files.extend(sorted(glob.glob(dir_path + f"*.{ext}")))
-    return files
+    # Only cache "settled" directories (mtime ≥2s old): filesystem mtime has
+    # coarse tick granularity, so a file added in the same tick as this
+    # listing would otherwise leave an undetectably stale entry. A directory
+    # being written right now is re-listed every call (correct, and what the
+    # uncached code always did); a static training set caches from the
+    # second epoch on.
+    if mtime is not None and time.time_ns() - mtime >= 2_000_000_000:
+        if len(_MATCH_CACHE) >= _MATCH_CACHE_MAX:
+            _MATCH_CACHE.clear()
+        _MATCH_CACHE[dir_path] = (mtime, files)
+    return list(files)
 
 
 def match_img_files_triplet(dir_path):
@@ -161,16 +196,43 @@ def read_and_decode_images(files, channels=3, num_threads=None):
         ds.batch(16).map(lambda f, y: (io.read_and_decode_images(f), y))
     """
     files = list(files)
-    if channels == 3 and files and all(_is_jpeg(f) for f in files):
+    if channels == 3 and files:
         from chambers_tpu.data import native
 
         if native.available():
             try:
+                # no per-file magic sniff needed: the batch call probes every
+                # header before decoding anything, so a non-JPEG in the batch
+                # fails fast and cheap into the per-element fallback
                 return native.decode_jpeg_batch(files,
                                                 num_threads=num_threads)
             except RuntimeError:
-                pass  # odd colorspace etc. — per-element fallback below
+                pass  # non-JPEG / odd colorspace — per-element fallback below
     return [read_and_decode_image(f, channels=channels) for f in files]
+
+
+def read_and_decode_image_batch(files, channels=3, num_threads=None):
+    """Decode a uniform-size batch straight into ONE ``[B, h, w, c]`` array.
+
+    The native decoder writes each image directly into its slice of the
+    batch buffer (``stack=True``), so no per-image arrays or ``np.stack``
+    copy exist; non-JPEG / no-native / ragged batches fall back to
+    per-element decode + ``np.stack`` (same output, one extra copy).
+    This is the fused ``decode → batch`` hot path used by the dataset
+    constructors' ``.batch()`` (``data/dataset.py``).
+    """
+    files = list(files)
+    if channels == 3 and files:
+        from chambers_tpu.data import native
+
+        if native.available():
+            try:
+                return native.decode_jpeg_batch(files, num_threads=num_threads,
+                                                stack=True)
+            except (RuntimeError, ValueError):
+                pass  # non-JPEG / odd colorspace / ragged dims — fallback
+    return np.stack(
+        [read_and_decode_image(f, channels=channels) for f in files])
 
 
 def open_url(url):

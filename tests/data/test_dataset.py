@@ -305,3 +305,120 @@ class TestShuffleRepeat:
         out = [int(x) for x in td]
         assert out[:10] != out[10:]
         assert sorted(out[:10]) == sorted(out[10:]) == self.slices
+
+
+class TestFusedBatchDecode:
+    """decode=True datasets fuse `.batch()` into whole-batch native decode
+    (data/dataset.py _DecodedImageDataset) — output must be identical to
+    per-element decode + stack, and per-element iteration must still work."""
+
+    @pytest.fixture(scope="class")
+    def jpeg_root(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("jpeg_classes")
+        rng = np.random.RandomState(7)
+        dirs = []
+        for c in range(4):
+            d = root / f"class_{c}"
+            d.mkdir()
+            for i in range(6):
+                arr = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.jpg", quality=95)
+            dirs.append(str(d))
+        return dirs
+
+    def _make(self, dirs, **kw):
+        return InterleaveImageClassDataset(
+            dirs, list(range(len(dirs))), class_cycle_length=2,
+            images_per_block=3, **kw)
+
+    def test_batch_matches_elementwise(self, jpeg_root):
+        batches = list(self._make(jpeg_root).batch(5))
+        elements = list(self._make(jpeg_root))
+        assert sum(len(y) for _, y in batches) == len(elements)
+        flat_imgs = [img for x, _ in batches for img in x]
+        flat_labels = [l for _, y in batches for l in y]
+        for (img, lab), bimg, blab in zip(elements, flat_imgs, flat_labels):
+            np.testing.assert_array_equal(img, bimg)
+            assert lab == blab
+
+    def test_batch_matches_paths_route(self, jpeg_root):
+        """decode=True fused batches == decode=False + manual batch decode."""
+        from chambers_tpu.data.io import read_and_decode_image_batch
+
+        fused = list(self._make(jpeg_root).batch(4, drop_remainder=True))
+        manual = [
+            (read_and_decode_image_batch(f), np.asarray(y))
+            for f, y in self._make(jpeg_root, decode=False).batch(
+                4, drop_remainder=True)
+        ]
+        assert len(fused) == len(manual)
+        for (fx, fy), (mx, my) in zip(fused, manual):
+            np.testing.assert_array_equal(fx, mx)
+            np.testing.assert_array_equal(fy, my)
+
+    def test_decoded_elements_match_pil(self, jpeg_root):
+        from PIL import Image as PILImage
+
+        ds = self._make(jpeg_root)
+        paths = list(self._make(jpeg_root, decode=False))
+        for (img, lab), (path, plab) in zip(ds, paths):
+            ref = np.asarray(PILImage.open(path).convert("RGB"), np.uint8)
+            np.testing.assert_array_equal(img, ref)
+            assert lab == plab
+
+    def test_mixed_sizes_still_iterate(self, jpeg_root, tmp_path):
+        """PNG classes (non-JPEG -> per-element fallback inside the chunk)
+        decode correctly through the fused dataset."""
+        d = tmp_path / "png_class"
+        d.mkdir()
+        rng = np.random.RandomState(8)
+        arrs = [rng.randint(0, 256, (10, 12, 3), np.uint8) for _ in range(3)]
+        for i, a in enumerate(arrs):
+            Image.fromarray(a).save(d / f"{i}.png")
+        ds = InterleaveImageClassDataset(
+            [str(d)], [0], class_cycle_length=1, images_per_block=3)
+        out = [img for img, _ in ds]
+        for got, ref in zip(out, arrs):
+            np.testing.assert_array_equal(got, ref)  # png is lossless
+
+
+class TestMatchImgFilesCache:
+    @staticmethod
+    def _settle(path):
+        """Backdate the dir mtime so the listing cache treats it as settled
+        (fresh dirs are deliberately never cached — coarse mtime ticks)."""
+        import os
+        import time
+
+        old = time.time() - 10
+        os.utime(path, (old, old))
+
+    def test_listing_updates_when_dir_changes(self, tmp_path):
+        rng = np.random.RandomState(9)
+        arr = rng.randint(0, 256, (8, 8, 3), np.uint8)
+        Image.fromarray(arr).save(tmp_path / "a.jpg", quality=90)
+        self._settle(tmp_path)
+        first = match_img_files(str(tmp_path))
+        assert [f.split("/")[-1] for f in first] == ["a.jpg"]
+        from chambers_tpu.data.io import _MATCH_CACHE
+
+        assert str(tmp_path) + "/" in _MATCH_CACHE  # settled dir was cached
+        Image.fromarray(arr).save(tmp_path / "b.jpg", quality=90)
+        second = match_img_files(str(tmp_path))
+        assert [f.split("/")[-1] for f in second] == ["a.jpg", "b.jpg"]
+
+    def test_fresh_dir_not_cached(self, tmp_path):
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+            tmp_path / "a.jpg", quality=90)
+        match_img_files(str(tmp_path))
+        from chambers_tpu.data.io import _MATCH_CACHE
+
+        assert str(tmp_path) + "/" not in _MATCH_CACHE
+
+    def test_cached_listing_not_aliased(self, tmp_path):
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+            tmp_path / "a.jpg", quality=90)
+        self._settle(tmp_path)
+        first = match_img_files(str(tmp_path))
+        first.append("mutated")
+        assert match_img_files(str(tmp_path))[-1] != "mutated"

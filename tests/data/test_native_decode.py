@@ -90,3 +90,54 @@ def test_read_and_decode_images_pure_jpeg_uses_native(jpeg_dir):
     refs = native.decode_jpeg_batch(paths)
     for o, r in zip(outs, refs):
         np.testing.assert_array_equal(o, r)
+
+
+def test_stacked_batch_decode_identical(jpeg_dir):
+    """stack=True decodes into one [n,h,w,3] buffer, byte-identical to the
+    per-image arrays (uniform-dims batch)."""
+    tmp, _ = jpeg_dir
+    rng = np.random.RandomState(3)
+    paths = []
+    for i in range(4):
+        p = tmp / f"uniform_{i}.jpg"
+        Image.fromarray(rng.randint(0, 256, (32, 48, 3), np.uint8)).save(
+            p, quality=90)
+        paths.append(str(p))
+    outs = native.decode_jpeg_batch(paths)
+    stacked = native.decode_jpeg_batch(paths, stack=True)
+    assert isinstance(stacked, np.ndarray)
+    assert stacked.shape == (4, 32, 48, 3)
+    np.testing.assert_array_equal(stacked, np.stack(outs))
+
+
+def test_stacked_batch_decode_ragged_raises(jpeg_dir):
+    _, paths = jpeg_dir  # heights 40..45 — ragged by construction
+    with pytest.raises(ValueError, match="uniform"):
+        native.decode_jpeg_batch(paths, stack=True)
+
+
+def test_dims_cache_stale_entry_retries(jpeg_dir):
+    """A wrong cached dimension entry is detected by the decoder (-3) and
+    recovered by one re-probe + retry, not a corrupted output."""
+    _, paths = jpeg_dir
+    native.decode_jpeg_batch([paths[0]])  # populate the cache
+    key = os.fsencode(paths[0])
+    stamp, h, w = native._DIMS_CACHE[key]
+    native._DIMS_CACHE[key] = (stamp, h + 8, w + 8)  # poison it
+    out = native.decode_jpeg_batch([paths[0]])[0]
+    ref = np.asarray(Image.open(paths[0]).convert("RGB"), np.uint8)
+    np.testing.assert_array_equal(out, ref)
+    assert native._DIMS_CACHE[key][1:] == (h, w)  # re-probed
+
+
+def test_ifast_dct_is_close_not_identical(jpeg_dir):
+    """dct_method='ifast' (tf.io.decode_jpeg's default) stays within a few
+    LSB of the islow/PIL-parity default."""
+    _, paths = jpeg_dir
+    islow = native.decode_jpeg_batch(paths)
+    ifast = native.decode_jpeg_batch(paths, dct_method="ifast")
+    for a, b in zip(islow, ifast):
+        assert a.shape == b.shape
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 16
+    with pytest.raises(ValueError, match="dct_method"):
+        native.decode_jpeg_batch(paths, dct_method="fastest")

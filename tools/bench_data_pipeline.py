@@ -63,17 +63,19 @@ def bench_chambers(dirs):
 
 
 def bench_chambers_native_batch(dirs):
-    """Same P*K interleave, but batch file paths first and decode each
-    batch through the native C++ thread-pool decoder (one GIL release per
-    batch)."""
+    """Same P*K interleave via the explicit decode=False route: batch file
+    paths first and decode each batch straight into one [B,h,w,3] buffer
+    through the native C++ thread-pool decoder (one GIL release per batch).
+    The decode=True default now fuses to this same path automatically
+    (data/dataset.py _DecodedImageDataset), so the two rows should match."""
     from chambers_tpu.data import InterleaveImageClassDataset
-    from chambers_tpu.data.io import read_and_decode_images
+    from chambers_tpu.data.io import read_and_decode_image_batch
 
     ds = InterleaveImageClassDataset(
         dirs, list(range(len(dirs))), class_cycle_length=8,
         images_per_block=4, shuffle=True, seed=42, repeats=-1, decode=False,
     ).batch(BATCH).map(
-        lambda f, y: (np.stack(read_and_decode_images(f)), np.asarray(y))
+        lambda f, y: (read_and_decode_image_batch(f), np.asarray(y))
     ).prefetch()
     it = iter(ds)
     for _ in range(WARM_BATCHES):
