@@ -30,10 +30,37 @@ reproduce full-buffer routing one token at a time — ``use_cache=None``
 (auto) selects the full-recompute loop for routed decoders.
 """
 
+import warnings
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+class QuantizedDecodeWarning(UserWarning):
+    """Decode called with int8-PTQ variables — usually slower, not faster."""
+
+
+def _warn_if_quantized(variables):
+    """Warn (once per process) when decode receives int8-quantized params.
+
+    Int8 PTQ pays on big batched forwards; measured at seq2seq-bench scale
+    the per-step ``[b, 1, d]`` decode matmuls are too small for the MXU
+    int8 rate and the per-token activation quantize rides the latency-bound
+    critical path (greedy KV-cache 28.1 ms quantized vs 25.6 ms float —
+    BASELINE.md "Int8 serving quantization"). Decoding still works and is
+    exact vs the quantized full-recompute path; it is just not the fast
+    configuration, so don't let anyone take it silently.
+    """
+    leaves = jax.tree_util.tree_leaves(variables.get("params", variables))
+    if any(getattr(l, "dtype", None) == jnp.int8 for l in leaves):
+        warnings.warn(
+            "decoding with int8-quantized variables: per-step decode "
+            "matmuls are too small to benefit from the MXU int8 rate and "
+            "measured SLOWER than float (BASELINE.md). Keep a float copy "
+            "of the variables for generation.",
+            QuantizedDecodeWarning, stacklevel=3,
+        )
 
 
 def _scan_steps(body, carry, max_len: int):
@@ -206,6 +233,7 @@ def greedy_decode(module, variables, tokens, *, max_len: int, bos_id: int,
     Wrap in ``jax.jit`` (or call inside a jitted function) to compile the
     entire decode into one device program.
     """
+    _warn_if_quantized(variables)
     select = lambda i, l: jnp.argmax(l, axis=-1)
     if _resolve_use_cache(module, use_cache):
         return _cached_decode_loop(module, variables, tokens, select,
@@ -233,6 +261,7 @@ def sample_decode(module, variables, tokens, key, *, max_len: int,
     if temperature <= 0:
         raise ValueError(f"temperature={temperature} must be > 0 "
                          "(use greedy_decode for argmax decoding)")
+    _warn_if_quantized(variables)
     inv_t = jnp.float32(1.0 / temperature)
 
     def select(i, logits_f32):
@@ -283,6 +312,7 @@ def beam_search_decode(module, variables, tokens, *, max_len: int,
     """
     if beam_size < 1:
         raise ValueError(f"beam_size={beam_size} must be >= 1")
+    _warn_if_quantized(variables)
     b = tokens.shape[0]
     k = beam_size
     out0 = jnp.full((b, k, max_len), pad_id, jnp.int32)

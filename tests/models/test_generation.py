@@ -309,3 +309,24 @@ def test_use_cache_raises_on_moe_decoder():
     with pytest.raises(NotImplementedError, match="use_cache"):
         greedy_decode(module, variables, src, max_len=4, bos_id=BOS,
                       use_cache=True)
+
+
+def test_quantized_decode_warns(model_and_vars):
+    """Int8 decode is measured slower than float (BASELINE.md); the decode
+    entry points must say so out loud instead of silently taking it."""
+    import warnings
+
+    from chambers_tpu.models.generation import QuantizedDecodeWarning
+    from chambers_tpu.quantization import quantize_variables
+
+    module, variables = model_and_vars
+    qvars = quantize_variables(variables)
+    src = jnp.asarray(
+        np.random.default_rng(31).integers(1, 16, (2, 8)), jnp.int32
+    )
+    with pytest.warns(QuantizedDecodeWarning):
+        greedy_decode(module, qvars, src, max_len=4, bos_id=BOS)
+    # Float variables must stay silent.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", QuantizedDecodeWarning)
+        greedy_decode(module, variables, src, max_len=4, bos_id=BOS)
