@@ -23,6 +23,9 @@ from flax import linen as nn
 
 from chambers_tpu.models.model import Model
 
+# Released-weight location + registry (inception.py:6-12).
+BASE_WEIGHTS_PATH = (
+    "https://github.com/chjort/chambers/releases/download/v1.0/")
 WEIGHTS_HASHES = {
     "bninception":
         (None, "7eb8291a8e70fccbccc3bc2fff83311b35d2194ee584c1f1335bb9a240b94145"),

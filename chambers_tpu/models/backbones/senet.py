@@ -32,7 +32,10 @@ ModelParams = collections.namedtuple(
      "reduction", "init_filters", "input_3x3", "dropout"],
 )
 
-# Released weight registry (senet.py:17-31): model -> (top_md5, no_top_md5)
+# Released-weight location (senet.py:16-17) and registry (senet.py:18-31):
+# model -> (top_md5, no_top_md5)
+BASE_WEIGHTS_PATH = (
+    "https://github.com/chjort/chambers/releases/download/v1.0/")
 WEIGHTS_HASHES = {
     "seresnet50":
         ("ff0ce1ed5accaad05d113ecef2d29149", "043777781b0d5ca756474d60bf115ef1"),
@@ -49,6 +52,83 @@ WEIGHTS_HASHES = {
 }
 
 _BN_EPS = 9.999999747378752e-06
+
+
+def get_bn_params(**params):
+    """BatchNorm defaults of the SENet family (senet.py:38-45).
+
+    chambers_tpu is NHWC-only (the TPU-native layout), so the axis is always
+    the trailing channel axis; the epsilon is the reference's exact float.
+    Keyword overrides update the defaults as in the reference.
+    """
+    default_bn_params = {"axis": -1, "epsilon": _BN_EPS}
+    default_bn_params.update(params)
+    return default_bn_params
+
+
+def get_num_channels(tensor):
+    """Channel count of an NHWC tensor (senet.py:48-50)."""
+    return tensor.shape[-1]
+
+
+def slice_tensor(x, start, stop, axis):
+    """Channel-range slice (senet.py:56-62). Kept for API parity; accepts
+    the reference's Keras axis conventions (3 = channels_last, 1 =
+    channels_first) alongside the native ``-1``."""
+    if axis in (3, -1):
+        return x[:, :, :, start:stop]
+    elif axis == 1:
+        return x[:, start:stop, :, :]
+    raise ValueError("Slice axis should be in (1, 3), got {}.".format(axis))
+
+
+def expand_dims(x, channels_axis):
+    """``[b, c] -> [b, 1, 1, c]`` broadcast helper (senet.py:130-135)."""
+    if channels_axis in (3, -1):
+        return x[:, None, None, :]
+    elif channels_axis == 1:
+        return x[:, :, None, None]
+    raise ValueError(
+        "Slice axis should be in (1, 3), got {}.".format(channels_axis))
+
+
+def GroupConv2D(filters, kernel_size, strides=(1, 1), groups=32,
+                kernel_initializer="he_uniform", use_bias=True,
+                activation="linear", padding="valid", **kwargs):
+    """Grouped 2-D convolution (senet.py:65-127), TPU-native.
+
+    The reference builds this as a Python loop of per-group slice → Conv2D →
+    concat — ``groups`` separate convolutions per call, each too small to
+    tile the MXU. Here it is one ``flax.linen.Conv`` with
+    ``feature_group_count=groups``: a single fused convolution whose kernel
+    layout ``[kh, kw, in/groups, filters]`` is exactly the concatenation of
+    the reference's per-group kernels along the output-channel axis (see the
+    module docstring's weight-layout note), so imported checkpoints land
+    unchanged.
+
+    Returns the Conv module (a callable, like the reference's closure).
+    Only linear activation is supported, matching every reference call site.
+    """
+    if activation not in (None, "linear"):
+        raise ValueError(
+            f"GroupConv2D only supports linear activation, got {activation!r}"
+            " (every reference call site uses the default)")
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    initializers = {
+        "he_uniform": nn.initializers.variance_scaling(
+            2.0, "fan_in", "uniform"),
+        "he_normal": nn.initializers.variance_scaling(
+            2.0, "fan_in", "truncated_normal"),
+        "glorot_uniform": nn.initializers.xavier_uniform(),
+    }
+    kernel_init = initializers.get(kernel_initializer, kernel_initializer)
+    return nn.Conv(
+        features=filters, kernel_size=kernel_size, strides=strides,
+        feature_group_count=groups, use_bias=use_bias,
+        padding=padding.upper(), kernel_init=kernel_init, **kwargs)
 
 
 class _ConvBN(nn.Module):

@@ -42,8 +42,10 @@ from chambers_tpu.layers.transformer import Encoder
 from chambers_tpu.models.model import Model
 from chambers_tpu.quantization import QuantDense
 
-# Registry of released pretrained-weight specs (vision_transformer.py:16-96).
+# Released-weight location (vision_transformer.py:15) and registry of
+# released pretrained-weight specs (vision_transformer.py:16-96).
 # model_name -> {weights_spec: (top_md5, no_top_md5, file_suffix)}
+BASE_WEIGHTS_PATH = "https://github.com/chjort/chambers/releases/download/v1.1/"
 WEIGHTS_HASHES = {
     "vits16": {
         "imagenet_224_deit": (

@@ -97,6 +97,63 @@ def extend_with_weight_decay(
     ) if weight_decay else base_optimizer
 
 
+class WeightDecayExtension:
+    """Decoupled weight decay with regex variable filtering as a reusable
+    extension object (reference optimizers.py:10-181, the public
+    ``WeightDecayExtension`` class).
+
+    The reference expresses this as a mixin over Keras optimizers; the optax
+    counterpart is a value object holding the decay configuration that turns
+    any base ``GradientTransformation`` into its decayed variant::
+
+        tx = WeightDecayExtension(1e-4, decay_exclude=[r"bias$"]).extend(
+            optax.adam(1e-3))
+
+    ``mask(params)`` exposes the ``_is_decay_allowed`` predicate
+    (optimizers.py:169-181) as a boolean pytree. ``extend_with_weight_decay``
+    and the named ``SGDW``/``AdamW`` classes are the function-style spellings
+    of the same machinery.
+    """
+
+    def __init__(self, weight_decay: ScalarOrSchedule,
+                 decay_include=None, decay_exclude=None):
+        if decay_include is not None and decay_exclude is not None:
+            raise ValueError(
+                "Got both `decay_include` and `decay_exclude` arguments. "
+                "Use only `decay_include` or `decay_exclude`."
+            )
+        self.weight_decay = weight_decay
+        self.decay_include = decay_include
+        self.decay_exclude = decay_exclude
+
+    def mask(self, params):
+        """Boolean pytree of leaves that receive decay."""
+        return decay_mask(params, decay_include=self.decay_include,
+                          decay_exclude=self.decay_exclude)
+
+    def extend(self, base_optimizer: optax.GradientTransformation
+               ) -> optax.GradientTransformation:
+        """``base_optimizer`` → its decoupled-weight-decay variant."""
+        return extend_with_weight_decay(
+            base_optimizer, self.weight_decay,
+            decay_include=self.decay_include,
+            decay_exclude=self.decay_exclude,
+        )
+
+    __call__ = extend
+
+    def get_config(self):
+        return {
+            "weight_decay": self.weight_decay,
+            "decay_include": self.decay_include,
+            "decay_exclude": self.decay_exclude,
+        }
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(**config)
+
+
 class _ConfiguredOptimizer:
     """An optax ``GradientTransformation`` that keeps its constructor config.
 

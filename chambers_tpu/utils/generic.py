@@ -52,6 +52,31 @@ def set_random_seed(seed: int):
     return jax.random.PRNGKey(seed)
 
 
+def set_dtype_policy_deep(module, dtype):
+    """Return ``module`` rebuilt with compute dtype ``dtype`` applied deeply
+    (generic.py:26-29).
+
+    The reference mutates a built Keras model's per-layer dtype policies in
+    place. Flax modules are immutable dataclasses whose submodules are
+    constructed at trace time, so the counterpart is a ``clone``: every
+    chambers_tpu model/layer threads its ``dtype`` attribute down to all of
+    its submodules (that threading IS the "deep" part), and the returned
+    clone shares parameters — variables stay float32, activations compute in
+    ``dtype``, exactly the TPU mixed-precision policy of
+    :func:`use_mixed_precision`.
+
+    ``dtype`` may be a jnp dtype or a policy name ("bfloat16",
+    "mixed_bfloat16", ...).
+    """
+    if isinstance(dtype, str):
+        dtype = use_mixed_precision(dtype)
+    if "dtype" not in getattr(module, "__dataclass_fields__", {}):
+        raise ValueError(
+            f"{type(module).__name__} takes no `dtype` attribute; pass dtype "
+            "to its submodules at construction instead")
+    return module.clone(dtype=dtype)
+
+
 def use_mixed_precision(dtype="bfloat16"):
     """Return the activation dtype for mixed-precision model construction.
 

@@ -128,3 +128,67 @@ def test_batchnorm_updates_in_train_mode():
     assert "batch_stats" in mutated
     flat = jax.tree.leaves(mutated["batch_stats"])
     assert len(flat) > 0
+
+
+class TestSenetHelpers:
+    """The reference's public senet helper surface (senet.py:38-135),
+    TPU-native: GroupConv2D must be one fused feature_group_count conv with
+    grouped-conv semantics, not a slice/concat loop."""
+
+    def test_group_conv2d_matches_per_group_convs(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from flax import linen as nn
+
+        from chambers_tpu.models.backbones.senet import (
+            GroupConv2D, slice_tensor)
+
+        groups, cin, cout = 4, 8, 16
+        conv = GroupConv2D(cout, 3, strides=1, groups=groups, padding="valid")
+        assert isinstance(conv, nn.Conv)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 9, 9, cin)), jnp.float32)
+        variables = conv.init(jax.random.PRNGKey(0), x)
+        fused = conv.apply(variables, x)
+        assert fused.shape == (2, 7, 7, cout)
+        # Group g of the fused kernel convolves only input slice g — the
+        # layout the module docstring promises for checkpoint import.
+        kernel = variables["params"]["kernel"]  # [3, 3, cin/groups, cout]
+        for g in range(groups):
+            xg = slice_tensor(x, g * (cin // groups), (g + 1) * (cin // groups), 3)
+            kg = kernel[..., g * (cout // groups):(g + 1) * (cout // groups)]
+            want = jax.lax.conv_general_dilated(
+                xg, kg, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            want = want + variables["params"]["bias"][
+                g * (cout // groups):(g + 1) * (cout // groups)]
+            np.testing.assert_allclose(
+                np.asarray(fused[..., g * (cout // groups):(g + 1) * (cout // groups)]),
+                np.asarray(want), atol=1e-5)
+
+    def test_small_helpers(self):
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        from chambers_tpu.models.backbones.senet import (
+            _BN_EPS, expand_dims, get_bn_params, get_num_channels,
+            slice_tensor)
+
+        params = get_bn_params(momentum=0.9)
+        assert params["epsilon"] == _BN_EPS and params["axis"] == -1
+        assert params["momentum"] == 0.9
+
+        x = jnp.zeros((2, 5, 5, 7))
+        assert get_num_channels(x) == 7
+        assert slice_tensor(x, 1, 3, 3).shape == (2, 5, 5, 2)
+        assert slice_tensor(x, 1, 3, 1).shape == (2, 2, 5, 7)
+        with pytest.raises(ValueError):
+            slice_tensor(x, 0, 1, 2)
+
+        se = jnp.ones((2, 7))
+        assert expand_dims(se, 3).shape == (2, 1, 1, 7)
+        assert expand_dims(se, 1).shape == (2, 7, 1, 1)
+        np.testing.assert_array_equal(
+            np.asarray(expand_dims(se, 3) * x), np.asarray(x))

@@ -172,3 +172,15 @@ SURFACE = [
 def test_symbol_importable(module, symbol):
     mod = importlib.import_module(module)
     assert hasattr(mod, symbol), f"{module}.{symbol} missing"
+
+
+def test_ast_symbol_sweep():
+    """Full AST-level sweep: every public reference symbol importable (or an
+    explicitly accepted omission). Committed as tools/ast_symbol_sweep.py so
+    the coverage claim is reproducible (r3 advisor finding)."""
+    from tools.ast_symbol_sweep import sweep
+
+    covered, omitted, missing = sweep()
+    assert not missing, f"reference symbols without a counterpart: {missing}"
+    assert {n for _, n in omitted} == {"inputs_to_input_layer"}
+    assert len(covered) >= 150

@@ -135,3 +135,22 @@ def test_reference_helper_parity():
     assert coords.shape == (8, 2)
     gathered = x[coords[:, 0], coords[:, 1]].reshape(4, 2)
     np.testing.assert_array_equal(gathered, take_along_rows(x, idx))
+
+
+def test_set_dtype_policy_deep():
+    import jax.numpy as jnp
+    import pytest
+
+    from chambers_tpu.layers import EncoderLayer
+    from chambers_tpu.utils.generic import set_dtype_policy_deep
+
+    layer = EncoderLayer(embed_dim=8, num_heads=2, ff_dim=16)
+    cast = set_dtype_policy_deep(layer, "mixed_bfloat16")
+    assert cast.dtype == jnp.bfloat16
+    assert layer.dtype != jnp.bfloat16  # original is untouched (clone)
+
+    class NoDtype:
+        pass
+
+    with pytest.raises(ValueError, match="dtype"):
+        set_dtype_policy_deep(NoDtype(), "bfloat16")

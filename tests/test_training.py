@@ -555,3 +555,27 @@ def test_trainer_warns_when_custom_apply_fn_drops_moe_aux():
         Trainer(model, loss=_mse, optimizer=optax.sgd(0.1),
                 apply_fn=plain_apply)
     assert any("aux losses" in str(w.message) for w in caught)
+
+
+def test_weight_decay_extension_class():
+    """Public WeightDecayExtension object (reference optimizers.py:10-181):
+    extending a base optimizer must equal extend_with_weight_decay, and
+    mask() must expose the _is_decay_allowed predicate."""
+    from chambers_tpu.optimizers import WeightDecayExtension
+
+    ext = WeightDecayExtension(0.5, decay_exclude=["bias"])
+    params = {"kernel": jnp.asarray([2.0]), "bias": jnp.asarray([2.0])}
+    mask = ext.mask(params)
+    assert bool(mask["kernel"]) and not bool(mask["bias"])
+
+    opt = ext.extend(optax.sgd(learning_rate=1.0))
+    grads = {"kernel": jnp.asarray([0.0]), "bias": jnp.asarray([0.0])}
+    updates, _ = opt.update(grads, opt.init(params), params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["kernel"]), [1.0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new["bias"]), [2.0], rtol=1e-6)
+
+    with pytest.raises(ValueError, match="only"):
+        WeightDecayExtension(0.1, decay_include=["a"], decay_exclude=["b"])
+    rt = WeightDecayExtension.from_config(ext.get_config())
+    assert rt.get_config() == ext.get_config()
