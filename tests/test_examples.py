@@ -64,3 +64,21 @@ def test_serve_quantized_example(capsys, tmp_path):
     out = capsys.readouterr().out
     assert "relative logit error" in out
     assert "served logits shape: (4," in out
+
+
+def test_train_detr_example(capsys):
+    _run_example("train_detr.py", [
+        "--steps", "3", "--batch", "4", "--size", "32",
+    ])
+    out = capsys.readouterr().out
+    assert "final-layer object predictions" in out
+
+
+def test_train_metric_learning_example(capsys, tmp_path):
+    _run_example("train_metric_learning.py", [
+        "--image-size", "24", "--p", "4", "--k", "2",
+        "--epochs", "1", "--steps", "3",
+        "--experiments", str(tmp_path / "experiments"),
+    ])
+    out = capsys.readouterr().out
+    assert "recall@1" in out
