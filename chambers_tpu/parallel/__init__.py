@@ -16,6 +16,7 @@ from chambers_tpu.parallel.pipeline_parallel import (
     stack_pipeline_stages,
 )
 from chambers_tpu.parallel.sharding import (
+    SEQ2SEQ_TENSOR_PARALLEL_RULES,
     VIT_TENSOR_PARALLEL_RULES,
     batch_sharding,
     make_param_shardings,

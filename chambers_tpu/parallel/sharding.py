@@ -32,6 +32,20 @@ VIT_TENSOR_PARALLEL_RULES: List[Tuple[str, P]] = [
     (r"dense2/kernel$", P("model", None)),
 ]
 
+# The same megatron rules for the seq2seq stack: DecoderLayer names its two
+# attention blocks ``multi_head_attention1`` (self) and
+# ``multi_head_attention2`` (cross), so the regexes take an optional digit.
+# Covers the ViT paths too (the digit is optional); kept separate so existing
+# ViT sharding setups stay byte-stable.
+SEQ2SEQ_TENSOR_PARALLEL_RULES: List[Tuple[str, P]] = [
+    (r"multi_head_attention\d*/w_(query|key|value)$", P(None, "model", None)),
+    (r"multi_head_attention\d*/b_(query|key|value)$", P("model", None, None)),
+    (r"multi_head_attention\d*/w_projection$", P("model", None, None)),
+    (r"dense1/kernel$", P(None, "model")),
+    (r"dense1/bias$", P("model")),
+    (r"dense2/kernel$", P("model", None)),
+]
+
 
 from chambers_tpu.utils.pytree import param_paths as _param_paths
 
