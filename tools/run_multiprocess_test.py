@@ -1,15 +1,26 @@
-"""2-process CPU distributed test: per-host data loading into one DP step.
+"""2-process CPU distributed test: DP training, cross-process TP, and
+collective eval.
 
-Exercises the multi-*process* path that the in-process 8-device tests cannot
-(VERDICT r2 missing #1): ``jax.distributed.initialize`` over two local CPU
-processes (gloo collectives), each feeding its ``Dataset.shard(2, i)`` slice
-through ``host_local_batch_to_global`` into a single jitted DP train step
-over the global mesh, asserting the global batch contents, the loss, and the
-updated params match a single-process run over the same data.
+Exercises the multi-*process* paths that the in-process 8-device tests
+cannot (VERDICT r2 missing #1; r3 next #7): ``jax.distributed.initialize``
+over two local CPU processes (gloo collectives), then three phases over the
+global 8-device mesh:
+
+1. **DP train** — each process feeds its ``Dataset.shard(2, i)`` slice
+   through ``host_local_batch_to_global`` into one jitted DP train step;
+   global batch contents, losses, and updated params must match a
+   single-process run over the same data.
+2. **Cross-process TP** — a MultiHeadAttention forward with megatron
+   weight shardings on a {data: 2, model: 4} mesh whose ``model`` axis
+   spans BOTH processes; output must match the unsharded local forward.
+3. **Collective eval** — ``distributed_pairwise_scores`` and
+   ``distributed_recall_at_k`` (shard_map all-gather over the global data
+   axis) against numpy references.
 
 Run:  python tools/run_multiprocess_test.py
 Output is recorded in tools/run_multiprocess_test.out (SURVEY §2.8
-DP row contract). Pytest hosts a wrapper in tests/test_distributed.py.
+comm-backend row contract). Pytest hosts a wrapper in
+tests/test_distributed.py.
 """
 
 import json
@@ -119,12 +130,77 @@ def run_worker(process_id: int):
         w, opt_state, loss = step(w, opt_state, gx, gy)
         losses.append(float(loss))  # loss is replicated: readable everywhere
 
+    # ---- phase 2: cross-process tensor parallelism ------------------------
+    # megatron-sharded MHA on {data: 2, model: 4}: the `model` axis spans
+    # both processes, so head-sharded projections reduce over gloo, not just
+    # in-process ICI simulation
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chambers_tpu.layers import MultiHeadAttention
+    from chambers_tpu.parallel import (
+        SEQ2SEQ_TENSOR_PARALLEL_RULES, make_param_shardings,
+    )
+
+    tp_mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+    mha = MultiHeadAttention(head_dim=8, num_heads=4, dropout_rate=0.0)
+    x_np = np.random.RandomState(7).randn(4, 6, 32).astype(np.float32)
+    variables = mha.init(jax.random.PRNGKey(0), [x_np, x_np])
+    ref_out = np.asarray(mha.apply(variables, [x_np, x_np]))  # local, 1 dev
+
+    shardings = make_param_shardings(
+        variables["params"], tp_mesh, SEQ2SEQ_TENSOR_PARALLEL_RULES)
+
+    def to_global(arr, sharding):
+        a = np.asarray(arr)
+        return jax.make_array_from_callback(a.shape, sharding,
+                                            lambda idx: a[idx])
+
+    placed = {"params": jax.tree.map(to_global, variables["params"],
+                                     shardings)}
+    xg = to_global(x_np, NamedSharding(tp_mesh, P("data")))
+    out_tp = jax.jit(lambda v, a: mha.apply(v, [a, a]))(placed, xg)
+    from jax.experimental import multihost_utils
+
+    out_tp_np = np.asarray(multihost_utils.process_allgather(out_tp,
+                                                             tiled=True))
+    tp_err = float(np.max(np.abs(out_tp_np - ref_out)))
+
+    # ---- phase 3: collective eval across processes ------------------------
+    from chambers_tpu.parallel.collective_eval import (
+        distributed_pairwise_scores, distributed_recall_at_k,
+    )
+
+    eval_mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+    rng2 = np.random.RandomState(8)
+    emb = rng2.randn(16, 8).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = np.arange(16, dtype=np.int32) % 4
+
+    scores = distributed_pairwise_scores(emb, emb, eval_mesh)
+    scores_np = np.asarray(multihost_utils.process_allgather(scores,
+                                                             tiled=True))
+    scores_err = float(np.max(np.abs(scores_np - emb @ emb.T)))
+
+    recall = distributed_recall_at_k(emb, emb, labels, labels, k=3,
+                                     mesh=eval_mesh, remove_top1=True)
+    recall_np = float(np.asarray(
+        multihost_utils.process_allgather(recall, tiled=True)).ravel()[0])
+    # numpy reference (self-match removed, exactly as remove_top1 does)
+    s = emb @ emb.T
+    order = np.argsort(-s, axis=1)[:, 1:4]
+    ref_recall = float(np.mean(np.any(labels[order] == labels[:, None], 1)))
+
     out = {
         "process": process_id,
         "losses": losses,
         "w": np.asarray(jax.device_get(w)).ravel().tolist(),
         "batch0_sorted_checksum": float(
             np.sort(seen_global[0].ravel()).sum()),
+        "tp_forward_max_err": tp_err,
+        "pairwise_scores_max_err": scores_err,
+        "recall_at_3": recall_np,
+        "recall_at_3_ref": ref_recall,
     }
     print("WORKER_RESULT " + json.dumps(out), flush=True)
     jax.distributed.shutdown()
@@ -194,6 +270,12 @@ def launch() -> int:
     np.testing.assert_allclose(
         results[0]["batch0_sorted_checksum"],
         float(np.sort(np.asarray(x0).ravel()).sum()), rtol=1e-6)
+    # 4) cross-process TP forward matched the unsharded forward
+    for r in results.values():
+        assert r["tp_forward_max_err"] < 1e-5, r
+        assert r["pairwise_scores_max_err"] < 1e-5, r
+        np.testing.assert_allclose(r["recall_at_3"], r["recall_at_3_ref"],
+                                   atol=1e-6)
 
     print(json.dumps({
         "status": "PASS",
@@ -202,6 +284,9 @@ def launch() -> int:
         "steps": STEPS,
         "distributed_losses": results[0]["losses"],
         "single_process_losses": ref["losses"],
+        "tp_forward_max_err": results[0]["tp_forward_max_err"],
+        "pairwise_scores_max_err": results[0]["pairwise_scores_max_err"],
+        "recall_at_3": results[0]["recall_at_3"],
     }, indent=2))
     return 0
 
