@@ -81,14 +81,18 @@ def scaled_dot_product_attention(
 
     use_dropout = dropout_rate > 0.0 and not deterministic
     if impl == "flash":
-        if use_dropout or q_mask is not None or v_mask is not None:
+        if use_dropout:
             raise NotImplementedError(
-                "attention_impl='flash' supports causal masking but not "
-                "attention dropout or boolean q/v masks; use impl='xla'."
+                "attention_impl='flash' supports causal and padding masks "
+                "but not attention dropout; use impl='xla'."
             )
         from chambers_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(query, value, key, scale=scale, causal=causal)
+        out = flash_attention(query, value, key, scale=scale, causal=causal,
+                              kv_mask=v_mask)
+        if q_mask is not None:
+            out = out * q_mask[:, None, :, None].astype(out.dtype)
+        return out
 
     if scale is None:
         scale = jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
@@ -366,15 +370,12 @@ class MultiHeadAttention(nn.Module):
                 "statistics; score_dtype is an XLA-path option — set one or "
                 "the other."
             )
-        # flash kernel requires no dropout and no boolean masks; silently use
-        # the XLA path in those cases so training with dropout "just works"
+        # flash handles causal + q/v padding masks in-kernel; it cannot do
+        # attention dropout, and incremental decode's [b, 1, h] query blocks
+        # are too small to tile — silently use the XLA path there so training
+        # with dropout and cached decode "just work"
         impl = self.attention_impl
-        if impl == "flash" and (
-            decode
-            or dropout_rng is not None
-            or q_mask is not None
-            or v_mask is not None
-        ):
+        if impl == "flash" and (decode or dropout_rng is not None):
             impl = "xla"
 
         attention = scaled_dot_product_attention(

@@ -11,10 +11,22 @@ recompute per-tile probabilities from the saved (l, m) residuals with a
 shared precomputed ``di = Σ(o·do)``, so the ``[t, t]`` matrices never
 materialize in forward or backward.
 
-Interface: ``flash_attention(q, v, k, scale, causal, kv_length)`` over
+Interface: ``flash_attention(q, v, k, scale, causal, kv_mask)`` over
 ``[batch, heads, t, head_dim]`` — drop-in for the XLA path in
 ``chambers_tpu.layers.attention.scaled_dot_product_attention`` (selected via
 ``attention_impl='flash'``).
+
+Padding masks: ``kv_mask`` is a per-batch ``[b, tv]`` key-validity mask (the
+reference's ``v_mask`` semantics, attention.py:129-145) applied inside every
+tile of the forward and both backward kernels — masked keys contribute
+exactly zero probability, so padded seq2seq batches keep the kernel's
+fwd+bwd win instead of falling back to XLA. The mask rides a tiny
+``[b, block_k]`` VMEM block per tile, indexed ``b // n_heads`` so it is
+never materialized per head. Divergence (documented): a query row whose
+keys are ALL masked returns zeros here, while the XLA path's additive
+``-1e9`` bias softmax returns the uniform average of all values — both
+finite; the reference never produces such rows (pad queries are themselves
+q-masked).
 """
 
 import functools
@@ -30,9 +42,12 @@ _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LANES = 128
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, m_out_ref,
-                      m_ref, l_ref, acc_ref,
-                      *, scale, causal, block_q, block_k, kv_len, q_len, n_k):
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, *refs,
+                      scale, causal, block_q, block_k, kv_len, q_len, n_k,
+                      has_mask=False):
+    if has_mask:
+        kv_mask_ref, *refs = refs
+    (o_ref, l_out_ref, m_out_ref, m_ref, l_ref, acc_ref) = refs
     qi = pl.program_id(1)
     ki = pl.program_id(2)
 
@@ -68,6 +83,8 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, m_out_ref,
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
                 + qi * block_q
             mask &= col <= row + causal_offset
+        if has_mask:
+            mask &= kv_mask_ref[0] > 0.0              # [1, block_k] bcast
         s = jnp.where(mask, s, _MASK_VALUE)
 
         m_prev = m_ref[...]            # [block_q, LANES] (tiled copies)
@@ -76,6 +93,11 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_out_ref, m_out_ref,
         m_next = jnp.maximum(m_prev, m_curr)          # [block_q, LANES]
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[:, :1])                # [block_q, block_k]
+        if has_mask:
+            # exp underflow already zeroes masked cols when the row has any
+            # valid key; the explicit zero makes fully-masked rows sum to
+            # l == 0 -> zero output instead of a uniform average
+            p = jnp.where(mask, p, 0.0)
         l_corr = alpha * l_prev
         l_next = jnp.sum(p, axis=1)[:, None] + l_corr
 
@@ -122,8 +144,12 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, widths)
 
 
-def _flash_forward(q, k, v, scale, causal, block_q, block_k, interpret):
-    """Core padded pallas call over [bn, t, h] operands; returns (o, l, m)."""
+def _flash_forward(q, k, v, scale, causal, block_q, block_k, interpret,
+                   kv_mask=None, n_heads=1):
+    """Core padded pallas call over [bn, t, h] operands; returns (o, l, m).
+
+    ``kv_mask`` (optional) is ``[b, tk]`` float (1.0 valid / 0.0 masked),
+    shared across the ``n_heads`` heads folded into bn via the index map."""
     bn, tq, h = q.shape
     tk = k.shape[1]
 
@@ -133,25 +159,39 @@ def _flash_forward(q, k, v, scale, causal, block_q, block_k, interpret):
     n_q = q_p.shape[1] // block_q
     n_k = k_p.shape[1] // block_k
 
+    has_mask = kv_mask is not None
+    if has_mask:
+        # [b, 1, tk]: Mosaic requires the last two block dims be (8, 128)-
+        # divisible OR equal to the array dims — a unit middle dim satisfies
+        # that where a 2-D [b, tk] operand with block (1, block_k) cannot
+        kv_mask = kv_mask[:, None, :]
     kernel = functools.partial(
         _flash_fwd_kernel, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k, kv_len=tk, q_len=tq, n_k=n_k,
+        has_mask=has_mask,
     )
-    vma = _operand_vma(q, k, v)
+    vma = _operand_vma(q, k, v) if not has_mask else \
+        _operand_vma(q, k, v, kv_mask)
     out_shapes = (
         jax.ShapeDtypeStruct(q_p.shape, q.dtype, vma=vma),                 # o
         jax.ShapeDtypeStruct((bn, q_p.shape[1], 1), jnp.float32, vma=vma),  # l
         jax.ShapeDtypeStruct((bn, q_p.shape[1], 1), jnp.float32, vma=vma),  # m
     )
+    in_specs = [
+        pl.BlockSpec((1, block_q, h), lambda b, qi, ki: (b, qi, 0)),
+        pl.BlockSpec((1, block_k, h), lambda b, qi, ki: (b, ki, 0)),
+        pl.BlockSpec((1, block_k, h), lambda b, qi, ki: (b, ki, 0)),
+    ]
+    operands = [q_p, k_p, v_p]
+    if has_mask:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_k), lambda b, qi, ki, nh=n_heads: (b // nh, 0, ki)))
+        operands.append(_pad_to(kv_mask, 2, block_k))
     o, l, m = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid=(bn, n_q, n_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, h), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_k, h), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, h), lambda b, qi, ki: (b, ki, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, h), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b, qi, 0)),
@@ -166,7 +206,7 @@ def _flash_forward(q, k, v, scale, causal, block_q, block_k, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_p, k_p, v_p)
+    )(*operands)
     return o[:, :tq], l[:, :tq], m[:, :tq]
 
 
@@ -184,7 +224,8 @@ def _flash_fwd(q, k, v, scale, causal, block_q, block_k, interpret):
 
 
 def _recomputed_p_ds(q, k, v, do, l, m, di, *, scale, causal, causal_offset,
-                     q_base, k_base, kv_len, q_len, block_q, block_k):
+                     q_base, k_base, kv_len, q_len, block_q, block_k,
+                     kv_mask=None):
     """Shared tile math for both backward kernels: recompute the softmax
     probabilities of one (q-block, kv-block) tile from the saved (l, m)
     residuals and form ds = p * (dp - di)."""
@@ -197,6 +238,8 @@ def _recomputed_p_ds(q, k, v, do, l, m, di, *, scale, causal, causal_offset,
     mask = (col < kv_len) & (row < q_len)
     if causal:
         mask &= col <= row + causal_offset
+    if kv_mask is not None:
+        mask &= kv_mask > 0.0                          # [1, block_k] bcast
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     p = jnp.where(mask, jnp.exp(s - m) / l_safe, 0.0)      # [bq, bk]
@@ -209,9 +252,11 @@ def _recomputed_p_ds(q, k, v, do, l, m, di, *, scale, causal, causal_offset,
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
-                          dk_ref, dv_ref, dk_acc, dv_acc,
-                          *, scale, causal, block_q, block_k, kv_len, q_len,
-                          n_q):
+                          *refs, scale, causal, block_q, block_k, kv_len,
+                          q_len, n_q, has_mask=False):
+    if has_mask:
+        kv_mask_ref, *refs = refs
+    (dk_ref, dv_ref, dk_acc, dv_acc) = refs
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     causal_offset = kv_len - q_len
@@ -238,6 +283,7 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
             scale=scale, causal=causal, causal_offset=causal_offset,
             q_base=qi * block_q, k_base=ki * block_k,
             kv_len=kv_len, q_len=q_len, block_q=block_q, block_k=block_k,
+            kv_mask=kv_mask_ref[0] if has_mask else None,
         )
         # dv += pᵀ · do ; dk += dsᵀ · q · scale
         dv_acc[...] += jax.lax.dot_general(
@@ -255,9 +301,11 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
-                         dq_ref, dq_acc,
-                         *, scale, causal, block_q, block_k, kv_len, q_len,
-                         n_k):
+                         *refs, scale, causal, block_q, block_k, kv_len,
+                         q_len, n_k, has_mask=False):
+    if has_mask:
+        kv_mask_ref, *refs = refs
+    (dq_ref, dq_acc) = refs
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     causal_offset = kv_len - q_len
@@ -282,6 +330,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
             scale=scale, causal=causal, causal_offset=causal_offset,
             q_base=qi * block_q, k_base=ki * block_k,
             kv_len=kv_len, q_len=q_len, block_q=block_q, block_k=block_k,
+            kv_mask=kv_mask_ref[0] if has_mask else None,
         )
         # dq += ds · k · scale
         dq_acc[...] += jax.lax.dot_general(
@@ -294,12 +343,12 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, m_ref, di_ref,
         dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, interpret, residuals, do):
+def _flash_backward(q, k, v, o, l, m, do, *, scale, causal, block_q, block_k,
+                    interpret, kv_mask=None, n_heads=1):
     """Blockwise backward: recompute each tile's probabilities from the saved
     (l, m) residuals and accumulate dq/dk/dv in VMEM — the [t, t] matrices are
     never materialized (guide §7: separate dKV and dQ kernels sharing a
     precomputed di = Σ(o·do))."""
-    q, k, v, o, l, m = residuals
     bn, tq, h = q.shape
     tk = k.shape[1]
 
@@ -317,13 +366,23 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, residuals, do):
     n_q = q_p.shape[1] // block_q
     n_k = k_p.shape[1] // block_k
 
-    vma = _operand_vma(q, k, v, do)
+    has_mask = kv_mask is not None
+    # [b, 1, tk] for the same Mosaic block-shape rule as the forward
+    mask_p = _pad_to(kv_mask[:, None, :], 2, block_k) if has_mask else None
+    mask_operands = [mask_p] if has_mask else []
+
+    vma = _operand_vma(q, k, v, do) if not has_mask else \
+        _operand_vma(q, k, v, do, kv_mask)
     common = dict(scale=scale, causal=causal, block_q=block_q,
-                  block_k=block_k, kv_len=tk, q_len=tq)
+                  block_k=block_k, kv_len=tk, q_len=tq, has_mask=has_mask)
 
     q_spec = pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, j, 0))
     kv_spec = pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, i, 0))
     stat_spec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, j, 0))
+    # dkv grid is (bn, kv-block i, q-block j): the mask follows the kv block
+    mask_spec = [pl.BlockSpec(
+        (1, 1, block_k), lambda b, i, j, nh=n_heads: (b // nh, 0, i)
+    )] if has_mask else []
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, n_q=n_q, **common),
@@ -333,7 +392,7 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, residuals, do):
         ),
         grid=(bn, n_k, n_q),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, stat_spec, stat_spec,
-                  stat_spec],
+                  stat_spec] + mask_spec,
         out_specs=(
             pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, i, 0)),
@@ -346,30 +405,70 @@ def _flash_bwd(scale, causal, block_q, block_k, interpret, residuals, do):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_p, k_p, v_p, do_p, l_p, m_p, di_p)
+    )(q_p, k_p, v_p, do_p, l_p, m_p, di_p, *mask_operands)
 
     q_spec2 = pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, i, 0))
     kv_spec2 = pl.BlockSpec((1, block_k, h), lambda b, i, j: (b, j, 0))
     stat_spec2 = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
+    # dq grid is (bn, q-block i, kv-block j)
+    mask_spec2 = [pl.BlockSpec(
+        (1, 1, block_k), lambda b, i, j, nh=n_heads: (b // nh, 0, j)
+    )] if has_mask else []
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, n_k=n_k, **common),
         out_shape=jax.ShapeDtypeStruct(q_p.shape, q.dtype, vma=vma),
         grid=(bn, n_q, n_k),
         in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, stat_spec2,
-                  stat_spec2, stat_spec2],
+                  stat_spec2, stat_spec2] + mask_spec2,
         out_specs=pl.BlockSpec((1, block_q, h), lambda b, i, j: (b, i, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, h), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_p, k_p, v_p, do_p, l_p, m_p, di_p)
+    )(q_p, k_p, v_p, do_p, l_p, m_p, di_p, *mask_operands)
 
     return dq[:, :tq], dk[:, :tk], dv[:, :tk]
 
 
+def _flash_bwd(scale, causal, block_q, block_k, interpret, residuals, do):
+    q, k, v, o, l, m = residuals
+    return _flash_backward(q, k, v, o, l, m, do, scale=scale, causal=causal,
+                           block_q=block_q, block_k=block_k,
+                           interpret=interpret)
+
+
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_masked(q, k, v, kv_mask, scale, causal, block_q, block_k,
+                  n_heads, interpret):
+    o, _, _ = _flash_forward(q, k, v, scale, causal, block_q, block_k,
+                             interpret, kv_mask=kv_mask, n_heads=n_heads)
+    return o
+
+
+def _flash_masked_fwd(q, k, v, kv_mask, scale, causal, block_q, block_k,
+                      n_heads, interpret):
+    o, l, m = _flash_forward(q, k, v, scale, causal, block_q, block_k,
+                             interpret, kv_mask=kv_mask, n_heads=n_heads)
+    return o, (q, k, v, kv_mask, o, l, m)
+
+
+def _flash_masked_bwd(scale, causal, block_q, block_k, n_heads, interpret,
+                      residuals, do):
+    q, k, v, kv_mask, o, l, m = residuals
+    dq, dk, dv = _flash_backward(
+        q, k, v, o, l, m, do, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, interpret=interpret, kv_mask=kv_mask,
+        n_heads=n_heads)
+    # the mask is non-differentiable; a zero cotangent keeps custom_vjp happy
+    return dq, dk, dv, jnp.zeros_like(kv_mask)
+
+
+_flash_masked.defvjp(_flash_masked_fwd, _flash_masked_bwd)
 
 
 def _auto_block(t):
@@ -400,6 +499,7 @@ def flash_attention(
     key=None,
     scale: Optional[float] = None,
     causal: bool = False,
+    kv_mask=None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -409,6 +509,11 @@ def flash_attention(
     Numerically equivalent to softmax(q·kᵀ/√h)·v (float32 statistics); the
     ``[t, t]`` scores matrix is never materialized in the forward pass.
     Differentiable via custom VJP.
+
+    ``kv_mask`` is an optional ``[batch, tv]`` boolean key-validity mask
+    (True = attend); masked keys get exactly zero probability in forward and
+    backward. Rows with no valid key return zeros (see module docstring for
+    the documented divergence from the XLA path's uniform average).
 
     Default block sizes (``tools/bench_flash_attention.py``, v5e): one
     exact-fit block (t rounded up to 128) when that stays ≤1024 — avoiding
@@ -438,6 +543,15 @@ def flash_attention(
         # `interpret` explicitly — parallel/context_parallel.py does.
         interpret = jax.default_backend() == "cpu"
     fold = lambda x: x.reshape(b * n, x.shape[2], h)
-    out = _flash(fold(query), fold(key), fold(value),
-                 scale, causal, block_q, block_k, bool(interpret))
+    if kv_mask is not None:
+        if kv_mask.shape != (b, tk):
+            raise ValueError(
+                f"kv_mask shape {kv_mask.shape} != (batch, tv) = {(b, tk)}")
+        out = _flash_masked(fold(query), fold(key), fold(value),
+                            kv_mask.astype(jnp.float32),
+                            scale, causal, block_q, block_k, n,
+                            bool(interpret))
+    else:
+        out = _flash(fold(query), fold(key), fold(value),
+                     scale, causal, block_q, block_k, bool(interpret))
     return out.reshape(b, n, tq, h)

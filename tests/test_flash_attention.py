@@ -120,17 +120,84 @@ def test_mha_flash_impl_matches_xla():
     np.testing.assert_allclose(out_flash, out_xla, atol=2e-5)
 
 
-def test_mha_flash_falls_back_with_masks():
+def test_mha_flash_with_masks_matches_xla():
+    """q/v padding masks now run IN the kernel (VERDICT r3 next #3) — the
+    flash MHA must match the XLA MHA on a padded batch, not fall back."""
     from chambers_tpu.layers import MultiHeadAttention
 
     rng = np.random.RandomState(0)
-    x = rng.randn(2, 10, 32).astype(np.float32)
-    mask = rng.rand(2, 10) > 0.3
-    mha = MultiHeadAttention(head_dim=8, num_heads=4, dropout_rate=0.0,
-                             attention_impl="flash")
-    variables = mha.init(jax.random.PRNGKey(0), [x, x], mask=[mask, mask])
-    out = mha.apply(variables, [x, x], mask=[mask, mask])  # xla fallback
-    assert np.isfinite(np.asarray(out)).all()
+    x = rng.randn(2, 140, 32).astype(np.float32)
+    mask = rng.rand(2, 140) > 0.25
+    mask[:, 0] = True  # every query row keeps at least one valid key
+    mha_xla = MultiHeadAttention(head_dim=8, num_heads=4, dropout_rate=0.0)
+    mha_flash = MultiHeadAttention(head_dim=8, num_heads=4, dropout_rate=0.0,
+                                   attention_impl="flash")
+    variables = mha_xla.init(jax.random.PRNGKey(0), [x, x],
+                             mask=[mask, mask])
+    out_xla = np.asarray(mha_xla.apply(variables, [x, x], mask=[mask, mask]))
+    out_flash = np.asarray(
+        mha_flash.apply(variables, [x, x], mask=[mask, mask]))
+    np.testing.assert_allclose(out_flash, out_xla, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_kv_mask_matches_xla(qkv, causal):
+    q, k, v = qkv
+    rng = np.random.RandomState(7)
+    kv_mask = rng.rand(2, 197) > 0.25
+    kv_mask[:, :2] = True  # >=1 valid key for every (also causal) row
+    out_flash = flash_attention(q, v, k, causal=causal,
+                                kv_mask=jnp.asarray(kv_mask))
+    out_xla = scaled_dot_product_attention(q, v, k, causal=causal,
+                                           v_mask=jnp.asarray(kv_mask))
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=2e-5)
+
+
+def test_kv_mask_gradients_match_xla(qkv):
+    q, k, v = qkv
+    rng = np.random.RandomState(8)
+    kv_mask = jnp.asarray(rng.rand(2, 197) > 0.25).at[:, :2].set(True)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, v, k, kv_mask=kv_mask) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(
+            scaled_dot_product_attention(q, v, k, v_mask=kv_mask) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-4)
+
+
+def test_kv_mask_cross_attention_lengths():
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(2, 2, 70, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 2, 150, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 2, 150, 32).astype(np.float32))
+    kv_mask = jnp.asarray(rng.rand(2, 150) > 0.3).at[:, 0].set(True)
+    out_flash = flash_attention(q, v, k, kv_mask=kv_mask)
+    out_xla = scaled_dot_product_attention(q, v, k, v_mask=kv_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=2e-5)
+
+
+def test_kv_mask_fully_masked_row_is_finite_zero():
+    """Documented divergence: flash returns zeros for a query whose keys are
+    all masked; the XLA path returns the uniform average. Both finite."""
+    rng = np.random.RandomState(10)
+    q = jnp.asarray(rng.randn(1, 2, 130, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 130, 16).astype(np.float32))
+    kv_mask = jnp.zeros((1, 130), bool)
+    out = np.asarray(flash_attention(q, v, kv_mask=kv_mask))
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out, np.zeros_like(out))
+    out_xla = np.asarray(
+        scaled_dot_product_attention(q, v, v_mask=kv_mask))
+    assert np.isfinite(out_xla).all()
 
 
 def test_vit_preset_with_flash():
