@@ -35,6 +35,12 @@ class Seq2SeqTransformer(nn.Module):
     num_decoder_layers: int
     dropout_rate: float = 0.1
     dtype: Optional[Any] = None
+    # 'flash' runs the Pallas blockwise kernel with the token padding masks
+    # applied in-kernel (ops/flash_attention.py) — the fwd+bwd win regime is
+    # t >= 512 (BASELINE.md); attention dropout and cached decode steps fall
+    # back to XLA automatically.
+    attention_impl: str = "xla"
+    score_dtype: Optional[Any] = None
     # GShard-style MoE on BOTH stacks: every n-th encoder and decoder MLP
     # becomes a routed expert MLP (chambers_tpu.layers.moe). 0 = dense
     # everywhere (the reference architecture).
@@ -70,6 +76,8 @@ class Seq2SeqTransformer(nn.Module):
             moe_n_selected_experts=self.moe_n_selected_experts,
             moe_group_size=self.moe_group_size,
             dtype=self.dtype,
+            attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype,
             name="encoder",
         )
         self.decoder = Decoder(
@@ -89,6 +97,8 @@ class Seq2SeqTransformer(nn.Module):
             moe_n_selected_experts=self.moe_n_selected_experts,
             moe_group_size=self.moe_group_size,
             dtype=self.dtype,
+            attention_impl=self.attention_impl,
+            score_dtype=self.score_dtype,
             name="decoder",
         )
         self.vocab_head = QuantDense(self.output_vocab_size, dtype=self.dtype)

@@ -65,3 +65,60 @@ def test_jit_and_grad():
 
     grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+
+
+class TestFlashSeq2Seq:
+    """attention_impl='flash' end-to-end: the padding masks (token id 0) now
+    run inside the Pallas kernel (VERDICT r3 next #3), so a padded batch
+    must match the XLA path in forward AND gradients."""
+
+    def _model(self, impl):
+        return Seq2SeqTransformer(
+            input_vocab_size=16, output_vocab_size=16, embed_dim=32,
+            num_heads=2, dim_feedforward=64, num_encoder_layers=2,
+            num_decoder_layers=2, dropout_rate=0.0, attention_impl=impl,
+        )
+
+    def test_padded_forward_and_grads_match_xla(self):
+        rng = np.random.RandomState(0)
+        src = jnp.asarray(rng.randint(1, 16, (4, 12)), jnp.int32)
+        src = src.at[:, 9:].set(0)
+        src = src.at[0, 5:].set(0)  # ragged padding across the batch
+        tgt = jnp.asarray(rng.randint(1, 16, (4, 12)), jnp.int32)
+        tgt = tgt.at[:, 10:].set(0)
+
+        m_xla = self._model("xla")
+        m_flash = self._model("flash")
+        variables = m_xla.init(jax.random.PRNGKey(0), (src, tgt))
+
+        def loss(m):
+            def f(params):
+                logits = m.apply({"params": params}, (src, tgt),
+                                 deterministic=True)
+                return jnp.mean(logits.astype(jnp.float32) ** 2)
+            return f
+
+        lx, gx = jax.value_and_grad(loss(m_xla))(variables["params"])
+        lf, gf = jax.value_and_grad(loss(m_flash))(variables["params"])
+        np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4),
+            gf, gx)
+
+    def test_flash_generation_matches_xla(self):
+        from chambers_tpu.models import greedy_decode
+
+        rng = np.random.RandomState(1)
+        src = jnp.asarray(rng.randint(1, 16, (3, 12)), jnp.int32)
+        src = src.at[:, 8:].set(0)
+        m_xla = self._model("xla")
+        m_flash = self._model("flash")
+        variables = m_xla.init(
+            jax.random.PRNGKey(0),
+            (src, jnp.zeros((1, 12), jnp.int32)))
+        want = greedy_decode(m_xla, variables, src, max_len=8, bos_id=1,
+                             use_cache=True)
+        got = greedy_decode(m_flash, variables, src, max_len=8, bos_id=1,
+                            use_cache=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
