@@ -1,4 +1,5 @@
 from chambers_tpu.models.generation import (
+    apply_top_k_top_p,
     beam_search_decode,
     greedy_decode,
     sample_decode,

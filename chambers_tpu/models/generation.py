@@ -247,6 +247,7 @@ def greedy_decode(module, variables, tokens, *, max_len: int, bos_id: int,
 
 def sample_decode(module, variables, tokens, key, *, max_len: int,
                   bos_id: int, temperature: float = 1.0,
+                  top_k: Optional[int] = None, top_p: Optional[float] = None,
                   eos_id: Optional[int] = None, pad_id: int = 0,
                   use_cache: Optional[bool] = None) -> Any:
     """Temperature sampling over the same compiled loop as
@@ -257,6 +258,10 @@ def sample_decode(module, variables, tokens, key, *, max_len: int,
     ``temperature -> 0`` recovers greedy decoding (exactly in float32;
     under bf16 activations two logits one ULP apart can round differently
     in the two compiled loops, so near-tied steps may diverge).
+
+    ``top_k`` / ``top_p`` restrict each step's candidate set before the
+    draw (:func:`apply_top_k_top_p` — temperature first, then top-k, then
+    nucleus top-p). ``top_k=1`` recovers greedy decoding exactly.
     """
     if temperature <= 0:
         raise ValueError(f"temperature={temperature} must be > 0 "
@@ -265,8 +270,9 @@ def sample_decode(module, variables, tokens, key, *, max_len: int,
     inv_t = jnp.float32(1.0 / temperature)
 
     def select(i, logits_f32):
+        scaled = apply_top_k_top_p(logits_f32 * inv_t, top_k, top_p)
         return jax.random.categorical(
-            jax.random.fold_in(key, i), logits_f32 * inv_t, axis=-1
+            jax.random.fold_in(key, i), scaled, axis=-1
         )
 
     if _resolve_use_cache(module, use_cache):
@@ -275,6 +281,66 @@ def sample_decode(module, variables, tokens, key, *, max_len: int,
     step_logits = _make_stepper(module, variables, tokens)
     return _decode_loop(step_logits, select, tokens.shape[0], max_len,
                         bos_id, eos_id, pad_id)
+
+
+def apply_top_k_top_p(logits, top_k: Optional[int] = None,
+                      top_p: Optional[float] = None):
+    """Restrict ``[..., vocab]`` float32 logits to the top-k and/or nucleus
+    (top-p) candidate sets by masking everything else to ``-inf``.
+
+    Standard serving semantics (applied after temperature scaling, top-k
+    before top-p): top-k keeps every logit >= the k-th largest (ties at the
+    threshold all survive — threshold-compare is the compiled-friendly
+    formulation, no scatter); top-p keeps the smallest prefix of the
+    descending-sorted distribution whose cumulative probability reaches
+    ``top_p`` (the first token always survives, so the result is never
+    empty). Both are O(vocab log vocab) sorts per step — vocab-sized work
+    the sampling step already does in its softmax.
+    """
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError(f"top_k={top_k} must be >= 1")
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits >= kth, logits, -jnp.inf)
+    if top_p is not None:
+        if not 0.0 < top_p <= 1.0:
+            raise ValueError(f"top_p={top_p} must be in (0, 1]")
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        # cumulative prob of STRICTLY higher-ranked tokens; token i is kept
+        # while that mass is < top_p, so the top-1 token always survives
+        cum = jnp.cumsum(probs, axis=-1) - probs
+        keep_sorted = cum < top_p
+        # smallest kept logit = the acceptance threshold
+        threshold = jnp.min(
+            jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+            keepdims=True)
+        logits = jnp.where(logits >= threshold, logits, -jnp.inf)
+    return logits
+
+
+def _finalize_beams(out, scores, pad_id: int, length_penalty: float):
+    """Pick the best of ``k`` hypotheses per batch row.
+
+    ``length_penalty=0`` keeps the raw joint log-prob ranking (``out`` is
+    already sorted, beam 0 wins). Otherwise hypotheses are re-ranked by the
+    GNMT brevity penalty ``score / ((5 + L) / 6)**alpha`` with ``L`` the
+    number of non-pad tokens — applied to the FINAL candidates (in-loop
+    pruning stays raw-score, the usual single-pass-beam compromise; a
+    finished short hypothesis still competes against longer ones here).
+    Returns ``(best [b, max_len], best_score [b])`` with the score
+    normalized when a penalty is set.
+    """
+    if not length_penalty:
+        return out[:, 0], scores[:, 0]
+    lengths = jnp.sum(out != pad_id, axis=-1).astype(jnp.float32)  # [b, k]
+    penalty = ((5.0 + lengths) / 6.0) ** length_penalty
+    normalized = scores / jnp.maximum(penalty, 1e-9)
+    best_idx = jnp.argmax(normalized, axis=-1)                     # [b]
+    best = jnp.take_along_axis(out, best_idx[:, None, None], axis=1)[:, 0]
+    best_score = jnp.take_along_axis(normalized, best_idx[:, None],
+                                     axis=1)[:, 0]
+    return best, best_score
 
 
 def _gather_beam_cache(cache, parent, b, k):
@@ -292,6 +358,7 @@ def _gather_beam_cache(cache, parent, b, k):
 def beam_search_decode(module, variables, tokens, *, max_len: int,
                        bos_id: int, beam_size: int,
                        eos_id: Optional[int] = None, pad_id: int = 0,
+                       length_penalty: float = 0.0,
                        return_scores: bool = False,
                        use_cache: Optional[bool] = None) -> Any:
     """Beam search as one compiled program — static ``[b·beam]`` decode
@@ -300,11 +367,16 @@ def beam_search_decode(module, variables, tokens, *, max_len: int,
     hypothesis reshuffle as a ``take_along_axis`` gather over the tiny beam
     axis. No dynamic shapes anywhere.
 
-    Hypothesis scores are sums of ``log_softmax`` token log-probs (no
-    length penalty). With ``eos_id`` set, a finished hypothesis emits
-    ``pad_id`` at zero cost from then on — its score freezes and it keeps
-    competing for a beam slot. ``beam_size=1`` reduces exactly to
-    :func:`greedy_decode`.
+    Hypothesis scores are sums of ``log_softmax`` token log-probs. With
+    ``eos_id`` set, a finished hypothesis emits ``pad_id`` at zero cost from
+    then on — its score freezes and it keeps competing for a beam slot.
+    ``beam_size=1`` reduces exactly to :func:`greedy_decode`.
+
+    ``length_penalty`` (alpha > 0) re-ranks the final ``k`` hypotheses by
+    the GNMT brevity penalty ``score / ((5 + L) / 6)**alpha`` so longer
+    finished sequences are not unfairly dominated by shorter ones
+    (:func:`_finalize_beams`; in-loop pruning stays raw-score). The
+    returned score is the normalized one when a penalty is set.
 
     :returns: ``[b, max_len]`` int32 best sequences, or a
         ``(sequences, scores)`` tuple with ``[b]`` float32 log-prob scores
@@ -386,5 +458,7 @@ def beam_search_decode(module, variables, tokens, *, max_len: int,
         _, out, scores, _ = _scan_steps(
             body, (tgt0, out0, scores0, finished0), max_len
         )
-    best, best_scores = out[:, 0], scores[:, 0]  # top_k sorts descending
+    # top_k sorts descending: beam 0 wins under raw ranking; a length
+    # penalty re-ranks the final k hypotheses
+    best, best_scores = _finalize_beams(out, scores, pad_id, length_penalty)
     return (best, best_scores) if return_scores else best

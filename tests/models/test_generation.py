@@ -330,3 +330,121 @@ def test_quantized_decode_warns(model_and_vars):
     with warnings.catch_warnings():
         warnings.simplefilter("error", QuantizedDecodeWarning)
         greedy_decode(module, variables, src, max_len=4, bos_id=BOS)
+
+
+class TestTopKTopP:
+    """apply_top_k_top_p: the serving-standard candidate restriction."""
+
+    def test_top_k_masks_everything_below_kth(self):
+        from chambers_tpu.models import apply_top_k_top_p
+
+        logits = jnp.asarray([[4.0, 1.0, 3.0, 2.0, 0.0]])
+        out = np.asarray(apply_top_k_top_p(logits, top_k=2))
+        np.testing.assert_array_equal(out[0, [0, 2]], [4.0, 3.0])
+        assert np.all(np.isneginf(out[0, [1, 3, 4]]))
+
+    def test_top_k_threshold_ties_all_survive(self):
+        from chambers_tpu.models import apply_top_k_top_p
+
+        logits = jnp.asarray([[3.0, 3.0, 3.0, 1.0]])
+        out = np.asarray(apply_top_k_top_p(logits, top_k=2))
+        # threshold-compare semantics: all three tied maxima stay
+        np.testing.assert_array_equal(out[0, :3], [3.0, 3.0, 3.0])
+        assert np.isneginf(out[0, 3])
+
+    def test_top_p_keeps_smallest_nucleus(self):
+        from chambers_tpu.models import apply_top_k_top_p
+
+        # probs ~ [0.643, 0.237, 0.087, 0.032] for logits [3, 2, 1, 0]
+        logits = jnp.asarray([[3.0, 2.0, 1.0, 0.0]])
+        out = np.asarray(apply_top_k_top_p(logits, top_p=0.7))
+        # 0.643 < 0.7 so token 1 is still needed; strictly-above mass at
+        # token 2 is 0.88 >= 0.7 -> masked
+        np.testing.assert_array_equal(out[0, :2], [3.0, 2.0])
+        assert np.all(np.isneginf(out[0, 2:]))
+
+    def test_top_p_always_keeps_top1(self):
+        from chambers_tpu.models import apply_top_k_top_p
+
+        logits = jnp.asarray([[5.0, 0.0, 0.0, 0.0]])
+        out = np.asarray(apply_top_k_top_p(logits, top_p=1e-6))
+        assert out[0, 0] == 5.0
+        assert np.all(np.isneginf(out[0, 1:]))
+
+    def test_validation(self):
+        from chambers_tpu.models import apply_top_k_top_p
+
+        logits = jnp.zeros((1, 4))
+        with pytest.raises(ValueError, match="top_k"):
+            apply_top_k_top_p(logits, top_k=0)
+        with pytest.raises(ValueError, match="top_p"):
+            apply_top_k_top_p(logits, top_p=0.0)
+        with pytest.raises(ValueError, match="top_p"):
+            apply_top_k_top_p(logits, top_p=1.5)
+
+    def test_sample_top_k1_equals_greedy(self, model_and_vars):
+        from chambers_tpu.models import sample_decode
+
+        module, variables = model_and_vars
+        src = jnp.asarray(
+            np.random.default_rng(41).integers(1, 16, (3, 8)), jnp.int32)
+        want = greedy_decode(module, variables, src, max_len=8, bos_id=BOS)
+        got = sample_decode(module, variables, src, jax.random.PRNGKey(0),
+                            max_len=8, bos_id=BOS, temperature=1.0, top_k=1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_sample_cached_equals_full_with_top_k_top_p(self, model_and_vars):
+        from chambers_tpu.models import sample_decode
+
+        module, variables = model_and_vars
+        src = jnp.asarray(
+            np.random.default_rng(42).integers(1, 16, (3, 8)), jnp.int32)
+        key = jax.random.PRNGKey(5)
+        kwargs = dict(max_len=8, bos_id=BOS, temperature=1.3, top_k=5,
+                      top_p=0.9)
+        full = sample_decode(module, variables, src, key, use_cache=False,
+                             **kwargs)
+        cached = sample_decode(module, variables, src, key, use_cache=True,
+                               **kwargs)
+        np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+
+
+class TestBeamLengthPenalty:
+    def test_zero_penalty_is_identity(self, model_and_vars):
+        from chambers_tpu.models import beam_search_decode
+
+        module, variables = model_and_vars
+        src = jnp.asarray(
+            np.random.default_rng(43).integers(1, 16, (3, 8)), jnp.int32)
+        a = beam_search_decode(module, variables, src, max_len=8, bos_id=BOS,
+                               beam_size=3, eos_id=2)
+        b = beam_search_decode(module, variables, src, max_len=8, bos_id=BOS,
+                               beam_size=3, eos_id=2, length_penalty=0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_finalize_reranks_by_gnmt_penalty(self):
+        from chambers_tpu.models.generation import _finalize_beams
+
+        # beam 0: short (2 tokens) score -2; beam 1: long (6 tokens) -3.
+        # raw ranking picks beam 0; alpha=1 normalizes to -2/(7/6)=-1.714 vs
+        # -3/(11/6)=-1.636 -> beam 1 wins
+        out = jnp.asarray([[[7, 2, 0, 0, 0, 0], [5, 5, 5, 5, 5, 2]]])
+        scores = jnp.asarray([[-2.0, -3.0]])
+        best0, s0 = _finalize_beams(out, scores, pad_id=0, length_penalty=0.0)
+        np.testing.assert_array_equal(np.asarray(best0[0]), out[0, 0])
+        best1, s1 = _finalize_beams(out, scores, pad_id=0, length_penalty=1.0)
+        np.testing.assert_array_equal(np.asarray(best1[0]), out[0, 1])
+        np.testing.assert_allclose(float(s1[0]), -3.0 / (11.0 / 6.0),
+                                   rtol=1e-6)
+
+    def test_length_penalty_jits(self, model_and_vars):
+        from chambers_tpu.models import beam_search_decode
+
+        module, variables = model_and_vars
+        src = jnp.asarray(
+            np.random.default_rng(44).integers(1, 16, (2, 8)), jnp.int32)
+        seq, score = jax.jit(lambda v, s: beam_search_decode(
+            module, v, s, max_len=8, bos_id=BOS, beam_size=3, eos_id=2,
+            length_penalty=0.6, return_scores=True))(variables, src)
+        assert seq.shape == (2, 8)
+        assert np.isfinite(np.asarray(score)).all()
