@@ -11,6 +11,7 @@ scale (checkpoint-resume rather than a failure-detection layer).
 from __future__ import annotations
 
 import os
+import signal
 from typing import Any, Optional
 
 import jax
@@ -102,6 +103,7 @@ class CheckpointCallback(Callback):
 
     def restore_into(self, trainer) -> bool:
         """Restore-on-start: load the latest state into ``trainer``.
+        (implementation shared with :class:`PreemptionCheckpoint`)
 
         Migration: checkpoints written before ``TrainState`` gained the
         ``extra_vars`` field (mutable BatchNorm stats) lack that subtree;
@@ -129,3 +131,71 @@ class CheckpointCallback(Callback):
             return False
         trainer.state = restored
         return True
+
+
+class PreemptionCheckpoint(CheckpointCallback):
+    """Preemption-safe checkpointing: save on SIGTERM and stop cleanly.
+
+    TPU VMs receive SIGTERM ahead of maintenance events and spot/preemptible
+    reclaims. This callback installs a handler for the duration of
+    ``Trainer.fit`` that, at the NEXT batch boundary after the signal
+    lands (never mid-XLA-dispatch, never from inside the signal handler —
+    async checkpointing from signal context is unsafe), force-saves the
+    full train state (params + optimizer + PRNG + step), blocks until the
+    write is durable, and sets ``trainer.stop_training`` so ``fit`` returns
+    normally. Restart the same program and :meth:`restore_into` resumes
+    from the exact step.
+
+    Also supports a mid-epoch cadence (``save_every_steps``) so long epochs
+    don't regress to epoch-boundary granularity — saves stay async on that
+    path; only the preemption save blocks.
+
+    The previous handler is restored on ``on_train_end``, so process
+    managers keep their own SIGTERM behavior outside ``fit``.
+    """
+
+    def __init__(self, directory: str, trainer, max_to_keep: int = 3,
+                 save_every_steps: Optional[int] = None,
+                 signals=(signal.SIGTERM,)):
+        super().__init__(directory, trainer, max_to_keep=max_to_keep)
+        self.save_every_steps = save_every_steps
+        self.signals = tuple(signals)
+        self._received: Optional[int] = None
+        self._previous: dict = {}
+
+    # -- signal plumbing ----------------------------------------------------
+    def _handler(self, signum, frame):
+        # only record the fact; all real work happens at a batch boundary
+        self._received = signum
+
+    def on_train_begin(self, logs=None):
+        self._received = None
+        self._previous = {
+            s: signal.signal(s, self._handler) for s in self.signals
+        }
+
+    def on_train_end(self, logs=None):
+        for s, prev in self._previous.items():
+            signal.signal(s, prev if callable(prev) or prev in (
+                signal.SIG_IGN, signal.SIG_DFL) else signal.SIG_DFL)
+        self._previous = {}
+        super().on_train_end(logs)
+
+    # -- checkpoint cadence -------------------------------------------------
+    def on_train_batch_end(self, batch, logs=None):
+        step = int(self.trainer.state.step)
+        if self._received is not None:
+            self.manager.save(step, self.trainer.state, force=True)
+            self.manager.wait()  # durable before we let the process die
+            self.trainer.stop_training = True
+            print(f"PreemptionCheckpoint: signal "
+                  f"{signal.Signals(self._received).name} -> saved step "
+                  f"{step}, stopping")
+            self._received = None
+        elif self.save_every_steps and step and step % self.save_every_steps == 0:
+            self.manager.save(step, self.trainer.state)
+
+    @property
+    def preempted(self) -> bool:
+        """Whether a monitored signal arrived (and triggered the save)."""
+        return self.trainer.stop_training

@@ -96,6 +96,14 @@ class _CallbackModel:
         self._trainer = trainer
 
     @property
+    def stop_training(self):
+        return self._trainer.stop_training
+
+    @stop_training.setter
+    def stop_training(self, value):
+        self._trainer.stop_training = bool(value)
+
+    @property
     def variables(self):
         return self._trainer.variables
 
@@ -171,6 +179,10 @@ class Trainer:
         self.optimizer = optimizer
         self.metrics = dict(metrics or {})
         self.mesh = mesh
+        # Keras semantics: a callback may set this (directly or through its
+        # model facade) to end training at the next batch boundary —
+        # EarlyStopping-style control and the hook PreemptionCheckpoint uses
+        self.stop_training = False
         # split metrics: streaming (functional init/update/compute, live in
         # the jitted step) vs per-batch callables (averaged over the epoch)
         self._streaming = {
@@ -443,6 +455,7 @@ class Trainer:
         callback_list = CallbackList(list(callbacks))
         callback_list.set_model(_CallbackModel(self))
         callback_list.set_params({"epochs": epochs})
+        self.stop_training = False
         callback_list.on_train_begin()
 
         history = []
@@ -465,7 +478,8 @@ class Trainer:
                   else _DevicePrefetcher(iter(dataset), self._place_batch))
             step = 0
             any_batch = False
-            while steps_per_epoch is None or step < steps_per_epoch:
+            while ((steps_per_epoch is None or step < steps_per_epoch)
+                   and not self.stop_training):
                 try:
                     x, y = next(it)
                 except StopIteration:
@@ -489,7 +503,7 @@ class Trainer:
                 callback_list.on_train_batch_end(step, step_logs)
                 step += 1
 
-            if not any_batch and epoch > initial_epoch:
+            if not any_batch and not self.stop_training and epoch > initial_epoch:
                 raise ValueError(
                     "Dataset yielded no batches after the first epoch — "
                     "pass a re-iterable dataset, or use `repeats`/"
@@ -512,6 +526,8 @@ class Trainer:
                 print(f"Epoch {epoch + 1}/{epochs} [{dt:.1f}s] {msg}")
             callback_list.on_epoch_end(epoch, logs)
             history.append(logs)
+            if self.stop_training:
+                break
 
         callback_list.on_train_end()
         self.sync_model()

@@ -241,3 +241,71 @@ def test_checkpoint_restore_across_topologies(tmp_path):
         assert np.isfinite(h[0]["loss"])
         cb2.manager.close()
     cb.manager.close()
+
+
+class TestPreemption:
+    """PreemptionCheckpoint: SIGTERM -> durable save at the next batch
+    boundary, clean stop, exact resume (SURVEY §5.3 elastic recovery)."""
+
+    def test_stop_training_ends_fit_early(self):
+        from chambers_tpu.callbacks import Callback
+
+        class StopAtEpoch0(Callback):
+            def on_epoch_end(self, epoch, logs=None):
+                self.model.stop_training = True
+
+        trainer = _trainer()
+        history = trainer.fit(_data(), epochs=5, verbose=False,
+                              callbacks=[StopAtEpoch0()])
+        assert len(history) == 1
+
+    def test_sigterm_saves_and_stops(self, tmp_path):
+        import os
+        import signal
+
+        from chambers_tpu.callbacks import Callback
+        from chambers_tpu.training.checkpoint import PreemptionCheckpoint
+
+        class SendSigterm(Callback):
+            """Deliver SIGTERM to ourselves during batch 1 of epoch 0 —
+            exactly what a TPU reclaim does to the training process."""
+            def __init__(self):
+                self.sent = False
+
+            def on_train_batch_begin(self, batch, logs=None):
+                if batch == 1 and not self.sent:
+                    self.sent = True
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+        trainer = _trainer()
+        pc = PreemptionCheckpoint(str(tmp_path / "pc"), trainer)
+        prev_handler = signal.getsignal(signal.SIGTERM)
+        history = trainer.fit(_data(8), epochs=3, verbose=False,
+                              callbacks=[SendSigterm(), pc])
+        # stopped in epoch 0, after batch 2 (the boundary after the signal)
+        assert len(history) == 1
+        saved_step = int(trainer.state.step)
+        assert saved_step == 2
+        assert pc.manager.latest_step() == saved_step
+        # the original handler is back once fit returns
+        assert signal.getsignal(signal.SIGTERM) is prev_handler
+
+        # resume in a fresh trainer: exact step and params
+        trainer2 = _trainer(seed=1)
+        assert pc.restore_into(trainer2)
+        assert int(trainer2.state.step) == saved_step
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            trainer2.state.params, trainer.state.params)
+
+    def test_save_every_steps_cadence(self, tmp_path):
+        from chambers_tpu.training.checkpoint import PreemptionCheckpoint
+
+        trainer = _trainer()
+        pc = PreemptionCheckpoint(str(tmp_path / "cadence"), trainer,
+                                  max_to_keep=10, save_every_steps=2)
+        trainer.fit(_data(5), epochs=1, verbose=False, callbacks=[pc])
+        pc.manager.wait()
+        # steps 2 and 4 from the cadence, 5 from on_train_end
+        assert pc.manager.all_steps() == [2, 4, 5]
