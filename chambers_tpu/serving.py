@@ -77,3 +77,128 @@ def load_serving_artifact(path: str):
         exported = jax_export.deserialize(f.read())
 
     return jax.jit(exported.call)
+
+
+class BatchedServer:
+    """Dynamic request batching over a compiled fixed-batch forward.
+
+    XLA programs want one static batch size; serving traffic arrives one
+    request at a time. This is the standard reconciliation (the
+    TF-Serving/Triton "dynamic batcher"), sized for a single-host TPU
+    serving process: requests enqueue individual examples, a dispatcher
+    thread packs up to ``batch_size`` of them (waiting at most
+    ``max_delay_ms`` once it holds at least one), zero-pads the final slots
+    of a partial batch, runs ``fn`` ONCE per packed batch on the device,
+    and resolves each request's future with its own row.
+
+    ``fn`` is any ``[batch_size, ...] -> [batch_size, ...]`` callable — a
+    jitted ``model.apply_fn`` closure or a :func:`load_serving_artifact`
+    result (both compile once for the fixed shape; padding means no
+    recompiles, ever). Padded rows are computed and discarded — the
+    latency/throughput trade is ``max_delay_ms``.
+
+    Threading contract: ``submit`` is safe from any number of client
+    threads; JAX dispatch happens only on the single dispatcher thread.
+
+    Example::
+
+        serve = jax.jit(lambda x: model.apply_fn(variables, x,
+                                                 deterministic=True))
+        with BatchedServer(serve, batch_size=8, max_delay_ms=5) as server:
+            fut = server.submit(image)            # [h, w, c] single example
+            logits = fut.result()                 # [num_classes]
+    """
+
+    def __init__(self, fn, batch_size: int, max_delay_ms: float = 2.0):
+        import queue
+        import threading
+
+        if batch_size < 1:
+            raise ValueError(f"batch_size={batch_size} must be >= 1")
+        self.fn = fn
+        self.batch_size = int(batch_size)
+        self.max_delay = float(max_delay_ms) / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self.stats = {"requests": 0, "batches": 0, "padded_rows": 0}
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        name="BatchedServer", daemon=True)
+        self._thread.start()
+
+    def submit(self, example):
+        """Enqueue one example (shape = per-example shape the compiled fn
+        expects after the batch dim); returns a ``concurrent.futures.Future``
+        resolving to that example's output row."""
+        from concurrent.futures import Future
+
+        if self._closed:
+            raise RuntimeError("BatchedServer is closed")
+        fut: Future = Future()
+        self._queue.put((example, fut))
+        return fut
+
+    def submit_many(self, examples):
+        return [self.submit(e) for e in examples]
+
+    def _dispatch_loop(self):
+        import queue
+        import time
+
+        import numpy as np
+
+        while True:
+            item = self._queue.get()  # blocks; None = shutdown sentinel
+            if item is None:
+                return
+            batch = [item]
+            deadline = time.monotonic() + self.max_delay
+            while len(batch) < self.batch_size:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run_batch(batch, np)
+                    return
+                batch.append(nxt)
+            self._run_batch(batch, np)
+
+    def _run_batch(self, batch, np):
+        import jax
+
+        examples = [np.asarray(e) for e, _ in batch]
+        n = len(examples)
+        x = np.stack(examples)
+        if n < self.batch_size:
+            pad = np.zeros((self.batch_size - n,) + x.shape[1:], x.dtype)
+            x = np.concatenate([x, pad])
+        try:
+            out = jax.device_get(self.fn(x))
+        except Exception as exc:  # resolve every waiter, never deadlock
+            for _, fut in batch:
+                fut.set_exception(exc)
+            return
+        self.stats["requests"] += n
+        self.stats["batches"] += 1
+        self.stats["padded_rows"] += self.batch_size - n
+        rows = jax.tree.map(lambda o: [o[i] for i in range(n)], out)
+        for i, (_, fut) in enumerate(batch):
+            fut.set_result(jax.tree.map(
+                lambda r: r[i], rows, is_leaf=lambda v: isinstance(v, list)))
+
+    def close(self):
+        """Drain: stop accepting requests, finish queued ones, join."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -170,3 +170,108 @@ def test_export_moe_model(tmp_path):
     got = served(batch)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+class TestBatchedServer:
+    """Dynamic request batching over one compiled fixed-batch program."""
+
+    def _serve_fn(self):
+        calls = []
+
+        @jax.jit
+        def fn(x):
+            return x * 2.0 + 1.0
+
+        def counting(x):
+            calls.append(np.asarray(x).shape)
+            return fn(x)
+
+        return counting, calls
+
+    def test_full_batches_one_dispatch_each(self):
+        from chambers_tpu.serving import BatchedServer
+
+        fn, calls = self._serve_fn()
+        xs = [np.full((3,), i, np.float32) for i in range(8)]
+        with BatchedServer(fn, batch_size=4, max_delay_ms=200) as server:
+            futs = server.submit_many(xs)
+            outs = [f.result(timeout=30) for f in futs]
+        for i, out in enumerate(outs):
+            np.testing.assert_allclose(out, xs[i] * 2.0 + 1.0)
+        assert server.stats["requests"] == 8
+        assert server.stats["batches"] == 2
+        assert server.stats["padded_rows"] == 0
+        assert all(s == (4, 3) for s in calls)
+
+    def test_partial_batch_flushes_after_max_delay(self):
+        from chambers_tpu.serving import BatchedServer
+
+        fn, calls = self._serve_fn()
+        with BatchedServer(fn, batch_size=8, max_delay_ms=20) as server:
+            fut = server.submit(np.ones((2,), np.float32))
+            out = fut.result(timeout=30)  # resolves without 7 more requests
+        np.testing.assert_allclose(out, [3.0, 3.0])
+        assert server.stats["padded_rows"] == 7
+        assert calls and calls[0] == (8, 2)  # padded to the compiled batch
+
+    def test_concurrent_clients_get_their_own_rows(self):
+        import concurrent.futures
+
+        from chambers_tpu.serving import BatchedServer
+
+        fn, _ = self._serve_fn()
+        with BatchedServer(fn, batch_size=4, max_delay_ms=10) as server:
+            def client(i):
+                x = np.full((5,), float(i), np.float32)
+                return i, server.submit(x).result(timeout=30)
+
+            with concurrent.futures.ThreadPoolExecutor(8) as pool:
+                for i, out in pool.map(client, range(24)):
+                    np.testing.assert_allclose(out, np.full((5,), 2.0 * i + 1.0))
+
+    def test_fn_exception_propagates_to_futures(self):
+        from chambers_tpu.serving import BatchedServer
+
+        def broken(x):
+            raise RuntimeError("device on fire")
+
+        with BatchedServer(broken, batch_size=2, max_delay_ms=5) as server:
+            fut = server.submit(np.zeros((1,), np.float32))
+            with pytest.raises(RuntimeError, match="device on fire"):
+                fut.result(timeout=30)
+
+    def test_closed_server_rejects_submissions(self):
+        from chambers_tpu.serving import BatchedServer
+
+        fn, _ = self._serve_fn()
+        server = BatchedServer(fn, batch_size=2)
+        server.close()
+        server.close()  # idempotent
+        with pytest.raises(RuntimeError, match="closed"):
+            server.submit(np.zeros((1,), np.float32))
+
+    def test_serves_loaded_artifact(self, tmp_path):
+        """The batcher composes with the AOT StableHLO artifact — the full
+        production path: export, load (no model code), serve padded."""
+        from flax import linen as nn
+
+        from chambers_tpu.models import Model
+        from chambers_tpu.serving import (
+            BatchedServer, export_serving_artifact, load_serving_artifact)
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x, deterministic=True):
+                return nn.Dense(3)(x)
+
+        module = Net()
+        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+        model = Model(module, variables)
+        path = str(tmp_path / "m.stablehlo")
+        export_serving_artifact(model, path, input_shape=(4,), batch_size=4)
+        serve = load_serving_artifact(path)
+
+        want = np.asarray(module.apply(variables, jnp.ones((1, 4))))[0]
+        with BatchedServer(serve, batch_size=4, max_delay_ms=10) as server:
+            out = server.submit(np.ones((4,), np.float32)).result(timeout=60)
+        np.testing.assert_allclose(out, want, atol=1e-6)
