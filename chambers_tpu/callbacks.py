@@ -16,7 +16,9 @@ TF dependency this build avoids; the format is trivially convertible.
 import csv
 import datetime
 import json
+import math
 import os
+import warnings
 from typing import Optional
 
 
@@ -177,6 +179,102 @@ class ModelCheckpoint(Callback):
         path = self.filepath.format(epoch=epoch + 1, **{self.monitor: value})
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.model.save_weights(path)
+
+
+class EarlyStopping(Callback):
+    """Stop training when a monitored metric stops improving.
+
+    Keras ``EarlyStopping`` semantics (the reference's users reach for this
+    from ``tf.keras.callbacks``; here it drives ``Trainer.stop_training``):
+    ``patience`` epochs without an improvement of at least ``min_delta``
+    ends training; ``restore_best_weights`` puts the best epoch's params
+    (and mutable collections, e.g. BatchNorm stats) back when training
+    stops — optimizer state and step are left as-is, like Keras.
+    """
+
+    def __init__(self, monitor="val_loss", min_delta=0.0, patience=0,
+                 mode="auto", baseline=None, restore_best_weights=False):
+        if mode == "auto":
+            mode = "max" if any(
+                m in monitor for m in ("acc", "f1", "auc", "recall", "precision")
+            ) else "min"
+        if mode not in ("min", "max"):
+            raise ValueError(f"mode must be 'auto'|'min'|'max', got {mode!r}")
+        self.monitor = monitor
+        self.min_delta = abs(float(min_delta))
+        self.patience = int(patience)
+        self.mode = mode
+        self.baseline = baseline
+        self.restore_best_weights = restore_best_weights
+        self.stopped_epoch: Optional[int] = None
+
+    def _improved(self, value):
+        if self.mode == "max":
+            return value > self._best + self.min_delta
+        return value < self._best - self.min_delta
+
+    def on_train_begin(self, logs=None):
+        self._wait = 0
+        self.stopped_epoch = None
+        self._best_weights = None
+        if self.baseline is not None:
+            self._best = float(self.baseline)
+        else:
+            self._best = float("-inf") if self.mode == "max" else float("inf")
+
+    def on_epoch_end(self, epoch, logs=None):
+        logs = logs or {}
+        if self.monitor not in logs:
+            warnings.warn(
+                f"EarlyStopping monitors '{self.monitor}' which is not in "
+                f"the epoch logs {sorted(logs)}", stacklevel=2)
+            return
+        value = _scalarize(logs[self.monitor])
+        if self._improved(value):
+            self._best = value
+            self._wait = 0
+            if self.restore_best_weights:
+                self._best_weights = self.model.get_weights()
+            return
+        self._wait += 1
+        if self._wait > self.patience:
+            self.stopped_epoch = epoch
+            self.model.stop_training = True
+
+    def on_train_end(self, logs=None):
+        if self.restore_best_weights and self._best_weights is not None:
+            self.model.set_weights(self._best_weights)
+
+
+class TerminateOnNaN(Callback):
+    """Stop training the moment the loss goes non-finite.
+
+    ``check="epoch"`` (default) inspects the averaged epoch logs — free,
+    since those are already on host. ``check="batch"`` matches Keras's
+    per-batch behavior by ``float()``-ing the loss every step, which forces
+    a device sync per batch and stalls async dispatch — use it when
+    debugging a blow-up, not in production runs (the Trainer deliberately
+    keeps per-step losses on device, BASELINE.md "Trainer loop overhead").
+    """
+
+    def __init__(self, check: str = "epoch"):
+        if check not in ("epoch", "batch"):
+            raise ValueError(f"check must be 'epoch'|'batch', got {check!r}")
+        self.check = check
+
+    def _maybe_stop(self, value, where):
+        value = _scalarize(value)
+        if isinstance(value, float) and not math.isfinite(value):
+            print(f"TerminateOnNaN: non-finite loss at {where}, stopping")
+            self.model.stop_training = True
+
+    def on_train_batch_end(self, batch, logs=None):
+        if self.check == "batch" and logs and "loss" in logs:
+            self._maybe_stop(logs["loss"], f"batch {batch}")
+
+    def on_epoch_end(self, epoch, logs=None):
+        if logs and "loss" in logs:
+            self._maybe_stop(logs["loss"], f"epoch {epoch}")
 
 
 class ExperimentCallback(CallbackList):

@@ -103,6 +103,24 @@ class _CallbackModel:
     def stop_training(self, value):
         self._trainer.stop_training = bool(value)
 
+    def get_weights(self):
+        """Snapshot of the learnable state (params + mutable collections).
+
+        Copies the buffers: the Trainer's jitted step DONATES its state, so
+        merely holding the old pytree would leave the snapshot pointing at
+        deleted device memory one step later."""
+        state = self._trainer.state
+        copy = lambda x: x.copy() if hasattr(x, "copy") else x
+        return jax.tree.map(
+            copy, {"params": state.params, "extra_vars": state.extra_vars})
+
+    def set_weights(self, weights):
+        """Restore a :meth:`get_weights` snapshot (EarlyStopping's
+        restore_best_weights); optimizer state and step are untouched."""
+        self._trainer.state = self._trainer.state.replace(
+            params=weights["params"], extra_vars=weights["extra_vars"])
+        self._trainer.sync_model()
+
     @property
     def variables(self):
         return self._trainer.variables

@@ -579,3 +579,113 @@ def test_weight_decay_extension_class():
         WeightDecayExtension(0.1, decay_include=["a"], decay_exclude=["b"])
     rt = WeightDecayExtension.from_config(ext.get_config())
     assert rt.get_config() == ext.get_config()
+
+
+class TestControlCallbacks:
+    """EarlyStopping / TerminateOnNaN over Trainer.stop_training — the
+    Keras control callbacks a reference user reaches for (Keras gave them
+    for free; the Trainer supplies them natively)."""
+
+    class _StubModel:
+        def __init__(self):
+            self.stop_training = False
+            self.weights = {"params": {"w": jnp.zeros(1)},
+                            "extra_vars": {}}
+            self.restored = None
+
+        def get_weights(self):
+            return self.weights
+
+        def set_weights(self, w):
+            self.restored = w
+
+    def test_early_stopping_patience_and_restore(self):
+        from chambers_tpu.callbacks import EarlyStopping
+
+        es = EarlyStopping(monitor="val_loss", patience=1,
+                           restore_best_weights=True)
+        stub = self._StubModel()
+        es.set_model(stub)
+        es.on_train_begin()
+        # improving, then flat: best at epoch 1
+        for epoch, v in enumerate([1.0, 0.5, 0.6, 0.7]):
+            stub.weights = {"params": {"w": jnp.full(1, float(epoch))},
+                            "extra_vars": {}}
+            es.on_epoch_end(epoch, {"val_loss": v})
+            if stub.stop_training:
+                break
+        assert es.stopped_epoch == 3  # 0.6 (wait=1), 0.7 (wait=2 > 1)
+        es.on_train_end()
+        assert float(stub.restored["params"]["w"][0]) == 1.0  # epoch-1 snap
+
+    def test_early_stopping_max_mode_and_missing_monitor_warns(self):
+        import warnings as _w
+
+        from chambers_tpu.callbacks import EarlyStopping
+
+        es = EarlyStopping(monitor="val_acc", patience=0)  # auto -> max
+        assert es.mode == "max"
+        stub = self._StubModel()
+        es.set_model(stub)
+        es.on_train_begin()
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            es.on_epoch_end(0, {"loss": 1.0})
+        assert any("val_acc" in str(w.message) for w in caught)
+        es.on_epoch_end(1, {"val_acc": 0.5})
+        es.on_epoch_end(2, {"val_acc": 0.4})  # worse in max mode -> stop
+        assert stub.stop_training
+
+    def test_early_stopping_integration_restores_best(self):
+        """Real Trainer: monitor the (decreasing) train loss in max mode so
+        epoch 1 is 'best' — training stops and epoch-1 params come back."""
+        from chambers_tpu.callbacks import EarlyStopping
+
+        trainer = Trainer(_make_regression_model(), loss=_mse,
+                          optimizer=optax.adam(1e-2))
+        data = _batches(4)
+        es = EarlyStopping(monitor="loss", mode="max", patience=1,
+                           restore_best_weights=True)
+        snap = {}
+
+        class Snap(Callback):
+            def on_epoch_end(self, epoch, logs=None):
+                if epoch == 0:
+                    snap["params"] = self.model.get_weights()["params"]
+
+        history = trainer.fit(data, epochs=10, verbose=False,
+                              callbacks=[Snap(), es])
+        assert len(history) == 3  # best, wait=1, wait=2 -> stop
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            trainer.state.params, snap["params"])
+
+    def test_terminate_on_nan_batch_mode(self):
+        from chambers_tpu.callbacks import TerminateOnNaN
+
+        trainer = Trainer(_make_regression_model(),
+                          loss=lambda yt, yp: jnp.mean(yp) * jnp.nan,
+                          optimizer=optax.adam(1e-2))
+        data = _batches(4)
+        history = trainer.fit(data, epochs=3, verbose=False,
+                              callbacks=[TerminateOnNaN(check="batch")])
+        assert len(history) == 1
+        assert int(trainer.state.step) == 1  # stopped after the first batch
+
+    def test_terminate_on_nan_epoch_mode(self):
+        from chambers_tpu.callbacks import TerminateOnNaN
+
+        trainer = Trainer(_make_regression_model(),
+                          loss=lambda yt, yp: jnp.mean(yp) * jnp.nan,
+                          optimizer=optax.adam(1e-2))
+        data = _batches(4)
+        history = trainer.fit(data, epochs=3, verbose=False,
+                              callbacks=[TerminateOnNaN()])
+        assert len(history) == 1
+
+    def test_terminate_on_nan_validation(self):
+        from chambers_tpu.callbacks import TerminateOnNaN
+
+        with pytest.raises(ValueError, match="check"):
+            TerminateOnNaN(check="never")
