@@ -39,6 +39,10 @@ class TrainState:
     opt_state: Any
     rng: jax.Array
     step: jax.Array
+    # exponential moving average of params (Trainer(ema_decay=...)); None
+    # (an empty pytree node) when EMA is off, so the state structure — and
+    # therefore existing checkpoints — are unchanged unless it is enabled
+    ema_params: Any = None
 
 
 class _DevicePrefetcher:
@@ -163,7 +167,8 @@ class Trainer:
     def __init__(self, model, loss, optimizer, metrics: Optional[Dict[str, Callable]] = None,
                  seed: int = 0, apply_fn: Optional[Callable] = None,
                  donate: bool = True, mesh=None, param_sharding_rules=None,
-                 gradient_accumulation_steps: int = 1):
+                 gradient_accumulation_steps: int = 1,
+                 ema_decay: Optional[float] = None):
         """``mesh``: optional ``jax.sharding.Mesh`` — the train/eval steps run
         data-parallel over its ``data`` axis (batches are sharded per step,
         params replicated or sharded by ``param_sharding_rules``, and XLA
@@ -195,6 +200,12 @@ class Trainer:
                 optimizer, every_k_schedule=gradient_accumulation_steps
             )
         self.optimizer = optimizer
+        if ema_decay is not None and not 0.0 <= ema_decay < 1.0:
+            raise ValueError(f"ema_decay={ema_decay} must be in [0, 1)")
+        # DeiT-style parameter EMA: shadow params update inside the jitted
+        # step (ema = d*ema + (1-d)*params, zero host traffic); evaluate or
+        # export them via `ema_variables`
+        self.ema_decay = ema_decay
         self.metrics = dict(metrics or {})
         self.mesh = mesh
         # Keras semantics: a callback may set this (directly or through its
@@ -288,6 +299,13 @@ class Trainer:
                 rng=jax.random.PRNGKey(seed),
                 step=jnp.zeros([], jnp.int32),
             )
+        if ema_decay is not None:
+            # shadow starts at a COPY of the initial params (same values,
+            # same mesh placement, distinct buffers — the donated step may
+            # not receive one buffer in two arguments)
+            self.state = self.state.replace(
+                ema_params=jax.tree.map(lambda x: x.copy(),
+                                        self.state.params))
 
         module = model.module
         if apply_fn is None:
@@ -398,9 +416,15 @@ class Trainer:
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
+            ema_params = state.ema_params
+            if self.ema_decay is not None:
+                d = self.ema_decay
+                ema_params = jax.tree.map(
+                    lambda e, p: d * e + (1.0 - d) * p,
+                    state.ema_params, params)
             new_state = TrainState(
                 params=params, extra_vars=extra_vars, opt_state=opt_state,
-                rng=rng, step=state.step + 1,
+                rng=rng, step=state.step + 1, ema_params=ema_params,
             )
             # train-time metrics reuse the forward pass already paid for the
             # loss (Keras semantics); streaming states accumulate on device
@@ -434,6 +458,17 @@ class Trainer:
     @property
     def variables(self):
         return {"params": self.state.params, **self.state.extra_vars}
+
+    @property
+    def ema_variables(self):
+        """Variables with the EMA shadow params (``Trainer(ema_decay=...)``)
+        in place of the live ones — evaluate or export these for the
+        smoothed model (DeiT-style)."""
+        if self.state.ema_params is None:
+            raise ValueError(
+                "EMA is not enabled — construct the Trainer with "
+                "ema_decay=<float in [0, 1)>")
+        return {"params": self.state.ema_params, **self.state.extra_vars}
 
     def sync_model(self):
         """Copy the trained params back into the wrapped model.

@@ -689,3 +689,71 @@ class TestControlCallbacks:
 
         with pytest.raises(ValueError, match="check"):
             TerminateOnNaN(check="never")
+
+
+class TestEMA:
+    """Trainer(ema_decay=...): DeiT-style shadow params updated inside the
+    jitted step; ema_variables serves the smoothed model."""
+
+    def test_one_step_closed_form(self):
+        trainer = Trainer(_make_regression_model(), loss=_mse,
+                          optimizer=optax.sgd(1e-2), ema_decay=0.9)
+        init_params = jax.tree.map(lambda x: np.asarray(x),
+                                   trainer.state.params)
+        trainer.fit(_batches(1), epochs=1, verbose=False)
+        want = jax.tree.map(
+            lambda e, p: 0.9 * e + 0.1 * np.asarray(p),
+            init_params, trainer.state.params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), b, rtol=1e-6),
+            trainer.state.ema_params, want)
+
+    def test_decay_zero_tracks_params_exactly(self):
+        trainer = Trainer(_make_regression_model(), loss=_mse,
+                          optimizer=optax.adam(1e-2), ema_decay=0.0)
+        trainer.fit(_batches(4), epochs=2, verbose=False)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            trainer.state.ema_params, trainer.state.params)
+
+    def test_ema_variables_serve(self):
+        trainer = Trainer(_make_regression_model(), loss=_mse,
+                          optimizer=optax.adam(1e-2), ema_decay=0.99)
+        trainer.fit(_batches(4), epochs=1, verbose=False)
+        x = np.zeros((2, 4), np.float32)
+        out = trainer.model.module.apply(trainer.ema_variables, x)
+        assert out.shape == (2, 1)
+        # smoothed params lag the live ones after training
+        diffs = jax.tree.leaves(jax.tree.map(
+            lambda e, p: float(jnp.max(jnp.abs(e - p))),
+            trainer.state.ema_params, trainer.state.params))
+        assert max(diffs) > 0
+
+    def test_disabled_raises_and_checkpoint_shape_unchanged(self, tmp_path):
+        trainer = Trainer(_make_regression_model(), loss=_mse,
+                          optimizer=optax.adam(1e-2))
+        with pytest.raises(ValueError, match="ema_decay"):
+            _ = trainer.ema_variables
+        with pytest.raises(ValueError, match="ema_decay"):
+            Trainer(_make_regression_model(), loss=_mse,
+                    optimizer=optax.adam(1e-2), ema_decay=1.0)
+        # EMA-off state has no extra subtree: old checkpoints stay loadable
+        assert trainer.state.ema_params is None
+
+    def test_ema_on_dp_mesh_matches_single_device(self):
+        from chambers_tpu.parallel import create_mesh
+
+        data = _batches(4)
+        t1 = Trainer(_make_regression_model(), loss=_mse,
+                     optimizer=optax.adam(1e-2), ema_decay=0.9)
+        t1.fit(data, epochs=1, verbose=False)
+        t2 = Trainer(_make_regression_model(), loss=_mse,
+                     optimizer=optax.adam(1e-2), ema_decay=0.9,
+                     mesh=create_mesh({"data": 8}))
+        t2.fit(data, epochs=1, verbose=False)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6),
+            t1.state.ema_params, t2.state.ema_params)
