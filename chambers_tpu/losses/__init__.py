@@ -7,3 +7,4 @@ from chambers_tpu.losses.metric_learning import (
     PairMatrixLoss,
 )
 from chambers_tpu.losses.categorical import soft_dice_coefficient
+from chambers_tpu.losses.distillation import DistillationLoss

@@ -448,8 +448,10 @@ class Trainer:
         self.eval_step = jax.jit(eval_step, donate_argnums=(2,))
 
     def _place_batch(self, x, y):
+        # x/y may be pytrees (e.g. a (labels, teacher_logits) target for
+        # DistillationLoss) — convert leaf-wise, not with one jnp.asarray
         if self.mesh is None:
-            return jnp.asarray(x), jnp.asarray(y)
+            return (jax.tree.map(jnp.asarray, x), jax.tree.map(jnp.asarray, y))
         from chambers_tpu.parallel.distributed import host_local_batch_to_global
 
         return host_local_batch_to_global((x, y), self.mesh)
