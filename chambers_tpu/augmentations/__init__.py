@@ -37,3 +37,8 @@ from chambers_tpu.augmentations.preprocessing import (
     Rescaling,
     Resizing,
 )
+from chambers_tpu.augmentations.batch_augmentations import (
+    CutMix,
+    MixUp,
+    mixup_or_cutmix,
+)
