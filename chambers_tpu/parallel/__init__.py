@@ -9,6 +9,7 @@ from chambers_tpu.parallel.collective_eval import (
 )
 from chambers_tpu.parallel.context_parallel import context_parallel_attention
 from chambers_tpu.parallel.expert_parallel import moe_expert_parallel_rules
+from chambers_tpu.parallel.fsdp import fsdp_rules
 from chambers_tpu.parallel.pipeline_parallel import (
     group_layers_into_stages,
     pipeline_apply,
