@@ -9,8 +9,11 @@ model + optimizer state at train end), and an optional ``config_dump.json``
 here a small ``Callback``/``CallbackList`` pair provides the same hook surface
 for the :class:`chambers_tpu.training.Trainer`.
 
-Scalar logging writes JSON-lines (``logs/events.jsonl``) — TensorBoard is a
-TF dependency this build avoids; the format is trivially convertible.
+Scalar logging writes both JSON-lines (``logs/events.jsonl``) and real
+TensorBoard event files (``logs/train``, ``logs/validation``) — the latter
+through :mod:`chambers_tpu.utils.tensorboard`'s hand-rolled wire codec, so
+``tensorboard --logdir`` works with no TensorFlow dependency in this
+package.
 """
 
 import csv
@@ -149,6 +152,85 @@ class ScalarLogger(Callback):
             self._file = None
 
 
+class TensorBoard(Callback):
+    """Real TensorBoard event files with no TensorFlow dependency.
+
+    Parity: ``tf.keras.callbacks.TensorBoard`` as wired by the reference's
+    ``ExperimentCallback`` (callbacks.py:39-46). Keras's directory layout is
+    kept so existing dashboards work unchanged: train metrics go to
+    ``<log_dir>/train`` and ``val_``-prefixed metrics to
+    ``<log_dir>/validation`` (same tag, so curves overlay), tagged
+    ``epoch_<name>`` — plus ``batch_<name>`` per train batch when
+    ``update_freq="batch"``. ``histogram_freq=N`` writes a weight histogram
+    per parameter every N epochs (this pulls params to host — leave 0 for
+    production runs). The wire format lives in
+    :mod:`chambers_tpu.utils.tensorboard`; ``write_graph`` has no meaning
+    without a Keras graph and is accepted-and-ignored for signature parity.
+    """
+
+    def __init__(self, log_dir, update_freq="epoch", histogram_freq=0,
+                 write_graph=True):
+        if update_freq not in ("epoch", "batch"):
+            raise ValueError(
+                f"update_freq must be 'epoch'|'batch', got {update_freq!r}")
+        self.log_dir = log_dir
+        self.update_freq = update_freq
+        self.histogram_freq = int(histogram_freq)
+        self._train = None
+        self._val = None
+        self._step = 0
+
+    def on_train_begin(self, logs=None):
+        from chambers_tpu.utils.tensorboard import SummaryWriter
+
+        self._train = SummaryWriter(os.path.join(self.log_dir, "train"))
+        self._val = None  # created lazily on the first val_ metric
+
+    def _val_writer(self):
+        if self._val is None:
+            from chambers_tpu.utils.tensorboard import SummaryWriter
+
+            self._val = SummaryWriter(
+                os.path.join(self.log_dir, "validation"))
+        return self._val
+
+    def _write(self, prefix, step, logs):
+        for k, v in (logs or {}).items():
+            if not _is_scalar(v):
+                continue
+            if k.startswith("val_"):
+                self._val_writer().add_scalar(
+                    f"{prefix}{k[len('val_'):]}", _scalarize(v), step)
+            else:
+                self._train.add_scalar(f"{prefix}{k}", _scalarize(v), step)
+
+    def on_train_batch_end(self, batch, logs=None):
+        self._step += 1
+        if self.update_freq == "batch" and self._train is not None:
+            self._write("batch_", self._step, logs)
+
+    def on_epoch_end(self, epoch, logs=None):
+        if self._train is None:
+            return
+        self._write("epoch_", epoch, logs)
+        if self.histogram_freq and epoch % self.histogram_freq == 0:
+            import jax
+            import numpy as np
+
+            from chambers_tpu.utils.pytree import param_paths
+
+            params = self.model.get_weights()["params"]
+            for path, leaf in zip(param_paths(params),
+                                  jax.tree.leaves(params)):
+                self._train.add_histogram(path, np.asarray(leaf), epoch)
+
+    def on_train_end(self, logs=None):
+        for w in (self._train, self._val):
+            if w is not None:
+                w.close()
+        self._train = self._val = None
+
+
 class ModelCheckpoint(Callback):
     """Per-epoch weight checkpoints named ``{epoch:02d}-{monitor:.5f}``
     (callbacks.py:31-38); epoch numbers are 1-based in filenames like Keras.
@@ -281,7 +363,8 @@ class ExperimentCallback(CallbackList):
     """Composite experiment harness (callbacks.py:8-116).
 
     Creates ``<experiments_dir>/<timestamp>/`` with:
-    - ``logs/epoch_results.txt`` (CSV) and ``logs/events.jsonl`` (scalars)
+    - ``logs/epoch_results.txt`` (CSV), ``logs/events.jsonl`` (scalars),
+      and ``logs/train``+``logs/validation`` tfevents (TensorBoard)
     - ``model/checkpoints/init.msgpack`` at train start and
       ``{epoch:02d}-{monitor:.5f}.msgpack`` per epoch
     - ``model/export/`` full state at train end
@@ -317,6 +400,7 @@ class ExperimentCallback(CallbackList):
                 mode=checkpoint_mode,
             ),
             ScalarLogger(self.log_dir, update_freq=tensorboard_update_freq),
+            TensorBoard(self.log_dir, update_freq=tensorboard_update_freq),
         ])
 
     def on_train_begin(self, logs=None):
