@@ -37,11 +37,12 @@ def _register_public_namespaces():
     import chambers_tpu.augmentations as A
     import chambers_tpu.layers as L
     import chambers_tpu.losses as Lo
+    import chambers_tpu.metrics as Me
     import chambers_tpu.miners as M
     import chambers_tpu.optimizers as O
     import chambers_tpu.schedules as S
 
-    for mod in (L, Lo, M, A, S, O):
+    for mod in (L, Lo, M, A, S, O, Me):
         for name in dir(mod):
             obj = getattr(mod, name)
             if (inspect.isclass(obj) and not name.startswith("_")
