@@ -74,6 +74,20 @@ def test_train_detr_example(capsys):
     assert "final-layer object predictions" in out
 
 
+def test_train_deit_recipe_example(capsys, tmp_path):
+    """RandAugment + MixUp/CutMix + AdamW/cosine + EMA + FSDP + TensorBoard
+    compose into one training run (the DeiT recipe stack)."""
+    _run_example("train_deit_recipe.py", [
+        "--classes", "4", "--image-size", "32", "--patch-size", "8",
+        "--batch", "16", "--epochs", "1", "--steps-per-epoch", "3",
+        "--logdir", str(tmp_path / "logs"),
+    ])
+    out = capsys.readouterr().out
+    assert "ema shadow differs" in out
+    assert "tensorboard events: 1 file(s)" in out
+    assert "fsdp: dense1 kernel stored per-device" in out
+
+
 def test_train_metric_learning_example(capsys, tmp_path):
     _run_example("train_metric_learning.py", [
         "--image-size", "24", "--p", "4", "--k", "2",
