@@ -202,3 +202,154 @@ class BatchedServer:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class HTTPModelServer:
+    """TF-Serving-REST-compatible HTTP front over :class:`BatchedServer`.
+
+    The reference's deployment story is a Keras SavedModel behind
+    TF-Serving, whose REST predict API takes ``{"instances": [...]}`` and
+    returns ``{"predictions": [...]}``
+    (tensorflow/serving's predict REST schema). This serves the same
+    request/response contract from the stdlib ``http.server`` — existing
+    clients switch by changing the URL only — with per-request dynamic
+    batching onto the fixed-shape compiled forward underneath.
+
+    Endpoints:
+
+    - ``POST /v1/models/<anything>:predict`` (or just ``/predict``) —
+      JSON ``{"instances": [...]}`` where each instance is one example
+      (nested lists); responds ``{"predictions": [...]}`` row-per-instance.
+      With ``Content-Type: application/octet-stream`` the body is instead a
+      ``.npy`` batch array and the response is a ``.npy`` of outputs
+      (binary path for image-sized payloads — JSON floats are ~4x the
+      bytes and dominate latency long before the TPU does).
+    - ``GET /stats`` — batching counters (requests/batches/padded rows).
+    - ``GET /healthz`` — liveness.
+
+    ``fn`` is a ``[batch_size, ...] -> [batch_size, ...]`` callable (jitted
+    apply or a :func:`load_serving_artifact` result). Requests from any
+    number of concurrent clients pack into device batches of up to
+    ``batch_size`` (waiting at most ``max_delay_ms``).
+
+    Example::
+
+        server = HTTPModelServer(serve_fn, batch_size=8, port=8501)
+        server.start()          # serves on a background thread
+        ...
+        server.stop()
+    """
+
+    def __init__(self, fn, batch_size: int, port: int = 8501,
+                 host: str = "127.0.0.1", max_delay_ms: float = 2.0,
+                 dtype=None):
+        import http.server
+        import io
+        import json
+
+        import numpy as np
+
+        self._batched = BatchedServer(fn, batch_size=batch_size,
+                                      max_delay_ms=max_delay_ms)
+        self._dtype = dtype
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            # quiet: no per-request stderr lines
+            def log_message(self, fmt, *args):
+                pass
+
+            def _reply(self, code, body: bytes, content_type):
+                self.send_response(code)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _reply_json(self, code, obj):
+                self._reply(code, json.dumps(obj).encode("utf-8"),
+                            "application/json")
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply_json(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    self._reply_json(200, dict(outer._batched.stats))
+                else:
+                    self._reply_json(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if not (self.path.endswith(":predict")
+                        or self.path == "/predict"):
+                    self._reply_json(404, {"error": f"no route {self.path}"})
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                binary = self.headers.get(
+                    "Content-Type", "").startswith("application/octet-stream")
+                try:
+                    if binary:
+                        batch = np.load(io.BytesIO(body), allow_pickle=False)
+                        instances = list(batch)
+                    else:
+                        payload = json.loads(body)
+                        instances = [
+                            np.asarray(i, dtype=outer._dtype)
+                            for i in payload["instances"]
+                        ]
+                except Exception as exc:
+                    self._reply_json(400, {"error": f"bad request: {exc}"})
+                    return
+                if not instances:
+                    self._reply_json(400, {"error": "empty instances"})
+                    return
+                try:
+                    futures = outer._batched.submit_many(instances)
+                    rows = [f.result() for f in futures]
+                except Exception as exc:
+                    self._reply_json(500, {"error": str(exc)})
+                    return
+                if binary:
+                    buf = io.BytesIO()
+                    np.save(buf, np.stack([np.asarray(r) for r in rows]))
+                    self._reply(200, buf.getvalue(),
+                                "application/octet-stream")
+                else:
+                    self._reply_json(
+                        200,
+                        {"predictions": [np.asarray(r).tolist()
+                                         for r in rows]})
+
+        import http.server as _hs
+
+        self._http = _hs.ThreadingHTTPServer((host, port), Handler)
+        self._thread = None
+
+    @property
+    def port(self) -> int:
+        """Bound port (useful with ``port=0`` for an ephemeral one)."""
+        return self._http.server_address[1]
+
+    def start(self):
+        import threading
+
+        self._thread = threading.Thread(
+            target=self._http.serve_forever, name="HTTPModelServer",
+            daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        """Stop accepting, finish in-flight batches, release the port."""
+        self._http.shutdown()
+        self._http.server_close()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        self._batched.close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()

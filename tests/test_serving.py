@@ -275,3 +275,119 @@ class TestBatchedServer:
         with BatchedServer(serve, batch_size=4, max_delay_ms=10) as server:
             out = server.submit(np.ones((4,), np.float32)).result(timeout=60)
         np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+class TestHTTPModelServer:
+    """TF-Serving REST schema over the dynamic batcher."""
+
+    def _serve(self, fn, **kw):
+        from chambers_tpu.serving import HTTPModelServer
+
+        return HTTPModelServer(fn, port=0, **kw)
+
+    def _post(self, port, path, body, content_type="application/json"):
+        import json
+        import urllib.request
+
+        if isinstance(body, (dict, list)):
+            body = json.dumps(body).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=body,
+            headers={"Content-Type": content_type}, method="POST")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, resp.read(), resp.headers.get(
+                    "Content-Type")
+        except urllib.error.HTTPError as e:
+            return e.code, e.read(), e.headers.get("Content-Type")
+
+    def test_json_predict_matches_direct_call(self):
+        import json
+
+        fn = jax.jit(lambda x: x @ jnp.asarray([[2.0], [1.0]]))
+        x = np.asarray([[1.0, 2.0], [3.0, 4.0], [0.5, -1.0]], np.float32)
+        with self._serve(fn, batch_size=4, dtype=np.float32) as server:
+            status, body, ctype = self._post(
+                server.port, "/v1/models/anything:predict",
+                {"instances": x.tolist()})
+        assert status == 200 and ctype == "application/json"
+        got = np.asarray(json.loads(body)["predictions"])
+        np.testing.assert_allclose(got, np.asarray(fn(jnp.asarray(x))),
+                                   rtol=1e-6)
+
+    def test_binary_npy_round_trip(self):
+        import io
+
+        fn = jax.jit(lambda x: x * 2.0)
+        x = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        with self._serve(fn, batch_size=8) as server:
+            status, body, ctype = self._post(
+                server.port, "/predict", buf.getvalue(),
+                content_type="application/octet-stream")
+        assert status == 200 and ctype == "application/octet-stream"
+        got = np.load(io.BytesIO(body))
+        np.testing.assert_allclose(got, x * 2.0, rtol=1e-6)
+
+    def test_concurrent_clients_share_batches(self):
+        import json
+        from concurrent.futures import ThreadPoolExecutor
+
+        fn = jax.jit(lambda x: x + 1.0)
+        with self._serve(fn, batch_size=8, max_delay_ms=50,
+                         dtype=np.float32) as server:
+            def one(i):
+                return self._post(server.port, "/predict",
+                                  {"instances": [[float(i)]]})
+
+            with ThreadPoolExecutor(8) as pool:
+                results = list(pool.map(one, range(16)))
+            for i, (status, body, _) in enumerate(results):
+                assert status == 200
+                assert json.loads(body)["predictions"] == [[i + 1.0]]
+            _, body, _ = self._get(server.port, "/stats")
+            stats = json.loads(body)
+        assert stats["requests"] == 16
+        assert stats["batches"] < 16  # dynamic batching actually batched
+
+    def _get(self, port, path):
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}") as resp:
+                return (resp.status, resp.read(),
+                        resp.headers.get("Content-Type"))
+        except urllib.error.HTTPError as e:
+            return e.code, e.read(), e.headers.get("Content-Type")
+
+    def test_health_stats_and_errors(self):
+        import json
+
+        fn = jax.jit(lambda x: x)
+        with self._serve(fn, batch_size=2) as server:
+            status, body, _ = self._get(server.port, "/healthz")
+            assert status == 200 and json.loads(body) == {"status": "ok"}
+            status, _, _ = self._get(server.port, "/nope")
+            assert status == 404
+            status, body, _ = self._post(server.port, "/predict",
+                                         b"{not json", "application/json")
+            assert status == 400
+            status, _, _ = self._post(server.port, "/predict",
+                                      {"instances": []})
+            assert status == 400
+            status, _, _ = self._post(server.port, "/other", {"a": 1})
+            assert status == 404
+
+    def test_stop_releases_port(self):
+        fn = jax.jit(lambda x: x)
+        server = self._serve(fn, batch_size=2).start()
+        port = server.port
+        server.stop()
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", port))  # free again
+        s.close()
