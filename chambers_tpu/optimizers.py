@@ -97,6 +97,46 @@ def extend_with_weight_decay(
     ) if weight_decay else base_optimizer
 
 
+def clip_by_norm(max_norm: float) -> optax.GradientTransformation:
+    """Per-leaf L2-norm gradient clipping — Keras ``clipnorm`` semantics
+    (``tf.clip_by_norm`` on each gradient tensor independently:
+    ``g * max_norm / max(|g|, max_norm)``). For the joint-norm variant use
+    ``optax.clip_by_global_norm``."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jax.numpy.sqrt(jax.numpy.sum(jax.numpy.square(g)))
+            return g * (max_norm / jax.numpy.maximum(norm, max_norm))
+
+        return jax.tree.map(clip, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _clip_transforms(clipnorm, clipvalue, global_clipnorm):
+    """Keras optimizer clipping kwargs → optax transforms, in Keras's
+    apply order (norm clip, then value clip; reference optimizers.py:352-356
+    allows ``clipnorm``/``clipvalue`` on SGDW/AdamW)."""
+    if clipnorm is not None and global_clipnorm is not None:
+        raise ValueError(
+            "At most one of `clipnorm` and `global_clipnorm` can be set "
+            "(Keras optimizer contract).")
+    parts = []
+    if clipnorm is not None:
+        parts.append(clip_by_norm(clipnorm))
+    if global_clipnorm is not None:
+        parts.append(optax.clip_by_global_norm(global_clipnorm))
+    if clipvalue is not None:
+        parts.append(optax.clip(clipvalue))
+    return parts
+
+
 class WeightDecayExtension:
     """Decoupled weight decay with regex variable filtering as a reusable
     extension object (reference optimizers.py:10-181, the public
@@ -191,6 +231,11 @@ class AdamW(_ConfiguredOptimizer):
     """Adam + decoupled weight decay (optimizers.py:372-464).
 
     Defaults mirror the reference (note Keras's epsilon=1e-7, not 1e-8).
+    ``clipnorm``/``clipvalue`` are the Keras optimizer kwargs the reference
+    explicitly allows (optimizers.py:446-449): gradients are clipped before
+    the Adam statistics; the decoupled decay term is NOT clipped (Keras
+    applies decay outside the gradient path). ``global_clipnorm`` is the
+    joint-norm variant (mutually exclusive with ``clipnorm``).
     """
 
     def __init__(
@@ -203,17 +248,24 @@ class AdamW(_ConfiguredOptimizer):
         beta_2: float = 0.999,
         epsilon: float = 1e-7,
         amsgrad: bool = False,
+        clipnorm: Optional[float] = None,
+        clipvalue: Optional[float] = None,
+        global_clipnorm: Optional[float] = None,
     ):
         super().__init__(
             weight_decay=weight_decay, decay_include=decay_include,
             decay_exclude=decay_exclude, learning_rate=learning_rate,
             beta_1=beta_1, beta_2=beta_2, epsilon=epsilon, amsgrad=amsgrad,
+            clipnorm=clipnorm, clipvalue=clipvalue,
+            global_clipnorm=global_clipnorm,
         )
 
     @staticmethod
     def _build(weight_decay, decay_include, decay_exclude, learning_rate,
-               beta_1, beta_2, epsilon, amsgrad):
+               beta_1, beta_2, epsilon, amsgrad,
+               clipnorm=None, clipvalue=None, global_clipnorm=None):
         base = optax.chain(
+            *_clip_transforms(clipnorm, clipvalue, global_clipnorm),
             optax.scale_by_amsgrad(b1=beta_1, b2=beta_2, eps=epsilon)
             if amsgrad
             else optax.scale_by_adam(b1=beta_1, b2=beta_2, eps=epsilon),
@@ -227,7 +279,8 @@ class AdamW(_ConfiguredOptimizer):
 
 class SGDW(_ConfiguredOptimizer):
     """SGD (+momentum/nesterov) + decoupled weight decay
-    (optimizers.py:290-368)."""
+    (optimizers.py:290-368). ``clipnorm``/``clipvalue``/``global_clipnorm``
+    as on :class:`AdamW` (reference optimizers.py:352-356)."""
 
     def __init__(
         self,
@@ -237,17 +290,23 @@ class SGDW(_ConfiguredOptimizer):
         learning_rate: ScalarOrSchedule = 0.001,
         momentum: float = 0.0,
         nesterov: bool = False,
+        clipnorm: Optional[float] = None,
+        clipvalue: Optional[float] = None,
+        global_clipnorm: Optional[float] = None,
     ):
         super().__init__(
             weight_decay=weight_decay, decay_include=decay_include,
             decay_exclude=decay_exclude, learning_rate=learning_rate,
             momentum=momentum, nesterov=nesterov,
+            clipnorm=clipnorm, clipvalue=clipvalue,
+            global_clipnorm=global_clipnorm,
         )
 
     @staticmethod
     def _build(weight_decay, decay_include, decay_exclude, learning_rate,
-               momentum, nesterov):
-        parts = []
+               momentum, nesterov,
+               clipnorm=None, clipvalue=None, global_clipnorm=None):
+        parts = _clip_transforms(clipnorm, clipvalue, global_clipnorm)
         if momentum:
             parts.append(optax.trace(decay=momentum, nesterov=nesterov))
         parts.append(optax.scale_by_learning_rate(learning_rate))

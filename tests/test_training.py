@@ -123,6 +123,85 @@ def test_linear_warmup_scale_mode():
     np.testing.assert_allclose(float(sched(20)), 2.0)
 
 
+def test_clip_by_norm_matches_tf():
+    """Per-leaf clipnorm == tf.clip_by_norm on each gradient tensor."""
+    from chambers_tpu.optimizers import clip_by_norm
+
+    rng = np.random.RandomState(0)
+    grads = {"a": jnp.asarray(rng.randn(4, 3), jnp.float32),
+             "b": jnp.asarray(rng.randn(7) * 10, jnp.float32),
+             "c": jnp.asarray([0.01], jnp.float32)}  # below the norm cap
+    tx = clip_by_norm(1.5)
+    clipped, _ = tx.update(grads, tx.init(grads))
+    for k, g in grads.items():
+        norm = float(jnp.sqrt(jnp.sum(g * g)))
+        want = np.asarray(g) * (1.5 / max(norm, 1.5))
+        np.testing.assert_allclose(np.asarray(clipped[k]), want, rtol=1e-6)
+    try:
+        import tensorflow as tf
+    except ImportError:
+        return
+    for k, g in grads.items():
+        np.testing.assert_allclose(
+            np.asarray(clipped[k]),
+            tf.clip_by_norm(np.asarray(g), 1.5).numpy(), rtol=1e-6)
+
+
+def test_adamw_clipnorm_equals_manual_chain():
+    """AdamW(clipnorm=c) == clip_by_norm(c) then AdamW() on the same grads."""
+    from chambers_tpu.optimizers import clip_by_norm
+
+    rng = np.random.RandomState(1)
+    params = {"w": jnp.asarray(rng.randn(5, 4), jnp.float32)}
+    grads = {"w": jnp.asarray(rng.randn(5, 4) * 3, jnp.float32)}
+
+    opt = AdamW(weight_decay=1e-3, learning_rate=1e-2, clipnorm=0.7)
+    u1, _ = opt.update(grads, opt.init(params), params)
+
+    pre = clip_by_norm(0.7)
+    pre_grads, _ = pre.update(grads, pre.init(params))
+    ref = AdamW(weight_decay=1e-3, learning_rate=1e-2)
+    u2, _ = ref.update(pre_grads, ref.init(params), params)
+    np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(u2["w"]),
+                               rtol=1e-6)
+
+
+def test_sgdw_clipvalue_clamps_grads_not_decay():
+    """clipvalue caps the gradient step; the decoupled decay term is NOT
+    clipped (Keras applies decay outside the gradient path)."""
+    params = {"w": jnp.asarray([100.0])}
+    grads = {"w": jnp.asarray([50.0])}
+    opt = SGDW(weight_decay=0.1, learning_rate=1.0, clipvalue=0.5)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    # grad clipped to 0.5, scaled by lr=1 -> -0.5; decay adds -0.1*100 = -10
+    np.testing.assert_allclose(np.asarray(updates["w"]), [-10.5], rtol=1e-6)
+
+
+def test_global_clipnorm_joint_norm():
+    params = {"a": jnp.asarray([3.0]), "b": jnp.asarray([4.0])}
+    grads = {"a": jnp.asarray([3.0]), "b": jnp.asarray([4.0])}  # |g| = 5
+    opt = SGDW(weight_decay=0.0, learning_rate=1.0, global_clipnorm=1.0)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["a"]), [-3.0 / 5], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["b"]), [-4.0 / 5], rtol=1e-6)
+
+
+def test_clipnorm_and_global_clipnorm_mutually_exclusive():
+    with pytest.raises(ValueError, match="clipnorm"):
+        AdamW(weight_decay=0.0, clipnorm=1.0, global_clipnorm=1.0)
+
+
+def test_clip_config_round_trips():
+    opt = AdamW(weight_decay=1e-4, learning_rate=1e-3, clipnorm=2.5)
+    rebuilt = AdamW.from_config(opt.get_config())
+    assert rebuilt.get_config()["clipnorm"] == 2.5
+    params = {"w": jnp.asarray([1.0])}
+    grads = {"w": jnp.asarray([10.0])}
+    u1, _ = opt.update(grads, opt.init(params), params)
+    u2, _ = rebuilt.update(grads, rebuilt.init(params), params)
+    np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(u2["w"]))
+
+
 def test_linear_warmup_in_optimizer():
     sched = LinearWarmup(learning_rate=0.1, warmup_steps=5)
     opt = AdamW(weight_decay=0.0, learning_rate=sched)
