@@ -84,6 +84,47 @@ class Model:
     def count_params(self) -> int:
         return sum(int(p.size) for p in jax.tree.leaves(self.params))
 
+    def summary(self, depth: int = 2, print_fn: Optional[Callable] = None
+                ) -> str:
+        """Keras-style parameter summary from the variables tree.
+
+        Groups the params pytree to ``depth`` path levels and prints one row
+        per group with its parameter count and leaf shapes; non-``params``
+        collections (e.g. ``batch_stats``) are footnoted. Returns the
+        rendered string; route it elsewhere (or silence it) via
+        ``print_fn``."""
+        groups: dict = {}
+        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        for key_path, leaf in flat:
+            parts = [str(getattr(k, "key", getattr(k, "idx", k)))
+                     for k in key_path]
+            head = "/".join(parts[:depth]) or "(root)"
+            count, shapes = groups.get(head, (0, []))
+            groups[head] = (count + int(leaf.size),
+                            shapes + [tuple(leaf.shape)])
+        name_w = max([len(g) for g in groups] + [10]) + 2
+        lines = [f'Model: "{self.name}"', "=" * (name_w + 30),
+                 f"{'Path (grouped)':<{name_w}}{'Param #':>12}  Shapes",
+                 "-" * (name_w + 30)]
+        for head, (count, shapes) in groups.items():
+            shown = ", ".join(
+                "x".join(map(str, s)) if s else "()" for s in shapes[:4])
+            if len(shapes) > 4:
+                shown += f", ... (+{len(shapes) - 4})"
+            lines.append(f"{head:<{name_w}}{count:>12,}  {shown}")
+        lines.append("=" * (name_w + 30))
+        total = self.count_params()
+        lines.append(f"Total params: {total:,} "
+                     f"({4 * total / 2**20:.1f} MB at f32)")
+        for coll, tree in self.variables.items():
+            if coll == "params":
+                continue
+            n = sum(int(p.size) for p in jax.tree.leaves(tree))
+            lines.append(f"Non-trainable '{coll}': {n:,}")
+        out = "\n".join(lines)
+        (print_fn or print)(out)
+        return out
+
     # -- persistence --------------------------------------------------------
     def save_weights(self, path: str):
         with open(path, "wb") as f:

@@ -571,6 +571,9 @@ class Trainer:
                 logs["loss"] = float("nan")
             for name, m in self._streaming.items():
                 logs[name] = float(m.compute(metric_states[name]))
+            lr = self._current_lr()
+            if lr is not None:
+                logs["lr"] = lr  # schedule curves land in CSV/TensorBoard
             if validation_data is not None:
                 val_logs = self.evaluate(validation_data, callbacks=callback_list,
                                          steps=validation_steps, verbose=False)
@@ -587,6 +590,31 @@ class Trainer:
         callback_list.on_train_end()
         self.sync_model()
         return history
+
+    def _current_lr(self) -> Optional[float]:
+        """The learning rate at the CURRENT optimizer step, when the
+        optimizer exposes one (a configured AdamW/SGDW or any object with a
+        ``learning_rate`` in its ``get_config``); None otherwise. Scalar
+        rates report as-is; schedules evaluate at ``state.step`` (the count
+        every ``scale_by_learning_rate(schedule)`` sees)."""
+        get_config = getattr(self.optimizer, "get_config", None)
+        if get_config is None:
+            return None
+        try:
+            rate = get_config().get("learning_rate")
+        except Exception:
+            return None
+        if rate is None:
+            return None
+        if callable(rate):
+            try:
+                return float(rate(self.state.step))
+            except Exception:
+                return None
+        try:
+            return float(rate)
+        except (TypeError, ValueError):
+            return None
 
     def evaluate(self, dataset: Iterable, callbacks=None, verbose: bool = True,
                  steps: Optional[int] = None):

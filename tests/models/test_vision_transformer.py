@@ -164,3 +164,24 @@ def test_model_save_load_roundtrip(tmp_path):
     assert not np.allclose(np.asarray(m2(np.asarray(x))), out1)
     m2.load_weights(path)
     np.testing.assert_allclose(np.asarray(m2(np.asarray(x))), out1, atol=1e-6)
+
+
+def test_model_summary_groups_and_totals():
+    """Keras-style summary: grouped rows, exact total, silent print_fn."""
+    import jax
+
+    from chambers_tpu.models import Model
+
+    vit = VisionTransformer(
+        patch_size=8, patch_dim=32, n_encoder_layers=2, n_heads=4,
+        ff_dim=64, dropout_rate=0.0, classes=10)
+    variables = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    model = Model(vit, variables)
+    captured = []
+    text = model.summary(depth=2, print_fn=captured.append)
+    assert captured == [text]
+    assert f"Total params: {model.count_params():,}" in text
+    assert "encoder/layers_0" in text
+    # depth=1 merges the encoder rows
+    text1 = model.summary(depth=1, print_fn=lambda s: None)
+    assert "encoder/layers_0" not in text1 and "encoder" in text1

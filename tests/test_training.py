@@ -836,3 +836,29 @@ class TestEMA:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6),
             t1.state.ema_params, t2.state.ema_params)
+
+
+def test_trainer_logs_lr_for_configured_optimizers():
+    """Epoch logs include the schedule's current rate (curves land in
+    CSV/TensorBoard); plain optax optimizers (no config) stay silent."""
+    from chambers_tpu.schedules import CosineDecay
+
+    model = _make_regression_model()
+    sched = CosineDecay(0.1, decay_steps=100)
+    trainer = Trainer(model, loss=_mse,
+                      optimizer=AdamW(weight_decay=0.0, learning_rate=sched))
+    history = trainer.fit(_batches(n_batches=2), epochs=2, verbose=False)
+    assert "lr" in history[0]
+    # after epoch 1: 2 steps taken -> schedule evaluated at step 2
+    np.testing.assert_allclose(history[0]["lr"], float(sched(2)), rtol=1e-6)
+    assert history[1]["lr"] < history[0]["lr"]  # cosine is decreasing
+
+    plain = Trainer(_make_regression_model(), loss=_mse,
+                    optimizer=optax.adam(1e-2))
+    h = plain.fit(_batches(n_batches=1), epochs=1, verbose=False)
+    assert "lr" not in h[0]
+
+    scalar = Trainer(_make_regression_model(), loss=_mse,
+                     optimizer=AdamW(weight_decay=0.0, learning_rate=0.01))
+    h = scalar.fit(_batches(n_batches=1), epochs=1, verbose=False)
+    assert h[0]["lr"] == pytest.approx(0.01)
