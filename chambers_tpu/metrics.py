@@ -213,16 +213,17 @@ class _MeanOfMatches(Mean):
 
 
 class BinaryAccuracy(_MeanOfMatches):
-    """``tf.keras.metrics.BinaryAccuracy``: thresholded elementwise match."""
+    """``tf.keras.metrics.BinaryAccuracy``: the prediction is thresholded
+    to {0, 1} and compared to ``y_true`` by EQUALITY (Keras semantics: a
+    soft label like 0.3 never matches — the label is not thresholded)."""
 
     def __init__(self, threshold=0.5, name="binary_accuracy"):
         self.threshold = threshold
         super().__init__(name=name)
 
     def _matches(self, y_true, y_pred):
-        return jnp.asarray(
-            (y_pred > self.threshold) == (y_true > self.threshold),
-            jnp.float32)
+        pred = (y_pred > self.threshold).astype(jnp.float32)
+        return jnp.asarray(y_true.astype(jnp.float32) == pred, jnp.float32)
 
     def get_config(self):
         return {"threshold": self.threshold, "name": self.name}

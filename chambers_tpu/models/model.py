@@ -93,12 +93,12 @@ class Model:
         collections (e.g. ``batch_stats``) are footnoted. Returns the
         rendered string; route it elsewhere (or silence it) via
         ``print_fn``."""
+        from chambers_tpu.utils.pytree import param_paths
+
         groups: dict = {}
-        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
-        for key_path, leaf in flat:
-            parts = [str(getattr(k, "key", getattr(k, "idx", k)))
-                     for k in key_path]
-            head = "/".join(parts[:depth]) or "(root)"
+        for path, leaf in zip(param_paths(self.params),
+                              jax.tree.leaves(self.params)):
+            head = "/".join(path.split("/")[:depth]) or "(root)"
             count, shapes = groups.get(head, (0, []))
             groups[head] = (count + int(leaf.size),
                             shapes + [tuple(leaf.shape)])

@@ -320,9 +320,7 @@ class HTTPModelServer:
                         {"predictions": [np.asarray(r).tolist()
                                          for r in rows]})
 
-        import http.server as _hs
-
-        self._http = _hs.ThreadingHTTPServer((host, port), Handler)
+        self._http = http.server.ThreadingHTTPServer((host, port), Handler)
         self._thread = None
 
     @property
@@ -340,12 +338,14 @@ class HTTPModelServer:
         return self
 
     def stop(self):
-        """Stop accepting, finish in-flight batches, release the port."""
-        self._http.shutdown()
-        self._http.server_close()
+        """Stop accepting, finish in-flight batches, release the port.
+        Safe to call before :meth:`start` (shutdown() would otherwise wait
+        forever on the never-started serve loop) and to call twice."""
         if self._thread is not None:
+            self._http.shutdown()
             self._thread.join()
             self._thread = None
+        self._http.server_close()
         self._batched.close()
 
     def __enter__(self):

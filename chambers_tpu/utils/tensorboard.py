@@ -19,6 +19,7 @@ Supported summary kinds: scalars (``simple_value``), histograms
 
 from __future__ import annotations
 
+import itertools
 import os
 import socket
 import struct
@@ -155,12 +156,14 @@ class SummaryWriter:
     context manager.
     """
 
+    _uid = itertools.count()  # distinct files even within one second
+
     def __init__(self, log_dir: str, filename_suffix: str = "",
                  flush_each: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         host = socket.gethostname()
         name = (f"events.out.tfevents.{int(time.time())}.{host}"
-                f".{os.getpid()}{filename_suffix}")
+                f".{os.getpid()}.{next(SummaryWriter._uid)}{filename_suffix}")
         self.path = os.path.join(log_dir, name)
         self._flush_each = flush_each
         self._file = open(self.path, "wb")

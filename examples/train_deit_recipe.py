@@ -13,11 +13,9 @@ chambers_tpu parts:
 - **FSDP (ZeRO-3)** sharding of weights and Adam moments over the data mesh
 - **TensorBoard** event files (no TF dependency)
 
-Run on an image-folder dataset (one subdirectory per class):
-
-    python examples/train_deit_recipe.py --data /path/to/train
-
-or without arguments for a synthetic smoke run (tiny images, random data).
+Runs on synthetic data (the point is the train-step stack, not the
+loader); for image-folder input plug the ``InterleaveImageClassDataset``
+recipe from ``examples/train_cnn_classifier.py`` into ``EpochStream``.
 """
 
 import argparse
@@ -87,7 +85,6 @@ def synthetic_batches(n_classes, image_size, batch, steps, augment, seed=0):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--data", default=None, help="image folder (optional)")
     p.add_argument("--classes", type=int, default=8)
     p.add_argument("--image-size", type=int, default=64)
     p.add_argument("--patch-size", type=int, default=8)
@@ -98,10 +95,6 @@ def main():
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--logdir", default="/tmp/deit_recipe_logs")
     args = p.parse_args()
-    if args.data is not None:
-        raise SystemExit(
-            "folder input: see train_cnn_classifier.py for the loader "
-            "recipe; this example demonstrates the DeiT train-step stack")
 
     model = VisionTransformer(
         patch_size=args.patch_size, patch_dim=64, n_encoder_layers=2,

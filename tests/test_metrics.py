@@ -62,6 +62,10 @@ class TestSelfConsistency:
         ba.update_state(np.array([1.0, 0.0, 1.0, 0.0]),
                         np.array([0.9, 0.4, 0.2, 0.6]))
         np.testing.assert_allclose(ba.result(), 0.5, rtol=1e-6)
+        # Keras compares the label by EQUALITY: soft labels never match
+        soft = BinaryAccuracy()
+        soft.update_state(np.array([0.3, 0.3]), np.array([0.2, 0.9]))
+        np.testing.assert_allclose(soft.result(), 0.0)
 
     def test_top_k_accuracy(self):
         tk = TopKCategoricalAccuracy(k=2)

@@ -391,3 +391,11 @@ class TestHTTPModelServer:
         s = socket.socket()
         s.bind(("127.0.0.1", port))  # free again
         s.close()
+
+    def test_stop_before_start_and_double_stop(self):
+        """stop() must not hang when serve_forever never ran (shutdown()
+        would wait forever on the never-set event), and must be idempotent."""
+        fn = jax.jit(lambda x: x)
+        server = self._serve(fn, batch_size=2)
+        server.stop()
+        server.stop()
