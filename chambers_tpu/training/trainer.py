@@ -496,8 +496,18 @@ class Trainer:
             validation_data: Optional[Iterable] = None,
             validation_steps: Optional[int] = None,
             callbacks: Sequence[Callback] = (), verbose: bool = True,
-            initial_epoch: int = 0):
+            initial_epoch: int = 0, skip_batches: int = 0):
         """Train over an iterable of ``(x_batch, y_batch)`` NumPy pairs.
+
+        ``skip_batches``: drain this many leading batches from the stream
+        (host-side, never transferred to device) before the first trained
+        step. This is the mid-epoch resume recipe for a deterministic
+        (seeded) pipeline after :meth:`CheckpointCallback.restore_into`::
+
+            restored = ckpt.restore_into(trainer)
+            step = int(trainer.state.step)
+            trainer.fit(ds, epochs=E, steps_per_epoch=S,
+                        initial_epoch=step // S, skip_batches=step % S)
 
         Note: the device prefetcher reads up to 2 batches ahead of the last
         trained step, so when ``dataset`` is a shared single-pass generator
@@ -513,6 +523,14 @@ class Trainer:
         self.stop_training = False
         callback_list.on_train_begin()
 
+        def drained(raw_it):
+            for _ in range(skip_batches):
+                try:
+                    next(raw_it)
+                except StopIteration:
+                    break
+            return raw_it
+
         history = []
         # With steps_per_epoch, the iterator persists across epochs (Keras/
         # tf.data semantics: a repeated stream keeps advancing rather than
@@ -520,7 +538,7 @@ class Trainer:
         # wraps the raw iterator and keeps 2 batches device_put ahead, so
         # the host→device copy of batch i+1 overlaps step i's compute.
         persistent_it = (
-            _DevicePrefetcher(iter(dataset), self._place_batch)
+            _DevicePrefetcher(drained(iter(dataset)), self._place_batch)
             if steps_per_epoch is not None else None
         )
 
@@ -530,7 +548,9 @@ class Trainer:
             batch_logs: Dict[str, list] = {}
             metric_states = self._init_metric_states()  # reset per epoch
             it = (persistent_it if persistent_it is not None
-                  else _DevicePrefetcher(iter(dataset), self._place_batch))
+                  else _DevicePrefetcher(
+                      drained(iter(dataset)) if epoch == initial_epoch
+                      else iter(dataset), self._place_batch))
             step = 0
             any_batch = False
             while ((steps_per_epoch is None or step < steps_per_epoch)

@@ -862,3 +862,29 @@ def test_trainer_logs_lr_for_configured_optimizers():
                      optimizer=AdamW(weight_decay=0.0, learning_rate=0.01))
     h = scalar.fit(_batches(n_batches=1), epochs=1, verbose=False)
     assert h[0]["lr"] == pytest.approx(0.01)
+
+
+def test_fit_skip_batches_mid_epoch_resume():
+    """skip_batches fast-forwards a deterministic stream: resuming with
+    initial_epoch + skip_batches reproduces the uninterrupted run exactly."""
+    data = _batches(n_batches=6)  # one epoch of 6
+
+    full = Trainer(_make_regression_model(), loss=_mse,
+                   optimizer=AdamW(weight_decay=0.0, learning_rate=1e-2),
+                   seed=7)
+    full.fit(data, epochs=1, verbose=False)
+
+    resumed = Trainer(_make_regression_model(), loss=_mse,
+                      optimizer=AdamW(weight_decay=0.0, learning_rate=1e-2),
+                      seed=7)
+    # "preempted" after 4 of 6 batches: train the prefix, snapshot, restore
+    resumed.fit(data[:4], epochs=1, verbose=False)
+    snapshot = resumed.state
+    resumed.state = snapshot  # (restore_into equivalent at this scale)
+    assert int(resumed.state.step) == 4
+    resumed.fit(data, epochs=1, verbose=False, skip_batches=4)
+
+    for a, b in zip(jax.tree.leaves(full.variables["params"]),
+                    jax.tree.leaves(resumed.variables["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
