@@ -300,7 +300,10 @@ def apply_top_k_top_p(logits, top_k: Optional[int] = None,
     if top_k is not None:
         if top_k < 1:
             raise ValueError(f"top_k={top_k} must be >= 1")
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        # clamp to the vocab (standard sampler behavior): top_k >= vocab is
+        # a no-op filter, not a lax.top_k shape error
+        k = min(int(top_k), logits.shape[-1])
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
         logits = jnp.where(logits >= kth, logits, -jnp.inf)
     if top_p is not None:
         if not 0.0 < top_p <= 1.0:

@@ -135,6 +135,13 @@ class BatchedServer:
             raise RuntimeError("BatchedServer is closed")
         fut: Future = Future()
         self._queue.put((example, fut))
+        # close() may have raced past its drain between our check and put;
+        # if the dispatcher is already gone, nothing will ever serve this
+        if self._closed and not self._thread.is_alive() and not fut.done():
+            try:
+                fut.set_exception(RuntimeError("BatchedServer is closed"))
+            except Exception:  # close()'s drain resolved it first — fine
+                pass
         return fut
 
     def submit_many(self, examples):
@@ -169,13 +176,17 @@ class BatchedServer:
     def _run_batch(self, batch, np):
         import jax
 
-        examples = [np.asarray(e) for e, _ in batch]
-        n = len(examples)
-        x = np.stack(examples)
-        if n < self.batch_size:
-            pad = np.zeros((self.batch_size - n,) + x.shape[1:], x.dtype)
-            x = np.concatenate([x, pad])
+        n = len(batch)
         try:
+            # assembly is inside the try: a malformed example (mismatched
+            # shape/dtype vs the rest of the packed batch) must fail THESE
+            # futures, not kill the dispatcher thread and strand every
+            # later request
+            examples = [np.asarray(e) for e, _ in batch]
+            x = np.stack(examples)
+            if n < self.batch_size:
+                pad = np.zeros((self.batch_size - n,) + x.shape[1:], x.dtype)
+                x = np.concatenate([x, pad])
             out = jax.device_get(self.fn(x))
         except Exception as exc:  # resolve every waiter, never deadlock
             for _, fut in batch:
@@ -191,11 +202,23 @@ class BatchedServer:
 
     def close(self):
         """Drain: stop accepting requests, finish queued ones, join."""
+        import queue
+
         if self._closed:
             return
         self._closed = True
         self._queue.put(None)
         self._thread.join()
+        # a submit() that passed the _closed check concurrently with this
+        # close() may have enqueued behind the sentinel — fail those futures
+        # rather than leaving their result() blocked forever
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item[1].set_exception(RuntimeError("BatchedServer is closed"))
 
     def __enter__(self):
         return self

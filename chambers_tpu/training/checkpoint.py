@@ -110,26 +110,53 @@ class CheckpointCallback(Callback):
         they restore through a legacy template and keep the trainer's
         current (e.g. pretrained-import) batch stats.
         """
+        state = trainer.state
+        copy = lambda t: jax.tree.map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, t)
+        ema_wanted = getattr(trainer, "ema_decay", None) is not None
+        fresh_ema = (lambda params: copy(params) if ema_wanted else None)
+
+        # template ladder: exact state; EMA-mismatch variants (a checkpoint
+        # written without EMA restored into an EMA Trainer, or vice versa —
+        # the shadow is params-shaped, so both directions are recoverable);
+        # finally the pre-extra_vars legacy dict
         try:
-            restored = self.manager.restore_latest(trainer.state)
-        except Exception:
-            state = trainer.state
-            legacy = {"params": state.params, "opt_state": state.opt_state,
-                      "rng": state.rng, "step": state.step}
-            restored_legacy = self.manager.restore_latest(legacy)
-            if restored_legacy is None:
+            restored = self.manager.restore_latest(state)
+            if restored is None:
                 return False
-            trainer.state = type(state)(
-                params=restored_legacy["params"],
-                extra_vars=state.extra_vars,
-                opt_state=restored_legacy["opt_state"],
-                rng=restored_legacy["rng"],
-                step=restored_legacy["step"],
-            )
+            trainer.state = restored
             return True
-        if restored is None:
+        except Exception:
+            pass
+        for template_ema in (None, copy(state.params)):
+            try:
+                restored = self.manager.restore_latest(
+                    state.replace(ema_params=template_ema))
+            except Exception:
+                continue
+            if restored is None:
+                return False
+            ema = restored.ema_params
+            if ema_wanted and ema is None:
+                ema = fresh_ema(restored.params)  # checkpoint predates EMA
+            elif not ema_wanted:
+                ema = None  # drop a shadow this Trainer won't maintain
+            trainer.state = restored.replace(ema_params=ema)
+            return True
+        legacy = {"params": state.params, "opt_state": state.opt_state,
+                  "rng": state.rng, "step": state.step}
+        restored_legacy = self.manager.restore_latest(legacy)
+        if restored_legacy is None:
             return False
-        trainer.state = restored
+        params = restored_legacy["params"]
+        trainer.state = type(state)(
+            params=params,
+            extra_vars=state.extra_vars,
+            opt_state=restored_legacy["opt_state"],
+            rng=restored_legacy["rng"],
+            step=restored_legacy["step"],
+            ema_params=fresh_ema(params),
+        )
         return True
 
 
@@ -162,6 +189,8 @@ class PreemptionCheckpoint(CheckpointCallback):
         self.signals = tuple(signals)
         self._received: Optional[int] = None
         self._previous: dict = {}
+        self._preempted = False
+        self._host_step = 0
 
     # -- signal plumbing ----------------------------------------------------
     def _handler(self, signum, frame):
@@ -170,6 +199,10 @@ class PreemptionCheckpoint(CheckpointCallback):
 
     def on_train_begin(self, logs=None):
         self._received = None
+        self._preempted = False
+        # one sync here is fine; per-batch reads below use this host-side
+        # mirror so attaching the callback never stalls async dispatch
+        self._host_step = int(self.trainer.state.step)
         self._previous = {
             s: signal.signal(s, self._handler) for s in self.signals
         }
@@ -183,19 +216,28 @@ class PreemptionCheckpoint(CheckpointCallback):
 
     # -- checkpoint cadence -------------------------------------------------
     def on_train_batch_end(self, batch, logs=None):
-        step = int(self.trainer.state.step)
+        # host-side step mirror: int(state.step) here would force a
+        # device->host sync EVERY batch (state.step is the async-dispatched
+        # step's output), serializing dispatch with execution
+        self._host_step += 1
+        step = self._host_step
         if self._received is not None:
+            step = int(self.trainer.state.step)  # authoritative for the save
             self.manager.save(step, self.trainer.state, force=True)
             self.manager.wait()  # durable before we let the process die
             self.trainer.stop_training = True
+            self._preempted = True
             print(f"PreemptionCheckpoint: signal "
                   f"{signal.Signals(self._received).name} -> saved step "
                   f"{step}, stopping")
             self._received = None
         elif self.save_every_steps and step and step % self.save_every_steps == 0:
-            self.manager.save(step, self.trainer.state)
+            self.manager.save(int(self.trainer.state.step),
+                              self.trainer.state)
 
     @property
     def preempted(self) -> bool:
-        """Whether a monitored signal arrived (and triggered the save)."""
-        return self.trainer.stop_training
+        """Whether a monitored signal arrived (and triggered the save) —
+        NOT merely that training stopped (EarlyStopping/TerminateOnNaN also
+        set ``stop_training``)."""
+        return self._preempted

@@ -200,6 +200,7 @@ class Trainer:
                 optimizer, every_k_schedule=gradient_accumulation_steps
             )
         self.optimizer = optimizer
+        self._ema_every = gradient_accumulation_steps
         if ema_decay is not None and not 0.0 <= ema_decay < 1.0:
             raise ValueError(f"ema_decay={ema_decay} must be in [0, 1)")
         # DeiT-style parameter EMA: shadow params update inside the jitted
@@ -419,9 +420,21 @@ class Trainer:
             ema_params = state.ema_params
             if self.ema_decay is not None:
                 d = self.ema_decay
-                ema_params = jax.tree.map(
-                    lambda e, p: d * e + (1.0 - d) * p,
-                    state.ema_params, params)
+                if self._ema_every > 1:
+                    # under gradient accumulation only every k-th micro-step
+                    # applies an optimizer update; decaying the shadow on the
+                    # no-op micro-steps too would change the effective decay
+                    # to d**k (params are unchanged there, so gating on the
+                    # micro-step count keeps EMA-per-UPDATE semantics)
+                    is_update = (state.step + 1) % self._ema_every == 0
+                    ema_params = jax.tree.map(
+                        lambda e, p: jnp.where(
+                            is_update, d * e + (1.0 - d) * p, e),
+                        state.ema_params, params)
+                else:
+                    ema_params = jax.tree.map(
+                        lambda e, p: d * e + (1.0 - d) * p,
+                        state.ema_params, params)
             new_state = TrainState(
                 params=params, extra_vars=extra_vars, opt_state=opt_state,
                 rng=rng, step=state.step + 1, ema_params=ema_params,

@@ -448,3 +448,13 @@ class TestBeamLengthPenalty:
             length_penalty=0.6, return_scores=True))(variables, src)
         assert seq.shape == (2, 8)
         assert np.isfinite(np.asarray(score)).all()
+
+
+def test_top_k_larger_than_vocab_is_noop():
+    """top_k >= vocab must degrade to no filtering (standard sampler
+    semantics), not crash lax.top_k with an oversized k."""
+    from chambers_tpu.models.generation import apply_top_k_top_p
+
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 8), jnp.float32)
+    out = apply_top_k_top_p(logits, top_k=50)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(logits))

@@ -888,3 +888,61 @@ def test_fit_skip_batches_mid_epoch_resume():
                     jax.tree.leaves(resumed.variables["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_ema_with_gradient_accumulation_decays_per_update():
+    """The EMA shadow decays once per OPTIMIZER update, not once per
+    microbatch — combining ema_decay with gradient_accumulation_steps=k
+    must not change the effective decay to d**k."""
+    d, k = 0.9, 2
+    data = _batches(n_batches=4)
+
+    trainer = Trainer(_make_regression_model(), loss=_mse,
+                      optimizer=optax.sgd(1e-2), seed=5,
+                      gradient_accumulation_steps=k, ema_decay=d)
+    p0 = jax.tree.map(np.asarray, trainer.variables["params"])
+    trainer.fit(data[:2], epochs=1, verbose=False)   # one real update
+    p1 = jax.tree.map(np.asarray, trainer.variables["params"])
+    trainer.fit(data[2:], epochs=1, verbose=False)   # second real update
+    p2 = jax.tree.map(np.asarray, trainer.variables["params"])
+
+    expect = jax.tree.map(lambda a, b: d * a + (1 - d) * b, p0, p1)
+    expect = jax.tree.map(lambda a, b: d * a + (1 - d) * b, expect, p2)
+    for want, got in zip(jax.tree.leaves(expect),
+                         jax.tree.leaves(trainer.ema_variables["params"])):
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_preemption_checkpoint_ema_restore_and_preempted_flag(tmp_path):
+    """restore_into seeds the EMA shadow when the checkpoint predates EMA,
+    and `preempted` reflects the SIGNAL, not any stop_training cause."""
+    from chambers_tpu.training.checkpoint import PreemptionCheckpoint
+
+    plain = Trainer(_make_regression_model(), loss=_mse,
+                    optimizer=optax.adam(1e-2), seed=2)
+    pc = PreemptionCheckpoint(str(tmp_path / "ckpt"), plain)
+    plain.fit(_batches(n_batches=2), epochs=1, callbacks=[pc], verbose=False)
+
+    ema_trainer = Trainer(_make_regression_model(), loss=_mse,
+                          optimizer=optax.adam(1e-2), seed=2, ema_decay=0.9)
+    pc2 = PreemptionCheckpoint(str(tmp_path / "ckpt"), ema_trainer)
+    assert pc2.restore_into(ema_trainer)
+    assert ema_trainer.state.ema_params is not None
+    for e, p in zip(jax.tree.leaves(ema_trainer.state.ema_params),
+                    jax.tree.leaves(ema_trainer.state.params)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(p))
+    # trains straight through (the shadow is live, not None)
+    ema_trainer.fit(_batches(n_batches=2), epochs=1, verbose=False)
+
+    # EarlyStopping-style stop does NOT read as a preemption
+    class StopNow(Callback):
+        def on_epoch_end(self, epoch, logs=None):
+            self.model.stop_training = True
+
+    t3 = Trainer(_make_regression_model(), loss=_mse,
+                 optimizer=optax.adam(1e-2))
+    pc3 = PreemptionCheckpoint(str(tmp_path / "ckpt3"), t3)
+    t3.fit(_batches(n_batches=2), epochs=3, callbacks=[pc3, StopNow()],
+           verbose=False)
+    assert t3.stop_training and not pc3.preempted

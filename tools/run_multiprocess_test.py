@@ -131,25 +131,35 @@ def run_worker(process_id: int):
         losses.append(float(loss))  # loss is replicated: readable everywhere
 
     # ---- phase 2: cross-process tensor parallelism ------------------------
-    # megatron-sharded MHA on {data: 2, model: 4}: the `model` axis spans
-    # both processes, so head-sharded projections reduce over gloo, not just
-    # in-process ICI simulation
+    # megatron-sharded EncoderLayer on {data: 2, model: 4}: the `model` axis
+    # spans both processes, so head-sharded projections reduce over gloo, not
+    # just in-process ICI simulation. (An EncoderLayer, not a bare MHA: the
+    # library TP rules key on the `multi_head_attention/...` sub-module
+    # paths, which a top-level MHA's params don't carry — a bare-MHA variant
+    # places everything replicated and tests nothing.)
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from chambers_tpu.layers import MultiHeadAttention
+    from chambers_tpu.layers.transformer import EncoderLayer
     from chambers_tpu.parallel import (
         SEQ2SEQ_TENSOR_PARALLEL_RULES, make_param_shardings,
     )
 
     tp_mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
-    mha = MultiHeadAttention(head_dim=8, num_heads=4, dropout_rate=0.0)
+    layer = EncoderLayer(embed_dim=32, num_heads=4, ff_dim=64, pre_norm=True,
+                         attention_dropout_rate=0.0, dense_dropout_rate=0.0)
     x_np = np.random.RandomState(7).randn(4, 6, 32).astype(np.float32)
-    variables = mha.init(jax.random.PRNGKey(0), [x_np, x_np])
-    ref_out = np.asarray(mha.apply(variables, [x_np, x_np]))  # local, 1 dev
+    variables = layer.init(jax.random.PRNGKey(0), x_np)
+    ref_out = np.asarray(
+        layer.apply(variables, x_np, deterministic=True))  # local, 1 dev
 
     shardings = make_param_shardings(
         variables["params"], tp_mesh, SEQ2SEQ_TENSOR_PARALLEL_RULES)
+    # guard against the vacuous-replication failure mode: the rules MUST
+    # claim the model axis on the attention and MLP weights
+    wq_spec = shardings["multi_head_attention"]["w_query"].spec
+    assert "model" in tuple(wq_spec), wq_spec
+    assert shardings["dense1"]["kernel"].spec == P(None, "model")
 
     def to_global(arr, sharding):
         a = np.asarray(arr)
@@ -159,7 +169,8 @@ def run_worker(process_id: int):
     placed = {"params": jax.tree.map(to_global, variables["params"],
                                      shardings)}
     xg = to_global(x_np, NamedSharding(tp_mesh, P("data")))
-    out_tp = jax.jit(lambda v, a: mha.apply(v, [a, a]))(placed, xg)
+    out_tp = jax.jit(
+        lambda v, a: layer.apply(v, a, deterministic=True))(placed, xg)
     from jax.experimental import multihost_utils
 
     out_tp_np = np.asarray(multihost_utils.process_allgather(out_tp,
