@@ -119,6 +119,22 @@ def clip_by_norm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def _apply_time_decay(learning_rate, decay):
+    """Keras-1-style time-inverse decay (the legacy ``decay`` kwarg the
+    reference's optimizers document, reference optimizers.py:352-356):
+    ``rate_t = rate / (1 + decay * step)``, composed on top of whatever
+    ``learning_rate`` is (scalar or schedule)."""
+    if not decay:
+        return learning_rate
+    base = learning_rate
+
+    def rate_fn(step):
+        rate = base(step) if callable(base) else base
+        return rate / (1.0 + decay * jax.numpy.asarray(
+            step, jax.numpy.float32))
+    return rate_fn
+
+
 def _clip_transforms(clipnorm, clipvalue, global_clipnorm):
     """Keras optimizer clipping kwargs → optax transforms, in Keras's
     apply order (norm clip, then value clip; reference optimizers.py:352-356
@@ -251,19 +267,24 @@ class AdamW(_ConfiguredOptimizer):
         clipnorm: Optional[float] = None,
         clipvalue: Optional[float] = None,
         global_clipnorm: Optional[float] = None,
+        lr: Optional[ScalarOrSchedule] = None,
+        decay: float = 0.0,
     ):
         super().__init__(
             weight_decay=weight_decay, decay_include=decay_include,
-            decay_exclude=decay_exclude, learning_rate=learning_rate,
+            decay_exclude=decay_exclude,
+            learning_rate=lr if lr is not None else learning_rate,
             beta_1=beta_1, beta_2=beta_2, epsilon=epsilon, amsgrad=amsgrad,
             clipnorm=clipnorm, clipvalue=clipvalue,
-            global_clipnorm=global_clipnorm,
+            global_clipnorm=global_clipnorm, decay=decay,
         )
 
     @staticmethod
     def _build(weight_decay, decay_include, decay_exclude, learning_rate,
                beta_1, beta_2, epsilon, amsgrad,
-               clipnorm=None, clipvalue=None, global_clipnorm=None):
+               clipnorm=None, clipvalue=None, global_clipnorm=None,
+               decay=0.0):
+        learning_rate = _apply_time_decay(learning_rate, decay)
         base = optax.chain(
             *_clip_transforms(clipnorm, clipvalue, global_clipnorm),
             optax.scale_by_amsgrad(b1=beta_1, b2=beta_2, eps=epsilon)
@@ -293,19 +314,24 @@ class SGDW(_ConfiguredOptimizer):
         clipnorm: Optional[float] = None,
         clipvalue: Optional[float] = None,
         global_clipnorm: Optional[float] = None,
+        lr: Optional[ScalarOrSchedule] = None,
+        decay: float = 0.0,
     ):
         super().__init__(
             weight_decay=weight_decay, decay_include=decay_include,
-            decay_exclude=decay_exclude, learning_rate=learning_rate,
+            decay_exclude=decay_exclude,
+            learning_rate=lr if lr is not None else learning_rate,
             momentum=momentum, nesterov=nesterov,
             clipnorm=clipnorm, clipvalue=clipvalue,
-            global_clipnorm=global_clipnorm,
+            global_clipnorm=global_clipnorm, decay=decay,
         )
 
     @staticmethod
     def _build(weight_decay, decay_include, decay_exclude, learning_rate,
                momentum, nesterov,
-               clipnorm=None, clipvalue=None, global_clipnorm=None):
+               clipnorm=None, clipvalue=None, global_clipnorm=None,
+               decay=0.0):
+        learning_rate = _apply_time_decay(learning_rate, decay)
         parts = _clip_transforms(clipnorm, clipvalue, global_clipnorm)
         if momentum:
             parts.append(optax.trace(decay=momentum, nesterov=nesterov))

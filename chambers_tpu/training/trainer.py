@@ -634,20 +634,21 @@ class Trainer:
         if get_config is None:
             return None
         try:
-            rate = get_config().get("learning_rate")
+            config = get_config()
+            rate = config.get("learning_rate")
         except Exception:
             return None
         if rate is None:
             return None
-        if callable(rate):
-            try:
-                return float(rate(self.state.step))
-            except Exception:
-                return None
         try:
-            return float(rate)
-        except (TypeError, ValueError):
+            value = float(rate(self.state.step)) if callable(rate) \
+                else float(rate)
+        except Exception:
             return None
+        time_decay = config.get("decay") or 0.0  # legacy Keras-1 kwarg
+        if time_decay:
+            value /= 1.0 + time_decay * float(self.state.step)
+        return value
 
     def evaluate(self, dataset: Iterable, callbacks=None, verbose: bool = True,
                  steps: Optional[int] = None):

@@ -946,3 +946,24 @@ def test_preemption_checkpoint_ema_restore_and_preempted_flag(tmp_path):
     t3.fit(_batches(n_batches=2), epochs=3, callbacks=[pc3, StopNow()],
            verbose=False)
     assert t3.stop_training and not pc3.preempted
+
+
+def test_legacy_lr_and_decay_kwargs():
+    """The reference's documented backward-compat kwargs: `lr` aliases
+    learning_rate; `decay` is Keras-1 time-inverse decay rate/(1+decay*t)."""
+    params = {"w": jnp.asarray([1.0])}
+    grads = {"w": jnp.asarray([1.0])}
+
+    a = SGDW(weight_decay=0.0, lr=0.5)
+    b = SGDW(weight_decay=0.0, learning_rate=0.5)
+    ua, _ = a.update(grads, a.init(params), params)
+    ub, _ = b.update(grads, b.init(params), params)
+    np.testing.assert_allclose(np.asarray(ua["w"]), np.asarray(ub["w"]))
+    assert a.get_config()["learning_rate"] == 0.5  # normalized, round-trips
+
+    d = SGDW(weight_decay=0.0, learning_rate=1.0, decay=0.5)
+    state = d.init(params)
+    u0, state = d.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(u0["w"]), [-1.0])        # t=0
+    u1, state = d.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(u1["w"]), [-1.0 / 1.5])  # t=1
