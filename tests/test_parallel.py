@@ -293,3 +293,39 @@ def test_quantized_tensor_parallel_forward_matches_single_device():
     x_s = shard_batch(jnp.asarray(x), mesh)
     out_tp = jax.jit(lambda v, a: layer.apply(v, a))(placed, x_s)
     np.testing.assert_allclose(np.asarray(out_tp), out_single, atol=1e-5)
+
+
+def test_auc_metric_inside_mesh_eval():
+    """AUC's [thresholds, batch] compare-reduce accumulates correctly under
+    a sharded eval batch (the reductions span the global data axis)."""
+    import optax
+    from flax import linen as nn
+
+    from chambers_tpu.metrics import AUC
+    from chambers_tpu.models import Model
+    from chambers_tpu.parallel import create_mesh
+    from chambers_tpu.training import Trainer
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            return nn.sigmoid(nn.Dense(1)(x))
+
+    module = Net()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    model = Model(module, variables)
+    rng = np.random.RandomState(1)
+    data = [(rng.randn(16, 4).astype(np.float32),
+             (rng.rand(16, 1) > 0.5).astype(np.float32)) for _ in range(3)]
+
+    mesh = create_mesh({"data": 8})
+    trainer = Trainer(model, loss=lambda yt, yp: jnp.mean((yt - yp) ** 2),
+                      optimizer=optax.sgd(0.0), mesh=mesh,
+                      metrics={"auc": AUC(num_thresholds=32)})
+    logs = trainer.evaluate(data, verbose=False)
+
+    ref = AUC(num_thresholds=32)
+    for x, y in data:
+        pred = module.apply(variables, jnp.asarray(x))
+        ref.update_state(y, np.asarray(pred))
+    np.testing.assert_allclose(logs["auc"], ref.result(), rtol=1e-5)
