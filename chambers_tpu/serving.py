@@ -110,6 +110,7 @@ class BatchedServer:
     """
 
     def __init__(self, fn, batch_size: int, max_delay_ms: float = 2.0):
+        import collections
         import queue
         import threading
 
@@ -121,6 +122,9 @@ class BatchedServer:
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0}
+        # enqueue->resolve latency of the most recent requests (seconds);
+        # summarized by latency_stats() — bounded so it never grows
+        self._latencies = collections.deque(maxlen=1024)
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         name="BatchedServer", daemon=True)
         self._thread.start()
@@ -133,8 +137,10 @@ class BatchedServer:
 
         if self._closed:
             raise RuntimeError("BatchedServer is closed")
+        import time
+
         fut: Future = Future()
-        self._queue.put((example, fut))
+        self._queue.put((example, fut, time.monotonic()))
         # close() may have raced past its drain between our check and put;
         # if the dispatcher is already gone, nothing will ever serve this
         if self._closed and not self._thread.is_alive() and not fut.done():
@@ -174,6 +180,8 @@ class BatchedServer:
             self._run_batch(batch, np)
 
     def _run_batch(self, batch, np):
+        import time
+
         import jax
 
         n = len(batch)
@@ -182,23 +190,35 @@ class BatchedServer:
             # shape/dtype vs the rest of the packed batch) must fail THESE
             # futures, not kill the dispatcher thread and strand every
             # later request
-            examples = [np.asarray(e) for e, _ in batch]
+            examples = [np.asarray(e) for e, _, _ in batch]
             x = np.stack(examples)
             if n < self.batch_size:
                 pad = np.zeros((self.batch_size - n,) + x.shape[1:], x.dtype)
                 x = np.concatenate([x, pad])
             out = jax.device_get(self.fn(x))
         except Exception as exc:  # resolve every waiter, never deadlock
-            for _, fut in batch:
+            for _, fut, _ in batch:
                 fut.set_exception(exc)
             return
         self.stats["requests"] += n
         self.stats["batches"] += 1
         self.stats["padded_rows"] += self.batch_size - n
+        done = time.monotonic()
         rows = jax.tree.map(lambda o: [o[i] for i in range(n)], out)
-        for i, (_, fut) in enumerate(batch):
+        for i, (_, fut, t0) in enumerate(batch):
+            self._latencies.append(done - t0)
             fut.set_result(jax.tree.map(
                 lambda r: r[i], rows, is_leaf=lambda v: isinstance(v, list)))
+
+    def latency_stats(self) -> dict:
+        """p50/p90/p99/max enqueue→resolve latency (ms) over the most
+        recent requests (bounded window)."""
+        lat = sorted(self._latencies)
+        if not lat:
+            return {}
+        pick = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3
+        return {"latency_ms_p50": pick(0.50), "latency_ms_p90": pick(0.90),
+                "latency_ms_p99": pick(0.99), "latency_ms_max": lat[-1] * 1e3}
 
     def close(self):
         """Drain: stop accepting requests, finish queued ones, join."""
@@ -297,7 +317,10 @@ class HTTPModelServer:
                 if self.path == "/healthz":
                     self._reply_json(200, {"status": "ok"})
                 elif self.path == "/stats":
-                    self._reply_json(200, dict(outer._batched.stats))
+                    self._reply_json(200, {
+                        **outer._batched.stats,
+                        **outer._batched.latency_stats(),
+                    })
                 else:
                     self._reply_json(404, {"error": f"no route {self.path}"})
 

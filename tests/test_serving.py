@@ -350,6 +350,8 @@ class TestHTTPModelServer:
             stats = json.loads(body)
         assert stats["requests"] == 16
         assert stats["batches"] < 16  # dynamic batching actually batched
+        assert stats["latency_ms_p50"] <= stats["latency_ms_p99"]
+        assert stats["latency_ms_max"] > 0
 
     def _get(self, port, path):
         import urllib.error
