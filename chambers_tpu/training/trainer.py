@@ -18,15 +18,17 @@ TPU notes:
 from __future__ import annotations
 
 import itertools
+import re
 import time
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Iterable, Optional, Sequence
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import serialization, struct
+from flax.traverse_util import flatten_dict, unflatten_dict
 
 from chambers_tpu.callbacks import Callback, CallbackList
 
@@ -168,7 +170,8 @@ class Trainer:
                  seed: int = 0, apply_fn: Optional[Callable] = None,
                  donate: bool = True, mesh=None, param_sharding_rules=None,
                  gradient_accumulation_steps: int = 1,
-                 ema_decay: Optional[float] = None):
+                 ema_decay: Optional[float] = None,
+                 trainable: Optional[Union[str, Sequence[str], Callable]] = None):
         """``mesh``: optional ``jax.sharding.Mesh`` — the train/eval steps run
         data-parallel over its ``data`` axis (batches are sharded per step,
         params replicated or sharded by ``param_sharding_rules``, and XLA
@@ -187,7 +190,19 @@ class Trainer:
         update every microbatch, so they follow microbatch moments — close
         to, but not identical with, the stats a true ``N×batch_size`` batch
         would write (the EMA weights microbatches unequally and
-        between-microbatch mean spread is lost from the variance)."""
+        between-microbatch mean spread is lost from the variance).
+
+        ``trainable``: optional parameter-freezing filter — the Keras
+        ``layer.trainable = False`` fine-tuning workflow (freeze a pretrained
+        backbone, train the head; or train only LoRA adapters). A regex
+        string, a sequence of regexes (a param trains if ANY pattern
+        ``re.search``-matches its ``/``-joined path — the same convention as
+        the optimizer ``decay_include``/``decay_exclude`` masks), or a
+        callable ``path -> bool``. Frozen params are excluded from the loss
+        differentiation itself (not just masked out of the update), so the
+        backward pass skips their weight-gradient matmuls and the optimizer
+        keeps moments only for the trainable subtree — Adam state for a
+        frozen ViT backbone costs nothing."""
         self.model = model
         self.loss = loss
         if gradient_accumulation_steps < 1:
@@ -251,6 +266,33 @@ class Trainer:
         self._mutable = (["batch_stats"] if "batch_stats" in extra_vars
                          else [])
 
+        # parameter freezing: resolve `trainable` to the frozenset of
+        # flattened key tuples that train. None = everything trains (the
+        # split/merge helpers degrade to identity).
+        self._train_keys = None
+        if trainable is not None:
+            if callable(trainable):
+                predicate = trainable
+            else:
+                patterns = ([trainable] if isinstance(trainable, str)
+                            else list(trainable))
+                predicate = lambda path: any(
+                    re.search(p, path) for p in patterns)
+            flat = flatten_dict(params)
+            keys = frozenset(
+                k for k in flat if predicate("/".join(map(str, k))))
+            if not keys:
+                sample = ["/".join(map(str, k)) for k in list(flat)[:5]]
+                raise ValueError(
+                    f"trainable={trainable!r} matches no parameters. "
+                    f"Example param paths: {sample}"
+                )
+            self._train_keys = keys
+            # normalize the container type (FrozenDict -> plain dict) so the
+            # split/merge round-trip inside train_step returns the same
+            # pytree structure it was given — otherwise step 2 recompiles
+            params = unflatten_dict(flat)
+
         if mesh is not None:
             from chambers_tpu.parallel.sharding import (
                 make_param_shardings, replicate,
@@ -270,7 +312,7 @@ class Trainer:
             # init AFTER placement: optimizer state (mu/nu etc. via
             # zeros_like) inherits the params' shardings instead of being
             # fully replicated on every device
-            opt_state = optimizer.init(params)
+            opt_state = optimizer.init(self._split_params(params)[0])
             # scalar leaves (step counts) come out of init uncommitted on
             # the default device; pin them to the mesh (replicated) so a
             # checkpoint restore — which reinstates CONCRETE shardings —
@@ -296,7 +338,7 @@ class Trainer:
             self.state = TrainState(
                 params=params,
                 extra_vars=extra_vars,
-                opt_state=optimizer.init(params),
+                opt_state=optimizer.init(self._split_params(params)[0]),
                 rng=jax.random.PRNGKey(seed),
                 step=jnp.zeros([], jnp.int32),
             )
@@ -375,8 +417,13 @@ class Trainer:
 
         def train_step(state: TrainState, metric_states, x, y):
             rng, dropout_rng = jax.random.split(state.rng)
+            # trainable=: differentiate w.r.t. the trainable subtree only;
+            # frozen leaves ride through as closed-over constants (XLA
+            # aliases them input->output, so they cost nothing)
+            train_params, frozen = self._split_params(state.params)
 
-            def loss_fn(params):
+            def loss_fn(train_params):
+                params = self._merge_params(train_params, frozen)
                 variables = {"params": params, **state.extra_vars}
                 if mutable_in_train:
                     y_pred, mutated = self._apply_fn(
@@ -411,12 +458,14 @@ class Trainer:
                 return loss_value, (y_pred, extra_vars, aux)
 
             (loss_value, (y_pred, extra_vars, aux)), grads = (
-                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                jax.value_and_grad(loss_fn, has_aux=True)(train_params)
             )
             updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params
+                grads, state.opt_state, train_params
             )
-            params = optax.apply_updates(state.params, updates)
+            params = self._merge_params(
+                optax.apply_updates(train_params, updates), frozen
+            )
             ema_params = state.ema_params
             if self.ema_decay is not None:
                 d = self.ema_decay
@@ -459,6 +508,32 @@ class Trainer:
         donate_args = (0, 1) if donate else (1,)
         self.train_step = jax.jit(train_step, donate_argnums=donate_args)
         self.eval_step = jax.jit(eval_step, donate_argnums=(2,))
+
+    # -- parameter freezing ---------------------------------------------------
+    def _split_params(self, params):
+        """Partition the full params tree into ``(trainable, frozen)``.
+
+        ``trainable`` is a nested subtree (key paths preserved, so optimizer
+        regex masks like ``decay_exclude`` still see full paths); ``frozen``
+        is a flat ``{key_tuple: leaf}`` dict. Identity — ``(params, None)`` —
+        when no ``trainable=`` filter is set.
+        """
+        if self._train_keys is None:
+            return params, None
+        flat = flatten_dict(params)
+        train = unflatten_dict(
+            {k: v for k, v in flat.items() if k in self._train_keys})
+        frozen = {k: v for k, v in flat.items()
+                  if k not in self._train_keys}
+        return train, frozen
+
+    def _merge_params(self, train, frozen):
+        """Inverse of :meth:`_split_params`."""
+        if frozen is None:
+            return train
+        merged = dict(frozen)
+        merged.update(flatten_dict(train))
+        return unflatten_dict(merged)
 
     def _place_batch(self, x, y):
         # x/y may be pytrees (e.g. a (labels, teacher_logits) target for

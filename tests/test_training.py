@@ -967,3 +967,123 @@ def test_legacy_lr_and_decay_kwargs():
     np.testing.assert_allclose(np.asarray(u0["w"]), [-1.0])        # t=0
     u1, state = d.update(grads, state, params)
     np.testing.assert_allclose(np.asarray(u1["w"]), [-1.0 / 1.5])  # t=1
+
+
+# --- parameter freezing (Trainer trainable=) ---------------------------------
+
+def test_trainer_trainable_freezes_params():
+    """trainable= regex: frozen params stay bit-identical, trainable ones
+    move, and the loss still falls (head-only fine-tuning workflow)."""
+    model = _make_regression_model()
+    before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                          model.variables["params"])
+    trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2),
+                      trainable=r"Dense_1")
+    history = trainer.fit(_batches(), epochs=10, verbose=False)
+    after = trainer.state.params
+    np.testing.assert_array_equal(
+        np.asarray(after["Dense_0"]["kernel"]), before["Dense_0"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(after["Dense_0"]["bias"]), before["Dense_0"]["bias"])
+    assert not np.array_equal(
+        np.asarray(after["Dense_1"]["kernel"]), before["Dense_1"]["kernel"])
+    assert history[-1]["loss"] < history[0]["loss"]
+
+
+def test_trainer_trainable_no_match_raises():
+    model = _make_regression_model()
+    with pytest.raises(ValueError, match="matches no parameters"):
+        Trainer(model, loss=_mse, optimizer=optax.adam(1e-2),
+                trainable=r"does_not_exist_xyz")
+
+
+def test_trainer_trainable_all_matches_unfrozen_run():
+    """trainable matching everything reproduces the unfrozen trajectory
+    exactly (the partitioned step is the same math)."""
+    data = _batches(n_batches=4)
+    m1, m2 = _make_regression_model(), _make_regression_model()
+    t1 = Trainer(m1, loss=_mse, optimizer=optax.adam(1e-2))
+    t2 = Trainer(m2, loss=_mse, optimizer=optax.adam(1e-2), trainable=r".")
+    t1.fit(data, epochs=3, verbose=False)
+    t2.fit(data, epochs=3, verbose=False)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        t1.state.params, t2.state.params)
+
+
+def test_trainer_trainable_opt_state_covers_subtree_only():
+    """Frozen params carry NO optimizer moments — Adam state for a frozen
+    backbone costs nothing (the point of freezing at scale)."""
+    model = _make_regression_model()
+    trainer = Trainer(model, loss=_mse,
+                      optimizer=AdamW(weight_decay=1e-2, learning_rate=1e-2,
+                                      decay_exclude=["bias"]),
+                      trainable=r"Dense_1")
+    from chambers_tpu.utils.pytree import param_paths
+
+    opt_paths = param_paths(trainer.state.opt_state)
+    assert any("Dense_1" in p for p in opt_paths)
+    assert not any("Dense_0" in p for p in opt_paths)
+    # decay_exclude regex masks still see full paths inside the subtree
+    history = trainer.fit(_batches(n_batches=2), epochs=2, verbose=False)
+    assert np.isfinite(history[-1]["loss"])
+
+
+def test_trainer_trainable_callable_predicate():
+    model = _make_regression_model()
+    trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2),
+                      trainable=lambda path: path.endswith("bias"))
+    before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                          model.variables["params"])
+    trainer.fit(_batches(n_batches=2), epochs=2, verbose=False)
+    after = trainer.state.params
+    np.testing.assert_array_equal(
+        np.asarray(after["Dense_0"]["kernel"]), before["Dense_0"]["kernel"])
+    assert not np.array_equal(
+        np.asarray(after["Dense_0"]["bias"]), before["Dense_0"]["bias"])
+
+
+def test_trainer_trainable_dp_mesh_matches_single_device():
+    """Freezing composes with the DP mesh: one sharded step writes the same
+    trainable-param update as the same step single-device."""
+    from chambers_tpu.parallel import create_mesh
+
+    data = _batches(n_batches=1, batch=16)
+    m1, m2 = _make_regression_model(), _make_regression_model()
+    ref = Trainer(m1, loss=_mse, optimizer=optax.adam(1e-2),
+                  trainable=r"Dense_1")
+    ref.fit(data, epochs=1, verbose=False)
+    mesh_trainer = Trainer(m2, loss=_mse, optimizer=optax.adam(1e-2),
+                           trainable=r"Dense_1", mesh=create_mesh({"data": 8}))
+    mesh_trainer.fit(data, epochs=1, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(mesh_trainer.state.params["Dense_1"]["kernel"]),
+        np.asarray(ref.state.params["Dense_1"]["kernel"]),
+        rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(
+        np.asarray(mesh_trainer.state.params["Dense_0"]["kernel"]),
+        np.asarray(ref.state.params["Dense_0"]["kernel"]))
+
+
+def test_trainer_trainable_with_accumulation_and_ema():
+    """Freezing composes with gradient accumulation and parameter EMA."""
+    model = _make_regression_model()
+    before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                          model.variables["params"])
+    trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2),
+                      trainable=r"Dense_1",
+                      gradient_accumulation_steps=2, ema_decay=0.5)
+    history = trainer.fit(_batches(n_batches=4), epochs=4, verbose=False)
+    assert history[-1]["loss"] < history[0]["loss"]
+    after = trainer.state.params
+    np.testing.assert_array_equal(
+        np.asarray(after["Dense_0"]["kernel"]), before["Dense_0"]["kernel"])
+    # EMA shadow of a frozen leaf equals the leaf (d*e+(1-d)*p with e==p)
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.ema_params["Dense_0"]["kernel"]),
+        before["Dense_0"]["kernel"])
+    # EMA shadow of the trainable leaf trails it
+    assert not np.array_equal(
+        np.asarray(trainer.state.ema_params["Dense_1"]["kernel"]),
+        np.asarray(after["Dense_1"]["kernel"]))
