@@ -1,1 +1,2 @@
+from chambers_tpu.training import lora
 from chambers_tpu.training.trainer import Trainer, TrainState
