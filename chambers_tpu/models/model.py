@@ -28,11 +28,18 @@ class Model:
         variables,
         preprocess: Optional[Callable] = None,
         name: Optional[str] = None,
+        apply_fn: Optional[Callable] = None,
     ):
         self.module = module
         self.variables = variables
         self.preprocess = preprocess
         self.name = name or type(module).__name__
+        # optional apply override (e.g. lora.wrap_apply): EVERY inference
+        # path — __call__, predict, serving export, and the Trainer's
+        # default step — routes through it, so a model whose variables only
+        # make sense through a transform (LoRA adapters) can't silently run
+        # the raw module
+        self._apply_override = apply_fn
         self._jit_apply = None
 
     # -- functional surface -------------------------------------------------
@@ -42,12 +49,20 @@ class Model:
 
     def apply_fn(self, variables, *args, **kwargs):
         """Pure apply — use this under jit/pjit with explicit variables."""
+        if self._apply_override is not None:
+            return self._apply_override(variables, *args, **kwargs)
         return self.module.apply(variables, *args, **kwargs)
+
+    def with_apply_fn(self, apply_fn: Optional[Callable]) -> "Model":
+        """Install (or clear, with None) the apply override in place."""
+        self._apply_override = apply_fn
+        self._jit_apply = None
+        return self
 
     # -- eager convenience --------------------------------------------------
     def __call__(self, x, training: bool = False, rngs=None):
         deterministic = not training
-        return self.module.apply(
+        return self.apply_fn(
             self.variables, x, deterministic=deterministic, rngs=rngs
         )
 
@@ -55,13 +70,13 @@ class Model:
         """Batched jitted inference over a host array (pads the tail batch)."""
         if self._jit_apply is None:
             self._jit_apply = jax.jit(
-                lambda v, b: self.module.apply(v, b, deterministic=True)
+                lambda v, b: self.apply_fn(v, b, deterministic=True)
             )
         x = np.asarray(x)
         n = x.shape[0]
         if n == 0:
             out_tree = jax.eval_shape(
-                lambda v, b: self.module.apply(v, b, deterministic=True),
+                lambda v, b: self.apply_fn(v, b, deterministic=True),
                 self.variables, jnp.zeros((1,) + x.shape[1:], x.dtype),
             )
             return jax.tree.map(

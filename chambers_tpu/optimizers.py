@@ -119,6 +119,20 @@ def clip_by_norm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def _resolve_lr(learning_rate, lr):
+    """The legacy ``lr`` alias replaces ``learning_rate`` — it must never
+    silently override an explicit one (a stale ``lr=`` surviving a partial
+    migration would train at the wrong rate with no diagnostic)."""
+    if lr is None:
+        return learning_rate
+    if not (isinstance(learning_rate, float) and learning_rate == 0.001):
+        raise ValueError(
+            f"Got both learning_rate={learning_rate!r} and its legacy "
+            f"alias lr={lr!r}; pass only one."
+        )
+    return lr
+
+
 def _apply_time_decay(learning_rate, decay):
     """Keras-1-style time-inverse decay (the legacy ``decay`` kwarg the
     reference's optimizers document, reference optimizers.py:352-356):
@@ -273,7 +287,7 @@ class AdamW(_ConfiguredOptimizer):
         super().__init__(
             weight_decay=weight_decay, decay_include=decay_include,
             decay_exclude=decay_exclude,
-            learning_rate=lr if lr is not None else learning_rate,
+            learning_rate=_resolve_lr(learning_rate, lr),
             beta_1=beta_1, beta_2=beta_2, epsilon=epsilon, amsgrad=amsgrad,
             clipnorm=clipnorm, clipvalue=clipvalue,
             global_clipnorm=global_clipnorm, decay=decay,
@@ -320,7 +334,7 @@ class SGDW(_ConfiguredOptimizer):
         super().__init__(
             weight_decay=weight_decay, decay_include=decay_include,
             decay_exclude=decay_exclude,
-            learning_rate=lr if lr is not None else learning_rate,
+            learning_rate=_resolve_lr(learning_rate, lr),
             momentum=momentum, nesterov=nesterov,
             clipnorm=clipnorm, clipvalue=clipvalue,
             global_clipnorm=global_clipnorm, decay=decay,

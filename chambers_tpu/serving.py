@@ -14,6 +14,7 @@ compiles for whichever accelerator the serving host has.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Optional, Sequence
 
@@ -216,7 +217,11 @@ class BatchedServer:
         lat = sorted(self._latencies)
         if not lat:
             return {}
-        pick = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)] * 1e3
+        # nearest-rank percentile: ceil(q*n)-1 — int(q*n) would bias every
+        # quantile one rank high (p50 of 2 samples = the max, p99 of 100
+        # samples = the max)
+        pick = lambda q: lat[min(max(math.ceil(q * len(lat)) - 1, 0),
+                                 len(lat) - 1)] * 1e3
         return {"latency_ms_p50": pick(0.50), "latency_ms_p90": pick(0.90),
                 "latency_ms_p99": pick(0.99), "latency_ms_max": lat[-1] * 1e3}
 

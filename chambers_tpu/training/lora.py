@@ -36,14 +36,15 @@ Typical use::
 
     from chambers_tpu.training import Trainer, lora
 
-    params = lora.add_lora(model.variables["params"], rank=8,
-                           rng=jax.random.PRNGKey(0))
-    model.replace_variables({**model.variables, "params": params})
-    trainer = Trainer(model, loss, optimizer,
-                      trainable=lora.TRAINABLE,
-                      apply_fn=lora.wrap_apply(model.module))
+    model = lora.apply_to_model(model, rank=8, rng=jax.random.PRNGKey(0))
+    trainer = Trainer(model, loss, optimizer, trainable=lora.TRAINABLE)
     trainer.fit(train_ds, epochs=3)
     served = lora.merge_lora(trainer.state.params)   # base-shaped tree
+
+:func:`apply_to_model` installs the adapted forward as the model's apply
+override, so ``model.predict``, ``trainer.predict``, and serving export
+all see the adapters; the lower-level :func:`add_lora` + :func:`wrap_apply`
+pieces compose the same thing by hand.
 """
 
 from __future__ import annotations
@@ -127,6 +128,32 @@ def add_lora(params, rank: int, rng,
     return unflatten_dict(out)
 
 
+def _validate_adapters(flat, require_base: bool = True):
+    """Every ``_lora_a`` must pair with its ``_lora_b`` (and, when
+    ``require_base``, sit next to its base weight) — an orphan half-adapter
+    means a filtered/corrupted tree and must fail loudly, not silently
+    serve the base model."""
+    for key in flat:
+        name = str(key[-1])
+        if name.endswith(_A):
+            stem = name[: -len(_A)]
+            other, missing = key[:-1] + (stem + _B,), _B
+        elif name.endswith(_B):
+            stem = name[: -len(_B)]
+            other, missing = key[:-1] + (stem + _A,), _A
+        else:
+            continue
+        path = "/".join(map(str, key))
+        if other not in flat:
+            raise ValueError(
+                f"orphan adapter leaf {path}: its {stem}{missing} "
+                "counterpart is missing (filtered or corrupted tree?)")
+        if require_base and key[:-1] + (stem,) not in flat:
+            raise ValueError(
+                f"adapter {path} has no base weight "
+                f"{'/'.join(map(str, key[:-1] + (stem,)))}")
+
+
 def merge_lora(params, scale: float = 1.0):
     """Bake ``W + scale * A@B`` and drop the adapter leaves.
 
@@ -135,6 +162,7 @@ def merge_lora(params, scale: float = 1.0):
     ``scale`` the model trained with (:func:`wrap_apply`'s ``scale``).
     """
     flat = dict(flatten_dict(params))
+    _validate_adapters(flat)
     out = {}
     for key, leaf in flat.items():
         name = str(key[-1])
@@ -165,6 +193,24 @@ def wrap_apply(module, scale: float = 1.0) -> Callable:
     return apply_fn
 
 
+def apply_to_model(model, rank: int, rng,
+                   targets: Sequence[str] = DEFAULT_TARGETS,
+                   scale: float = 1.0, stddev: Optional[float] = None):
+    """One-call LoRA setup on a :class:`~chambers_tpu.models.Model`:
+    adds the adapters to its variables AND installs :func:`wrap_apply` as
+    the model's apply override, so ``model(x)``, ``model.predict``,
+    serving export, and a ``Trainer`` built on it all run the adapted
+    forward — only ``trainable=lora.TRAINABLE`` is left to pass::
+
+        model = lora.apply_to_model(model, rank=8, rng=key)
+        trainer = Trainer(model, loss, optimizer, trainable=lora.TRAINABLE)
+    """
+    params = add_lora(model.variables["params"], rank, rng,
+                      targets=targets, stddev=stddev)
+    model.replace_variables({**model.variables, "params": params})
+    return model.with_apply_fn(wrap_apply(model.module, scale=scale))
+
+
 def extract_lora(params):
     """The adapter-only subtree (tiny — this is the per-task checkpoint)."""
     flat = flatten_dict(params)
@@ -172,6 +218,7 @@ def extract_lora(params):
                 if str(k[-1]).endswith(_A) or str(k[-1]).endswith(_B)}
     if not adapters:
         raise ValueError("params carry no LoRA adapters (add_lora first)")
+    _validate_adapters(adapters, require_base=False)
     return unflatten_dict(adapters)
 
 
@@ -179,7 +226,9 @@ def insert_lora(base_params, adapters):
     """Attach an :func:`extract_lora` subtree onto a base params tree
     (shape-checked against the factorization of each target weight)."""
     flat = dict(flatten_dict(base_params))
-    for key, leaf in flatten_dict(adapters).items():
+    adapter_flat = dict(flatten_dict(adapters))
+    _validate_adapters(adapter_flat, require_base=False)
+    for key, leaf in adapter_flat.items():
         name = str(key[-1])
         if not (name.endswith(_A) or name.endswith(_B)):
             raise ValueError(f"not an adapter leaf: {'/'.join(map(str, key))}")

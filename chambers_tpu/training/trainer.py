@@ -352,6 +352,11 @@ class Trainer:
 
         module = model.module
         if apply_fn is None:
+            # a model carrying an apply override (e.g. lora.apply_to_model)
+            # trains through it too — otherwise the step would silently run
+            # the raw module and ignore the transform
+            apply_fn = getattr(model, "_apply_override", None)
+        if apply_fn is None:
             def apply_fn(variables, x, deterministic, rngs, mutable=False):
                 return module.apply(
                     variables, x, deterministic=deterministic, rngs=rngs,

@@ -96,3 +96,14 @@ def test_train_metric_learning_example(capsys, tmp_path):
     ])
     out = capsys.readouterr().out
     assert "recall@1" in out
+
+
+def test_finetune_lora_example(capsys):
+    _run_example("finetune_lora.py", [
+        "--classes", "4", "--image-size", "32", "--batch", "4",
+        "--epochs", "1", "--steps-per-epoch", "2", "--rank", "2",
+        "--layers", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "frozen backbone unchanged: True" in out
+    assert "merge max|delta|: 0.0" in out

@@ -192,3 +192,61 @@ def test_lora_errors():
     bad = jax.tree.map(lambda a: jnp.zeros((3, 3), a.dtype), adapters)
     with pytest.raises(ValueError, match="does not factor"):
         lora.insert_lora(model.variables["params"], bad)
+
+
+def test_apply_to_model_routes_every_inference_path():
+    """apply_to_model installs the adapted forward on the Model itself, so
+    model(x), model.predict, and trainer.predict all see the adapters —
+    none of them silently serve the base model."""
+    model = _make_model()
+    x = _x()
+    base = np.asarray(model.module.apply(model.variables, x))
+    model = lora.apply_to_model(model, rank=4, rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(model(x)), base)  # b=0 at init
+
+    def mse(y, y_pred):
+        return jnp.mean((y - y_pred) ** 2)
+
+    rng = np.random.RandomState(0)
+    data = [(rng.randn(8, 5, 4).astype(np.float32),
+             rng.randn(8, 1).astype(np.float32)) for _ in range(4)]
+    # no apply_fn= needed: the Trainer picks up the model's override
+    trainer = Trainer(model, loss=mse, optimizer=optax.adam(1e-2),
+                      trainable=lora.TRAINABLE)
+    history = trainer.fit(data, epochs=8, verbose=False)
+    assert history[-1]["loss"] < history[0]["loss"]
+
+    adapted = np.asarray(
+        lora.wrap_apply(model.module)({"params": trainer.state.params}, x))
+    raw_base = np.asarray(
+        model.module.apply({"params": trainer.state.params}, x))
+    assert not np.allclose(adapted, raw_base)  # training moved the adapters
+    np.testing.assert_allclose(np.asarray(model.predict(np.asarray(x))),
+                               adapted, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(trainer.predict(np.asarray(x))),
+                               adapted, rtol=1e-5, atol=1e-6)
+
+
+def test_lora_orphan_adapters_fail_loudly():
+    """A filtered/corrupted tree holding half an adapter pair must raise,
+    not silently serve the base model (merge skips) or KeyError."""
+    model = _make_model()
+    params = lora.add_lora(model.variables["params"], rank=2,
+                           rng=jax.random.PRNGKey(1))
+    flat = dict(flatten_dict(params))
+    a_key = next(k for k in flat if str(k[-1]).endswith("_lora_a"))
+    b_key = a_key[:-1] + (str(a_key[-1])[:-len("_lora_a")] + "_lora_b",)
+
+    from flax.traverse_util import unflatten_dict
+
+    no_b = unflatten_dict({k: v for k, v in flat.items() if k != b_key})
+    with pytest.raises(ValueError, match="orphan"):
+        lora.merge_lora(no_b)
+    no_a = unflatten_dict({k: v for k, v in flat.items() if k != a_key})
+    with pytest.raises(ValueError, match="orphan"):
+        lora.merge_lora(no_a)
+    with pytest.raises(ValueError, match="orphan"):
+        lora.extract_lora(no_b)
+    half = unflatten_dict({a_key: flat[a_key]})
+    with pytest.raises(ValueError, match="orphan"):
+        lora.insert_lora(model.variables["params"], half)

@@ -440,3 +440,27 @@ class TestBatchedServerRobustness:
         server.close()
         with pytest.raises(RuntimeError, match="closed"):
             fut.result(timeout=10)
+
+
+def test_latency_stats_nearest_rank():
+    """Percentiles use nearest-rank ceil(q*n)-1 — int(q*n) would report the
+    max as the median for 2 samples and p100 as p99 for 100 samples."""
+    import pytest as _pytest
+
+    from chambers_tpu.serving import BatchedServer
+
+    server = BatchedServer(lambda x: x, batch_size=1)
+    try:
+        server._latencies.extend([0.001, 0.100])
+        stats = server.latency_stats()
+        assert stats["latency_ms_p50"] == _pytest.approx(1.0)
+        assert stats["latency_ms_max"] == _pytest.approx(100.0)
+        server._latencies.clear()
+        server._latencies.extend([i / 1000 for i in range(1, 101)])
+        stats = server.latency_stats()
+        assert stats["latency_ms_p50"] == _pytest.approx(50.0)
+        assert stats["latency_ms_p90"] == _pytest.approx(90.0)
+        assert stats["latency_ms_p99"] == _pytest.approx(99.0)  # not max
+        assert stats["latency_ms_max"] == _pytest.approx(100.0)
+    finally:
+        server.close()

@@ -1087,3 +1087,14 @@ def test_trainer_trainable_with_accumulation_and_ema():
     assert not np.array_equal(
         np.asarray(trainer.state.ema_params["Dense_1"]["kernel"]),
         np.asarray(after["Dense_1"]["kernel"]))
+
+
+def test_lr_and_learning_rate_conflict_raises():
+    """A stale legacy lr= kwarg must not silently override an explicit
+    learning_rate (it would train 100x off with no diagnostic)."""
+    with pytest.raises(ValueError, match="only one"):
+        AdamW(weight_decay=0.0, learning_rate=1e-4, lr=1e-2)
+    with pytest.raises(ValueError, match="only one"):
+        SGDW(weight_decay=0.0, learning_rate=1e-4, lr=1e-2)
+    # the alias alone still works and normalizes into the config
+    assert AdamW(weight_decay=0.0, lr=0.5).get_config()["learning_rate"] == 0.5
