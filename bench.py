@@ -121,7 +121,7 @@ def _bench_randaugment_vitb16_int8(batch):
     return _bench_randaugment_vitb16(batch, quantize=True)
 
 
-def _bench_autoaugment_vitl16_384(batch):
+def _bench_autoaugment_vitl16_384(batch, quantize=False):
     """BASELINE config 3: fused AutoAugment -> ViT-L/16 @384, batch 128."""
     from chambers_tpu.augmentations import AutoAugment
     from chambers_tpu.models.backbones import ViTL16
@@ -130,8 +130,16 @@ def _bench_autoaugment_vitl16_384(batch):
         batch, model_builder=ViTL16, size=384,
         augment=AutoAugment(elementwise=True),
         label="images/sec/chip (per-image AutoAugment+ViT-L/16 bf16 infer, "
-              "384px", default_batch=128,
+              "384px", default_batch=128, quantize=quantize,
     )
+
+
+def _bench_autoaugment_vitl16_384_int8(batch):
+    """Config 3 served through int8 dynamic PTQ, same trade as the config-1
+    int8 row (tools/bench_quantized_vit.py measured the bare ViT-L@384
+    forward at 1.07x; the unquantized score/softmax/GELU share is larger at
+    t=577 than at t=197, so the end-to-end win is smaller than config 1's)."""
+    return _bench_autoaugment_vitl16_384(batch, quantize=True)
 
 
 def _bench_metric_learning(batch):
@@ -284,6 +292,7 @@ CONFIGS = {
     "randaugment_vitb16_224": _bench_randaugment_vitb16,
     "randaugment_vitb16_224_int8": _bench_randaugment_vitb16_int8,
     "autoaugment_vitl16_384": _bench_autoaugment_vitl16_384,
+    "autoaugment_vitl16_384_int8": _bench_autoaugment_vitl16_384_int8,
     "metric_learning": _bench_metric_learning,
     "detr": _bench_detr,
 }

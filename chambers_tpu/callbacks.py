@@ -328,6 +328,130 @@ class EarlyStopping(Callback):
             self.model.set_weights(self._best_weights)
 
 
+class ReduceLROnPlateau(Callback):
+    """Reduce the learning rate when a monitored metric plateaus.
+
+    Keras ``ReduceLROnPlateau`` semantics: after ``patience`` epochs without
+    an improvement of at least ``min_delta``, the rate becomes
+    ``max(lr * factor, min_lr)``, followed by ``cooldown`` epochs of grace.
+
+    Requires an optimizer built with ``mutable_lr=True`` (``AdamW``/``SGDW``)
+    and a SCALAR ``learning_rate`` — the rate change is a state-resident
+    multiplier, so no retrace or recompile ever happens (Keras likewise
+    refuses to drive a ``LearningRateSchedule``). The effective rate lands
+    in the epoch logs as ``lr``.
+    """
+
+    def __init__(self, monitor="val_loss", factor=0.1, patience=10,
+                 mode="auto", min_delta=1e-4, cooldown=0, min_lr=0.0,
+                 verbose=0):
+        if factor >= 1.0:
+            raise ValueError(f"factor={factor} must be < 1.0")
+        if mode == "auto":
+            mode = "max" if any(
+                m in monitor for m in ("acc", "f1", "auc", "recall", "precision")
+            ) else "min"
+        if mode not in ("min", "max"):
+            raise ValueError(f"mode must be 'auto'|'min'|'max', got {mode!r}")
+        self.monitor = monitor
+        self.factor = float(factor)
+        self.patience = int(patience)
+        self.mode = mode
+        self.min_delta = abs(float(min_delta))
+        self.cooldown = int(cooldown)
+        self.min_lr = float(min_lr)
+        self.verbose = verbose
+
+    def _improved(self, value):
+        if self.mode == "max":
+            return value > self._best + self.min_delta
+        return value < self._best - self.min_delta
+
+    def _base_lr(self):
+        base = self.model.base_learning_rate
+        if base is None:
+            raise ValueError(
+                "ReduceLROnPlateau requires an AdamW/SGDW optimizer with a "
+                "scalar learning_rate (schedules cannot be scaled this way; "
+                "gradient accumulation wraps the config away)")
+        if self.model.get_lr_scale() is None:
+            raise ValueError(
+                "ReduceLROnPlateau requires the optimizer to be constructed "
+                "with mutable_lr=True")
+        return base
+
+    def on_train_begin(self, logs=None):
+        self._wait = 0
+        self._cooldown_counter = 0
+        self._best = float("-inf") if self.mode == "max" else float("inf")
+        self._base_lr()  # fail at train start, not N epochs in
+
+    def on_epoch_end(self, epoch, logs=None):
+        logs = logs or {}
+        if self.monitor not in logs:
+            warnings.warn(
+                f"ReduceLROnPlateau monitors '{self.monitor}' which is not "
+                f"in the epoch logs {sorted(logs)}", stacklevel=2)
+            return
+        value = _scalarize(logs[self.monitor])
+        if self._cooldown_counter > 0:
+            self._cooldown_counter -= 1
+            self._wait = 0
+        if self._improved(value):
+            self._best = value
+            self._wait = 0
+        elif self._cooldown_counter == 0:
+            self._wait += 1
+            if self._wait >= self.patience:
+                base = self._base_lr()
+                old_lr = base * self.model.get_lr_scale()
+                if old_lr > self.min_lr:
+                    new_lr = max(old_lr * self.factor, self.min_lr)
+                    self.model.set_lr_scale(new_lr / base)
+                    if self.verbose:
+                        print(f"ReduceLROnPlateau: epoch {epoch + 1}: "
+                              f"reducing learning rate to {new_lr:.6g}")
+                    self._cooldown_counter = self.cooldown
+                    self._wait = 0
+
+
+class LearningRateScheduler(Callback):
+    """Keras ``LearningRateScheduler``: at each epoch start, set the rate to
+    ``schedule(epoch)`` (or ``schedule(epoch, current_lr)``).
+
+    Same mechanism and requirements as :class:`ReduceLROnPlateau` — the
+    absolute rate is realized as a multiplier over the optimizer's
+    configured scalar ``learning_rate`` in the live optimizer state, so the
+    compiled train step is untouched. For a schedule known up front, prefer
+    passing an optax/`chambers_tpu.schedules` schedule to the optimizer
+    (it evaluates per STEP on device); this callback exists for the Keras
+    per-epoch, host-computed idiom.
+    """
+
+    def __init__(self, schedule, verbose=0):
+        self.schedule = schedule
+        self.verbose = verbose
+
+    def on_epoch_begin(self, epoch, logs=None):
+        base = self.model.base_learning_rate
+        scale = self.model.get_lr_scale()
+        if base is None or scale is None:
+            raise ValueError(
+                "LearningRateScheduler requires an AdamW/SGDW optimizer "
+                "with a scalar learning_rate and mutable_lr=True")
+        try:
+            lr = self.schedule(epoch, base * scale)
+        except TypeError:
+            lr = self.schedule(epoch)
+        lr = float(lr)
+        if not (lr > 0 or lr == 0):
+            raise ValueError(f"schedule returned an invalid rate: {lr!r}")
+        self.model.set_lr_scale(lr / base)
+        if self.verbose:
+            print(f"LearningRateScheduler: epoch {epoch + 1}: "
+                  f"learning rate {lr:.6g}")
+
+
 class TerminateOnNaN(Callback):
     """Stop training the moment the loss goes non-finite.
 

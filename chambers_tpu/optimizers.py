@@ -16,7 +16,7 @@ the same shape.
 """
 
 import re
-from typing import Any, Callable, Optional, Union
+from typing import Any, Callable, NamedTuple, Optional, Union
 
 import jax
 import optax
@@ -167,6 +167,73 @@ def _clip_transforms(clipnorm, clipvalue, global_clipnorm):
     return parts
 
 
+class MutableLRScaleState(NamedTuple):
+    """State of :func:`mutable_lr_scale`: a host-settable learning-rate
+    multiplier. Lives in the optimizer state (device-resident, donated with
+    it) so changing the rate NEVER retraces or recompiles the train step —
+    the mechanism behind ``callbacks.ReduceLROnPlateau`` and
+    ``callbacks.LearningRateScheduler``."""
+
+    scale: jax.Array
+
+
+def mutable_lr_scale() -> optax.GradientTransformation:
+    """Multiply updates by a state-resident scalar (initially 1.0).
+
+    Inserted by ``AdamW(..., mutable_lr=True)`` / ``SGDW(..., mutable_lr=
+    True)`` AFTER the learning rate but BEFORE the decoupled weight decay,
+    so — like Keras ``ReduceLROnPlateau`` over a tfa decoupled-decay
+    optimizer — the decay term keeps its configured strength when the rate
+    drops."""
+
+    def init(params):
+        del params
+        return MutableLRScaleState(scale=jax.numpy.ones([], jax.numpy.float32))
+
+    def update(updates, state, params=None):
+        del params
+        return (jax.tree.map(lambda u: u * state.scale, updates), state)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _is_scale_state(node):
+    return isinstance(node, MutableLRScaleState)
+
+
+def get_lr_scale(opt_state):
+    """The current mutable lr multiplier, or None if the optimizer was not
+    built with ``mutable_lr=True``."""
+    found = []
+    jax.tree.map(lambda n: found.append(n.scale) if _is_scale_state(n) else n,
+                 opt_state, is_leaf=_is_scale_state)
+    return float(found[0]) if found else None
+
+
+def set_lr_scale(opt_state, scale):
+    """A copy of ``opt_state`` with the mutable lr multiplier replaced.
+
+    ``scale`` may be a Python float or a placed jax array (pass a
+    mesh-replicated scalar when the train state is sharded)."""
+    found = [0]
+
+    def replace(node):
+        if _is_scale_state(node):
+            found[0] += 1
+            value = scale if hasattr(scale, "dtype") else jax.numpy.asarray(
+                scale, jax.numpy.float32)
+            return MutableLRScaleState(scale=value)
+        return node
+
+    new_state = jax.tree.map(replace, opt_state, is_leaf=_is_scale_state)
+    if not found[0]:
+        raise ValueError(
+            "optimizer state carries no mutable lr scale — construct the "
+            "optimizer with mutable_lr=True (AdamW/SGDW) to use "
+            "ReduceLROnPlateau / LearningRateScheduler")
+    return new_state
+
+
 class WeightDecayExtension:
     """Decoupled weight decay with regex variable filtering as a reusable
     extension object (reference optimizers.py:10-181, the public
@@ -283,6 +350,7 @@ class AdamW(_ConfiguredOptimizer):
         global_clipnorm: Optional[float] = None,
         lr: Optional[ScalarOrSchedule] = None,
         decay: float = 0.0,
+        mutable_lr: bool = False,
     ):
         super().__init__(
             weight_decay=weight_decay, decay_include=decay_include,
@@ -291,13 +359,14 @@ class AdamW(_ConfiguredOptimizer):
             beta_1=beta_1, beta_2=beta_2, epsilon=epsilon, amsgrad=amsgrad,
             clipnorm=clipnorm, clipvalue=clipvalue,
             global_clipnorm=global_clipnorm, decay=decay,
+            mutable_lr=mutable_lr,
         )
 
     @staticmethod
     def _build(weight_decay, decay_include, decay_exclude, learning_rate,
                beta_1, beta_2, epsilon, amsgrad,
                clipnorm=None, clipvalue=None, global_clipnorm=None,
-               decay=0.0):
+               decay=0.0, mutable_lr=False):
         learning_rate = _apply_time_decay(learning_rate, decay)
         base = optax.chain(
             *_clip_transforms(clipnorm, clipvalue, global_clipnorm),
@@ -305,6 +374,7 @@ class AdamW(_ConfiguredOptimizer):
             if amsgrad
             else optax.scale_by_adam(b1=beta_1, b2=beta_2, eps=epsilon),
             optax.scale_by_learning_rate(learning_rate),
+            *([mutable_lr_scale()] if mutable_lr else []),
         )
         return extend_with_weight_decay(
             base, weight_decay, decay_include=decay_include,
@@ -330,6 +400,7 @@ class SGDW(_ConfiguredOptimizer):
         global_clipnorm: Optional[float] = None,
         lr: Optional[ScalarOrSchedule] = None,
         decay: float = 0.0,
+        mutable_lr: bool = False,
     ):
         super().__init__(
             weight_decay=weight_decay, decay_include=decay_include,
@@ -338,18 +409,21 @@ class SGDW(_ConfiguredOptimizer):
             momentum=momentum, nesterov=nesterov,
             clipnorm=clipnorm, clipvalue=clipvalue,
             global_clipnorm=global_clipnorm, decay=decay,
+            mutable_lr=mutable_lr,
         )
 
     @staticmethod
     def _build(weight_decay, decay_include, decay_exclude, learning_rate,
                momentum, nesterov,
                clipnorm=None, clipvalue=None, global_clipnorm=None,
-               decay=0.0):
+               decay=0.0, mutable_lr=False):
         learning_rate = _apply_time_decay(learning_rate, decay)
         parts = _clip_transforms(clipnorm, clipvalue, global_clipnorm)
         if momentum:
             parts.append(optax.trace(decay=momentum, nesterov=nesterov))
         parts.append(optax.scale_by_learning_rate(learning_rate))
+        if mutable_lr:
+            parts.append(mutable_lr_scale())
         return extend_with_weight_decay(
             optax.chain(*parts), weight_decay,
             decay_include=decay_include, decay_exclude=decay_exclude,

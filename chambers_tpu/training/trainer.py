@@ -134,6 +134,26 @@ class _CallbackModel:
     def apply_fn(self, variables, x, deterministic=True, rngs=None):
         return self._trainer._apply_fn(variables, x, deterministic, rngs)
 
+    # -- learning-rate control (ReduceLROnPlateau / LearningRateScheduler) --
+    def get_lr_scale(self):
+        return self._trainer.get_lr_scale()
+
+    def set_lr_scale(self, value):
+        self._trainer.set_lr_scale(value)
+
+    @property
+    def base_learning_rate(self):
+        """The optimizer's configured scalar rate, or None (schedule /
+        unconfigured optimizer) — the anchor the lr callbacks scale from."""
+        get_config = getattr(self._trainer.optimizer, "get_config", None)
+        if get_config is None:
+            return None
+        try:
+            rate = get_config().get("learning_rate")
+        except Exception:
+            return None
+        return float(rate) if isinstance(rate, (int, float)) else None
+
     def save_weights(self, path):
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(self._trainer.variables))
@@ -565,6 +585,29 @@ class Trainer:
                 "ema_decay=<float in [0, 1)>")
         return {"params": self.state.ema_params, **self.state.extra_vars}
 
+    def get_lr_scale(self) -> Optional[float]:
+        """The mutable lr multiplier (``AdamW/SGDW(mutable_lr=True)``), or
+        None when the optimizer carries none."""
+        from chambers_tpu.optimizers import get_lr_scale
+
+        return get_lr_scale(self.state.opt_state)
+
+    def set_lr_scale(self, value: float):
+        """Set the mutable lr multiplier in the live optimizer state — no
+        retrace, no recompile (the mechanism behind ReduceLROnPlateau and
+        LearningRateScheduler). Raises if the optimizer was not constructed
+        with ``mutable_lr=True``."""
+        from chambers_tpu.optimizers import set_lr_scale
+
+        scalar = jnp.asarray(value, jnp.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            scalar = jax.device_put(
+                scalar, NamedSharding(self.mesh, PartitionSpec()))
+        self.state = self.state.replace(
+            opt_state=set_lr_scale(self.state.opt_state, scalar))
+
     def sync_model(self):
         """Copy the trained params back into the wrapped model.
 
@@ -728,6 +771,9 @@ class Trainer:
         time_decay = config.get("decay") or 0.0  # legacy Keras-1 kwarg
         if time_decay:
             value /= 1.0 + time_decay * float(self.state.step)
+        scale = self.get_lr_scale()  # ReduceLROnPlateau / LRScheduler factor
+        if scale is not None:
+            value *= scale
         return value
 
     def evaluate(self, dataset: Iterable, callbacks=None, verbose: bool = True,

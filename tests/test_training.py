@@ -1098,3 +1098,108 @@ def test_lr_and_learning_rate_conflict_raises():
         SGDW(weight_decay=0.0, learning_rate=1e-4, lr=1e-2)
     # the alias alone still works and normalizes into the config
     assert AdamW(weight_decay=0.0, lr=0.5).get_config()["learning_rate"] == 0.5
+
+
+# --- mutable lr + ReduceLROnPlateau / LearningRateScheduler ------------------
+
+def test_mutable_lr_scale_identity_and_decay_unscaled():
+    """mutable_lr=True at scale 1.0 is bit-identical to the plain optimizer;
+    at scale s only the gradient-path step scales — the decoupled decay
+    keeps its configured strength (Keras/tfa semantics)."""
+    from chambers_tpu.optimizers import set_lr_scale
+
+    lr, wd, g, w0 = 0.01, 0.05, 0.3, 1.5
+    params = {"w": jnp.asarray([w0])}
+    grads = {"w": jnp.asarray([g])}
+    plain = AdamW(weight_decay=wd, learning_rate=lr, epsilon=1e-7)
+    mut = AdamW(weight_decay=wd, learning_rate=lr, epsilon=1e-7,
+                mutable_lr=True)
+    u1, _ = plain.update(grads, plain.init(params), params)
+    u2, _ = mut.update(grads, mut.init(params), params)
+    np.testing.assert_array_equal(np.asarray(u1["w"]), np.asarray(u2["w"]))
+
+    state = set_lr_scale(mut.init(params), 0.5)
+    u3, _ = mut.update(grads, state, params)
+    adam_step = lr * g / (np.sqrt(g * g) + 1e-7)
+    np.testing.assert_allclose(
+        np.asarray(optax.apply_updates(params, u3)["w"]),
+        [w0 - 0.5 * adam_step - wd * w0], rtol=1e-5)  # decay NOT halved
+
+
+def test_set_lr_scale_requires_flag():
+    from chambers_tpu.optimizers import set_lr_scale
+
+    opt = AdamW(weight_decay=0.0, learning_rate=0.1)
+    with pytest.raises(ValueError, match="mutable_lr=True"):
+        set_lr_scale(opt.init({"w": jnp.ones(1)}), 0.5)
+
+
+def test_reduce_lr_on_plateau_keras_semantics():
+    """Patience counting, cooldown grace, min_lr clamp — and the effective
+    rate lands in the epoch logs / trainer state with no recompile."""
+    from chambers_tpu.callbacks import ReduceLROnPlateau
+    from chambers_tpu.training.trainer import _CallbackModel
+
+    model = _make_regression_model()
+    trainer = Trainer(model, loss=_mse,
+                      optimizer=AdamW(weight_decay=0.0, learning_rate=0.1,
+                                      mutable_lr=True))
+    cb = ReduceLROnPlateau(monitor="val_loss", factor=0.5, patience=2,
+                           cooldown=1, min_lr=0.02, min_delta=0.0)
+    CallbackList([cb]).set_model(_CallbackModel(trainer))
+    cb.on_train_begin()
+
+    lrs = []
+    for epoch, val in enumerate([1.0, 0.9] + [0.9] * 10):
+        cb.on_epoch_end(epoch, {"val_loss": val})
+        lrs.append(round(0.1 * trainer.get_lr_scale(), 6))
+    # epochs 0-1 improve; wait hits patience at epoch 3 -> 0.05. The
+    # cooldown-decrement epoch itself counts toward wait again (Keras: the
+    # `elif not in_cooldown()` re-check sees the already-decremented
+    # counter), so reductions land every patience epochs: 5 -> 0.025,
+    # 7 -> max(0.0125, min_lr) = 0.02; then old_lr == min_lr -> frozen
+    assert lrs == [0.1, 0.1, 0.1, 0.05, 0.05, 0.025, 0.025, 0.02, 0.02,
+                   0.02, 0.02, 0.02]
+
+
+def test_reduce_lr_requires_mutable_optimizer():
+    from chambers_tpu.callbacks import ReduceLROnPlateau
+
+    model = _make_regression_model()
+    trainer = Trainer(model, loss=_mse,
+                      optimizer=AdamW(weight_decay=0.0, learning_rate=0.1))
+    with pytest.raises(ValueError, match="mutable_lr=True"):
+        trainer.fit(_batches(n_batches=1), epochs=1, verbose=False,
+                    callbacks=[ReduceLROnPlateau()])
+
+
+def test_learning_rate_scheduler_sets_epoch_rates():
+    from chambers_tpu.callbacks import LearningRateScheduler
+
+    model = _make_regression_model()
+    trainer = Trainer(model, loss=_mse,
+                      optimizer=AdamW(weight_decay=0.0, learning_rate=0.1,
+                                      mutable_lr=True))
+    cb = LearningRateScheduler(lambda epoch: 0.1 * (0.5 ** epoch))
+    history = trainer.fit(_batches(n_batches=2), epochs=3, verbose=False,
+                          callbacks=[cb])
+    np.testing.assert_allclose([h["lr"] for h in history],
+                               [0.1, 0.05, 0.025], rtol=1e-6)
+
+
+def test_lr_scale_zero_freezes_training_and_survives_accumulation():
+    """scale=0 stops updates entirely (wd=0), and get/set traverse through
+    the MultiSteps wrapper that gradient accumulation adds."""
+    model = _make_regression_model()
+    before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                          model.variables["params"])
+    trainer = Trainer(model, loss=_mse,
+                      optimizer=AdamW(weight_decay=0.0, learning_rate=0.1,
+                                      mutable_lr=True),
+                      gradient_accumulation_steps=2)
+    trainer.set_lr_scale(0.0)
+    assert trainer.get_lr_scale() == 0.0
+    trainer.fit(_batches(n_batches=4), epochs=2, verbose=False)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        trainer.state.params, before)
