@@ -46,18 +46,28 @@ for _i in range(256):
         _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
     _CRC_TABLE.append(_c)
 
+def _crc32c_py(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    table = _CRC_TABLE
+    for b in data:
+        crc = (crc >> 8) ^ table[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
 try:  # optional C implementation if the wheel happens to be present
     import crc32c as _crc32c_mod  # type: ignore
 
     def _crc32c(data: bytes) -> int:
         return _crc32c_mod.crc32c(data)
-except Exception:  # pragma: no cover - exercised when wheel absent
-    def _crc32c(data: bytes) -> int:
-        crc = 0xFFFFFFFF
-        table = _CRC_TABLE
-        for b in data:
-            crc = (crc >> 8) ^ table[(crc ^ b) & 0xFF]
-        return crc ^ 0xFFFFFFFF
+except Exception:
+    # our own native kernel (SSE4.2 / slice-by-8, data/native_crc.py) —
+    # the pure-Python loop is ~25 MB/s and was 94% of record-read time
+    from chambers_tpu.data import native_crc as _native_crc
+
+    if _native_crc.available():
+        _crc32c = _native_crc.crc32c
+    else:  # pragma: no cover - exercised when no toolchain is present
+        _crc32c = _crc32c_py
 
 
 def _masked_crc(data: bytes) -> int:

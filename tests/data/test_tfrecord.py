@@ -128,3 +128,22 @@ def test_interop_with_real_tensorflow(tmp_path):
             np.testing.assert_array_equal(np.asarray(w_), g)
             if np.asarray(w_).dtype.kind not in "SUO":
                 assert np.asarray(w_).dtype == g.dtype
+
+
+def test_native_crc32c_matches_python():
+    """The native CRC kernel (data/native_crc.py: SSE4.2 or slice-by-8) is
+    bit-identical to the pure-Python reference across edge lengths (0, <8,
+    8-boundary, large) — it carries every TFRecord framing checksum."""
+    from chambers_tpu.data import native_crc
+    from chambers_tpu.data.tfrecord import _crc32c_py
+
+    if not native_crc.available():
+        pytest.skip("no C++ toolchain for the native CRC (pure-Python "
+                    "fallback is in use)")
+    rng = np.random.RandomState(0)
+    for n in [0, 1, 3, 7, 8, 9, 15, 16, 63, 64, 255, 4096, 65537]:
+        buf = rng.randint(0, 256, n, dtype=np.uint8).tobytes()
+        assert native_crc.crc32c(buf) == _crc32c_py(buf), n
+    # the known-answer vector: CRC32C("123456789") = 0xE3069283
+    assert native_crc.crc32c(b"123456789") == 0xE3069283
+    assert _crc32c_py(b"123456789") == 0xE3069283
