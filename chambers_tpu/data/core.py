@@ -242,6 +242,47 @@ class Dataset:
             card = UNKNOWN_CARDINALITY
         return Dataset(gen, cardinality=card)
 
+    @staticmethod
+    def zip(datasets) -> "Dataset":
+        """Element-wise zip of a tuple/list of datasets (tf.data
+        ``Dataset.zip`` semantics: stops at the shortest; the reference's
+        ``pair_iteration_dataset`` composes this,
+        /root/reference/chambers/utils/data.py:30-61)."""
+        datasets = tuple(datasets)
+        if not datasets:
+            raise ValueError("Dataset.zip needs at least one dataset")
+
+        def gen():
+            iterators = [d._iter_elements() for d in datasets]
+            while True:
+                try:
+                    yield tuple(next(it) for it in iterators)
+                except (StopIteration, RuntimeError) as e:
+                    # PEP 479: a StopIteration inside the genexp surfaces
+                    # as RuntimeError — both mean "shortest input drained"
+                    if isinstance(e, RuntimeError) and not isinstance(
+                            e.__cause__, StopIteration):
+                        raise
+                    return
+
+        cards = [d._cardinality for d in datasets]
+        if any(c == UNKNOWN_CARDINALITY for c in cards):
+            card = UNKNOWN_CARDINALITY
+        elif all(c == INFINITE_CARDINALITY for c in cards):
+            card = INFINITE_CARDINALITY
+        else:
+            card = min(c for c in cards if c != INFINITE_CARDINALITY)
+        return Dataset(gen, cardinality=card)
+
+    def enumerate(self, start: int = 0) -> "Dataset":
+        """``(index, element)`` pairs (tf.data ``Dataset.enumerate``)."""
+
+        def gen():
+            for i, el in zip(itertools.count(start), self._iter_elements()):
+                yield i, el
+
+        return Dataset(gen, cardinality=self._cardinality)
+
     def shard(self, num_shards: int, index: int) -> "Dataset":
         """Every ``num_shards``-th element starting at ``index`` (tf.data
         ``Dataset.shard`` semantics). The multi-host input-pipeline primitive

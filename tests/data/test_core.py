@@ -208,3 +208,32 @@ def test_cardinality_propagation():
     assert valid_cardinality(d)
     assert not valid_cardinality(d.repeat())
     assert not valid_cardinality(d.filter(lambda x: True))
+
+
+def test_zip_shortest_and_cardinality():
+    """Dataset.zip: tf.data semantics — element tuples, stops at the
+    shortest input, cardinality = min of the known ones."""
+    from chambers_tpu.data.core import INFINITE_CARDINALITY
+
+    a = Dataset.range(5)
+    b = Dataset.from_tensor_slices(np.asarray([10, 11, 12]))
+    z = Dataset.zip((a, b))
+    assert z.cardinality() == 3
+    got = [(int(x), int(y)) for x, y in iter(z)]
+    assert got == [(0, 10), (1, 11), (2, 12)]
+
+    inf = Dataset.range(2).repeat()
+    assert inf.cardinality() == INFINITE_CARDINALITY
+    z2 = Dataset.zip((inf, Dataset.range(4)))
+    assert z2.cardinality() == 4
+    assert len(list(iter(z2))) == 4
+
+    with pytest.raises(ValueError, match="at least one"):
+        Dataset.zip(())
+
+
+def test_enumerate_matches_tf_semantics():
+    ds = Dataset.from_tensor_slices(np.asarray([7, 8, 9])).enumerate(start=5)
+    got = [(int(i), int(v)) for i, v in iter(ds)]
+    assert got == [(5, 7), (6, 8), (7, 9)]
+    assert ds.cardinality() == 3
