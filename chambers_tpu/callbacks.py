@@ -319,7 +319,10 @@ class EarlyStopping(Callback):
                 self._best_weights = self.model.get_weights()
             return
         self._wait += 1
-        if self._wait > self.patience:
+        # tf.keras contract: stop once `wait >= patience` (and never on the
+        # very first epoch) — patience epochs without an improvement ends
+        # training.
+        if self._wait >= self.patience and epoch > 0:
             self.stopped_epoch = epoch
             self.model.stop_training = True
 

@@ -176,7 +176,12 @@ def decode_jpeg_batch(paths: Sequence, num_threads: Optional[int] = None,
     fast_dct = _fast_dct(dct_method)
     n = len(paths)
     if n == 0:
-        return np.zeros((0,), np.uint8) if stack else []
+        if stack:
+            raise ValueError(
+                "decode_jpeg_batch(stack=True) needs at least one path: the "
+                "batch dims [n, h, w, 3] are unknowable for an empty list"
+            )
+        return []
     encoded = [os.fsencode(os.fspath(p)) for p in paths]
     c_paths = (ctypes.c_char_p * n)(*encoded)
     hs = (ctypes.c_int * n)()

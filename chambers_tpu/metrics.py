@@ -296,7 +296,7 @@ class AUC(StreamingMetric):
     ``[-eps, 1/(T-1), ..., (T-2)/(T-1), 1+eps]``; ROC integrates the
     (FPR, TPR) curve trapezoidally; PR uses Keras's precision-slope
     interpolation (Davis & Goadrich). Value-pinned against tf.keras in
-    ``tests/losses/test_categorical_and_metrics.py``.
+    ``tests/test_metrics.py``.
     """
 
     def __init__(self, num_thresholds=200, curve="ROC", name=None):

@@ -10,7 +10,7 @@ the hand-rolled protobuf codec and CRC32C container from
 :mod:`chambers_tpu.data.tfrecord`, so the files it writes load in
 TensorBoard (and in ``tf.compat.v1.train.summary_iterator``) unchanged,
 and files TensorFlow wrote load here. Byte-level interop is pinned against
-real TF in ``tests/utils/test_tensorboard.py`` (skipped when TF is absent).
+real TF in ``tests/test_tensorboard.py`` (skipped when TF is absent).
 
 Supported summary kinds: scalars (``simple_value``), histograms
 (``HistogramProto`` with TF's default exponential buckets or explicit

@@ -116,6 +116,14 @@ def test_stacked_batch_decode_ragged_raises(jpeg_dir):
         native.decode_jpeg_batch(paths, stack=True)
 
 
+def test_stacked_batch_decode_empty_raises():
+    """stack=True promises [n,h,w,3]; with zero paths the dims are
+    unknowable, so the contract is a ValueError (stack=False returns [])."""
+    with pytest.raises(ValueError, match="at least one path"):
+        native.decode_jpeg_batch([], stack=True)
+    assert native.decode_jpeg_batch([]) == []
+
+
 def test_dims_cache_stale_entry_retries(jpeg_dir):
     """A wrong cached dimension entry is detected by the decoder (-3) and
     recovered by one re-probe + retry, not a corrupted output."""

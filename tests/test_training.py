@@ -693,7 +693,7 @@ class TestControlCallbacks:
             es.on_epoch_end(epoch, {"val_loss": v})
             if stub.stop_training:
                 break
-        assert es.stopped_epoch == 3  # 0.6 (wait=1), 0.7 (wait=2 > 1)
+        assert es.stopped_epoch == 2  # 0.6 -> wait=1 >= patience=1 (Keras)
         es.on_train_end()
         assert float(stub.restored["params"]["w"][0]) == 1.0  # epoch-1 snap
 
@@ -734,7 +734,7 @@ class TestControlCallbacks:
 
         history = trainer.fit(data, epochs=10, verbose=False,
                               callbacks=[Snap(), es])
-        assert len(history) == 3  # best, wait=1, wait=2 -> stop
+        assert len(history) == 2  # best, then wait=1 >= patience=1 -> stop
         jax.tree.map(
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)),
