@@ -8,6 +8,7 @@ from chambers_tpu.models.backbones.vision_transformer import (
     ViTL32,
     ViTS16,
     VisionTransformer,
+    fold_imagenet_normalization,
 )
 from chambers_tpu.models.backbones.senet import (
     SENet,

@@ -642,3 +642,82 @@ def preprocess_input(x):
     from chambers_tpu.augmentations import ImageNetNormalization
 
     return ImageNetNormalization(mode="tf")(x)
+
+
+def fold_imagenet_normalization(variables, mode: str = "tf"):
+    """Fold ImageNet input normalization into the ViT patch-embed conv.
+
+    All three ``preprocess_input`` modes (the contract at
+    /root/reference/chambers/augmentations/image_augmentations.py:621-682)
+    are per-channel affine maps ``y_c = s_c * x_c + o_c`` (caffe also flips
+    RGB->BGR). Because the ViT patch embedding is a stride-``patch_size``
+    VALID conv — every output sees exactly one full, unpadded kernel
+    footprint — the normalization folds EXACTLY into the conv parameters::
+
+        kernel'[kh, kw, c, d] = kernel[kh, kw, c, d] * s_c      (caffe: +flip)
+        bias'[d]              = bias[d] + sum_khkwc kernel * o_c
+
+    so the model consumes raw ``[0, 255]`` pixels directly: the separate
+    full-image normalize pass (and its HBM round trip) disappears, and a
+    uint8 batch casts straight to the conv's compute dtype ([0, 255] is
+    exact in bfloat16). Folding is done in float32 and cast back to the
+    kernel's dtype; exactness vs the unfused pipeline is pinned in
+    ``tests/models/test_normalization_fold.py``.
+
+    :param variables: a ViT/DeiT variables pytree (``model.variables``)
+        whose ``params`` contain ``patch_embeddings/{kernel,bias}``.
+    :param mode: ``"tf"`` | ``"torch"`` | ``"caffe"`` — which
+        ``ImageNetNormalization`` to absorb.
+    :return: a new variables pytree; the input is not mutated.
+    """
+    from chambers_tpu.augmentations import ImageNetNormalization
+
+    if mode == "tf":
+        scale = jnp.full((3,), 1.0 / 127.5, jnp.float32)
+        offset = jnp.full((3,), -1.0, jnp.float32)
+        flip = False
+    elif mode == "torch":
+        mean = jnp.asarray(ImageNetNormalization._TORCH_MEAN, jnp.float32)
+        std = jnp.asarray(ImageNetNormalization._TORCH_STD, jnp.float32)
+        scale = 1.0 / (255.0 * std)
+        offset = -mean / std
+        flip = False
+    elif mode == "caffe":
+        scale = jnp.ones((3,), jnp.float32)
+        offset = -jnp.asarray(ImageNetNormalization._CAFFE_MEAN, jnp.float32)
+        flip = True
+    else:
+        raise ValueError("Unknown mode " + str(mode))
+
+    params = dict(variables["params"])
+    if "patch_embeddings" not in params:
+        raise ValueError(
+            "variables have no 'patch_embeddings' params — "
+            "fold_imagenet_normalization only applies to ViT/DeiT patch "
+            f"embeddings; got {sorted(params)}"
+        )
+    pe = dict(params["patch_embeddings"])
+    kernel = jnp.asarray(pe["kernel"], jnp.float32)  # [kh, kw, c, d]
+    bias = jnp.asarray(pe["bias"], jnp.float32)  # [d]
+    if kernel.ndim != 4 or kernel.shape[2] != 3:
+        raise ValueError(
+            f"expected a [kh, kw, 3, d] patch-embed kernel, got "
+            f"{kernel.shape}"
+        )
+    # bias soaks up the offset against the ORIGINAL kernel/channel order
+    # (the conv consumed normalize's output channels directly) ...
+    new_bias = bias + jnp.einsum("hwcd,c->d", kernel, offset)
+    # ... while the kernel is channel-flipped for caffe's RGB->BGR (the
+    # flip is self-inverse: W'[c] = s_{2-c} * W[2-c] picks raw-RGB input).
+    if flip:
+        kernel = kernel[:, :, ::-1, :]
+        scale = scale[::-1]
+    new_kernel = kernel * scale[None, None, :, None]
+    pe["kernel"] = new_kernel.astype(variables["params"]
+                                     ["patch_embeddings"]["kernel"].dtype)
+    pe["bias"] = new_bias.astype(variables["params"]
+                                 ["patch_embeddings"]["bias"].dtype)
+    params["patch_embeddings"] = pe
+    new_variables = dict(variables)
+    new_variables["params"] = params
+    return new_variables

@@ -54,17 +54,23 @@ def init_distributed(coordinator_address: Optional[str] = None,
     }
 
 
-def host_local_batch_to_global(batch, mesh, axis: str = "data"):
+def host_local_batch_to_global(batch, mesh, axis: str = "data",
+                               batch_axis: int = 0):
     """Assemble per-host batch shards into one global sharded array.
 
     Each process passes its *local* slice of the global batch (e.g. from a
     per-host data pipeline); the result is a global ``jax.Array`` sharded
     over ``axis`` — the multi-host equivalent of
     ``chambers_tpu.parallel.shard_batch``.
+
+    ``batch_axis``: which array axis carries the batch (sharded) dimension.
+    The Trainer's ``steps_per_execution`` windows are ``[n_steps, batch,
+    ...]`` stacks, sharded on axis 1 so each scanned step slices a
+    data-parallel batch without any resharding.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P(axis))
+    sharding = NamedSharding(mesh, P(*([None] * batch_axis), axis))
 
     def convert(x):
         x = np.asarray(x)

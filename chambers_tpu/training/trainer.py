@@ -191,7 +191,8 @@ class Trainer:
                  donate: bool = True, mesh=None, param_sharding_rules=None,
                  gradient_accumulation_steps: int = 1,
                  ema_decay: Optional[float] = None,
-                 trainable: Optional[Union[str, Sequence[str], Callable]] = None):
+                 trainable: Optional[Union[str, Sequence[str], Callable]] = None,
+                 steps_per_execution: int = 1):
         """``mesh``: optional ``jax.sharding.Mesh`` — the train/eval steps run
         data-parallel over its ``data`` axis (batches are sharded per step,
         params replicated or sharded by ``param_sharding_rules``, and XLA
@@ -222,7 +223,23 @@ class Trainer:
         differentiation itself (not just masked out of the update), so the
         backward pass skips their weight-gradient matmuls and the optimizer
         keeps moments only for the trainable subtree — Adam state for a
-        frozen ViT backbone costs nothing."""
+        frozen ViT backbone costs nothing.
+
+        ``steps_per_execution``: run ``N`` train (and eval) steps per host
+        round trip — ``tf.keras.Model.compile(steps_per_execution=N)``, the
+        execution batching behind the reference's ``model.fit``. Batches are
+        stacked host-side into one ``[N, batch, ...]`` window, transferred
+        once, and driven through a single jitted ``lax.scan`` of the train
+        step, so per-step host↔device latency (large on a relay-attached
+        chip) amortizes across the window. Numerics are IDENTICAL to
+        ``N=1`` — the scan body IS the single-step function (EMA,
+        accumulation, freezing, DP mesh included) and epoch logs average the
+        same per-step values. Differences a Keras user will recognize:
+        batch callbacks fire once per window (``on_train_batch_begin(first)``
+        / ``on_train_batch_end(last, last_step_logs)``), and
+        ``stop_training`` is honored at window boundaries. Keep
+        ``steps_per_epoch`` divisible by ``N`` to avoid one extra compile
+        for the trailing partial window."""
         self.model = model
         self.loss = loss
         if gradient_accumulation_steps < 1:
@@ -230,6 +247,11 @@ class Trainer:
                 "gradient_accumulation_steps must be >= 1, got "
                 f"{gradient_accumulation_steps}"
             )
+        if steps_per_execution < 1:
+            raise ValueError(
+                f"steps_per_execution must be >= 1, got {steps_per_execution}"
+            )
+        self._spe = int(steps_per_execution)
         if gradient_accumulation_steps > 1:
             optimizer = optax.MultiSteps(
                 optimizer, every_k_schedule=gradient_accumulation_steps
@@ -534,6 +556,31 @@ class Trainer:
         self.train_step = jax.jit(train_step, donate_argnums=donate_args)
         self.eval_step = jax.jit(eval_step, donate_argnums=(2,))
 
+        # steps_per_execution: the window functions scan the SAME step
+        # bodies over a [n, batch, ...] stack — one compiled program, one
+        # host dispatch, n steps. Logs come back stacked [n] per key so
+        # epoch aggregation sees exactly the per-step values N=1 would.
+        def train_window(state: TrainState, metric_states, xs, ys):
+            def body(carry, xy):
+                state, metric_states = carry
+                state, metric_states, logs = train_step(
+                    state, metric_states, *xy)
+                return (state, metric_states), logs
+
+            (state, metric_states), logs = jax.lax.scan(
+                body, (state, metric_states), (xs, ys))
+            return state, metric_states, logs
+
+        def eval_window(params, extra_vars, metric_states, xs, ys):
+            def body(metric_states, xy):
+                return eval_step(params, extra_vars, metric_states, *xy)
+
+            metric_states, logs = jax.lax.scan(body, metric_states, (xs, ys))
+            return metric_states, logs
+
+        self.train_window = jax.jit(train_window, donate_argnums=donate_args)
+        self.eval_window = jax.jit(eval_window, donate_argnums=(2,))
+
     # -- parameter freezing ---------------------------------------------------
     def _split_params(self, params):
         """Partition the full params tree into ``(trainable, frozen)``.
@@ -568,6 +615,30 @@ class Trainer:
         from chambers_tpu.parallel.distributed import host_local_batch_to_global
 
         return host_local_batch_to_global((x, y), self.mesh)
+
+    # -- steps_per_execution windows ----------------------------------------
+    @staticmethod
+    def _collect_window(it, n):
+        """Pull up to ``n`` host batches; [] at stream end."""
+        return list(itertools.islice(it, n))
+
+    def _place_window(self, batches):
+        """Stack a list of host ``(x, y)`` batches into one ``[n, batch,
+        ...]`` window and transfer it in a single host→device move (per-step
+        transfers through a relay would cost more than the steps). On a mesh
+        the window is sharded on axis 1, so each scanned step slices a
+        data-parallel batch with no resharding."""
+        stack = lambda *leaves: np.stack([np.asarray(l) for l in leaves])
+        xs = jax.tree.map(stack, *[b[0] for b in batches])
+        ys = jax.tree.map(stack, *[b[1] for b in batches])
+        if self.mesh is None:
+            return (jax.tree.map(jnp.asarray, xs),
+                    jax.tree.map(jnp.asarray, ys))
+        from chambers_tpu.parallel.distributed import (
+            host_local_batch_to_global,
+        )
+
+        return host_local_batch_to_global((xs, ys), self.mesh, batch_axis=1)
 
     # -- state access -------------------------------------------------------
     @property
@@ -673,24 +744,64 @@ class Trainer:
         # re-training the same leading batches each epoch). The prefetcher
         # wraps the raw iterator and keeps 2 batches device_put ahead, so
         # the host→device copy of batch i+1 overlaps step i's compute.
-        persistent_it = (
-            _DevicePrefetcher(drained(iter(dataset)), self._place_batch)
-            if steps_per_epoch is not None else None
-        )
+        # steps_per_execution>1 uses the raw iterator instead: windows are
+        # stacked host-side while the device runs the previous window
+        # (dispatch is async), and transferred in one move.
+        windowed = self._spe > 1
+        persistent_it = None
+        if steps_per_epoch is not None:
+            raw = drained(iter(dataset))
+            persistent_it = (raw if windowed
+                             else _DevicePrefetcher(raw, self._place_batch))
 
         for epoch in range(initial_epoch, epochs):
             callback_list.on_epoch_begin(epoch)
             epoch_start = time.perf_counter()
             batch_logs: Dict[str, list] = {}
             metric_states = self._init_metric_states()  # reset per epoch
-            it = (persistent_it if persistent_it is not None
-                  else _DevicePrefetcher(
-                      drained(iter(dataset)) if epoch == initial_epoch
-                      else iter(dataset), self._place_batch))
+            if persistent_it is not None:
+                it = persistent_it
+            else:
+                it = (drained(iter(dataset)) if epoch == initial_epoch
+                      else iter(dataset))
+                if not windowed:
+                    it = _DevicePrefetcher(it, self._place_batch)
             step = 0
             any_batch = False
             while ((steps_per_epoch is None or step < steps_per_epoch)
                    and not self.stop_training):
+                if windowed:
+                    # one compiled scan over up to `spe` steps, truncated at
+                    # the epoch boundary so windows never cross epochs
+                    w_target = (self._spe if steps_per_epoch is None
+                                else min(self._spe, steps_per_epoch - step))
+                    batches = self._collect_window(it, w_target)
+                    if not batches:
+                        if persistent_it is None:
+                            break
+                        persistent_it = it = iter(dataset)  # restart stream
+                        batches = self._collect_window(it, w_target)
+                        if not batches:
+                            break  # dataset is empty
+                    xs, ys = self._place_window(batches)
+                    w = len(batches)
+                    callback_list.on_train_batch_begin(step)
+                    self.state, metric_states, step_logs = self.train_window(
+                        self.state, metric_states, xs, ys
+                    )
+                    any_batch = True
+                    # step_logs leaves are stacked [w] — every per-step value
+                    # reaches the epoch aggregation, exactly as with N=1
+                    for k, v in step_logs.items():
+                        batch_logs.setdefault(k, []).append(v)
+                    # Keras steps_per_execution convention: batch callbacks
+                    # fire once per window, end with the LAST step's index
+                    # and logs
+                    callback_list.on_train_batch_end(
+                        step + w - 1,
+                        jax.tree.map(lambda a: a[-1], step_logs))
+                    step += w
+                    continue
                 try:
                     x, y = next(it)
                 except StopIteration:
@@ -721,7 +832,9 @@ class Trainer:
                     "`steps_per_epoch` for single-pass generators."
                 )
             logs = {
-                k: float(jnp.mean(jnp.stack(v))) for k, v in batch_logs.items()
+                k: float(jnp.mean(jnp.concatenate(
+                    [jnp.atleast_1d(v) for v in vs])))
+                for k, vs in batch_logs.items()
             }
             if "loss" not in logs:
                 logs["loss"] = float("nan")
@@ -790,20 +903,40 @@ class Trainer:
         # islice consumes exactly `steps` batches — a bound check inside the
         # for-loop would pull (and discard) one extra element from shared or
         # expensive iterators
-        bounded = _DevicePrefetcher(
-            itertools.islice(iter(dataset), steps), self._place_batch)
-        for step, (x, y) in enumerate(bounded):
-            callback_list.on_test_batch_begin(step)
-            metric_states, logs = self.eval_step(
-                self.state.params, self.state.extra_vars, metric_states, x, y
-            )
-            # keep scalars on device during the loop; one sync at the end
-            for k, v in logs.items():
-                totals.setdefault(k, []).append(v)
-            callback_list.on_test_batch_end(step)
+        bounded_raw = itertools.islice(iter(dataset), steps)
+        if self._spe > 1:
+            step = 0
+            while True:
+                batches = self._collect_window(bounded_raw, self._spe)
+                if not batches:
+                    break
+                xs, ys = self._place_window(batches)
+                callback_list.on_test_batch_begin(step)
+                metric_states, logs = self.eval_window(
+                    self.state.params, self.state.extra_vars, metric_states,
+                    xs, ys,
+                )
+                for k, v in logs.items():
+                    totals.setdefault(k, []).append(v)  # stacked [w]
+                callback_list.on_test_batch_end(step + len(batches) - 1)
+                step += len(batches)
+        else:
+            bounded = _DevicePrefetcher(bounded_raw, self._place_batch)
+            for step, (x, y) in enumerate(bounded):
+                callback_list.on_test_batch_begin(step)
+                metric_states, logs = self.eval_step(
+                    self.state.params, self.state.extra_vars, metric_states,
+                    x, y,
+                )
+                # keep scalars on device during the loop; one sync at the end
+                for k, v in logs.items():
+                    totals.setdefault(k, []).append(v)
+                callback_list.on_test_batch_end(step)
         callback_list.on_test_end()
         result = {
-            k: float(jnp.mean(jnp.stack(v))) for k, v in totals.items()
+            k: float(jnp.mean(jnp.concatenate(
+                [jnp.atleast_1d(v) for v in vs])))
+            for k, vs in totals.items()
         }
         for name, m in self._streaming.items():
             result[name] = float(m.compute(metric_states[name]))

@@ -376,6 +376,203 @@ def test_trainer_batchnorm_dp_mesh():
     )
 
 
+class _StreamingMAE:
+    """Minimal StreamingMetric-shaped metric (init/update/compute)."""
+
+    def init(self):
+        return {"sum": jnp.zeros(()), "count": jnp.zeros(())}
+
+    def update(self, state, y_true, y_pred):
+        return {
+            "sum": state["sum"] + jnp.sum(jnp.abs(y_true - y_pred)),
+            "count": state["count"] + y_true.size,
+        }
+
+    def compute(self, state):
+        return state["sum"] / state["count"]
+
+
+class TestStepsPerExecution:
+    """Trainer(steps_per_execution=N): tf.keras's execution batching — N
+    steps run as one compiled lax.scan per host dispatch. Numerics must be
+    IDENTICAL to N=1 across every trainer feature (VERDICT r4 next #1)."""
+
+    @staticmethod
+    def _metrics():
+        return {"mae": lambda yt, yp: jnp.mean(jnp.abs(yt - yp)),
+                "smae": _StreamingMAE()}
+
+    def _pair(self, spe, data, epochs=2, fit_kwargs=None, **trainer_kwargs):
+        """Train N=1 and N=spe trainers from identical inits; return both
+        (history, final params) pairs."""
+        out = []
+        for n in (1, spe):
+            model = _make_regression_model()
+            trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2),
+                              metrics=self._metrics(),
+                              steps_per_execution=n, **trainer_kwargs)
+            history = trainer.fit(data, epochs=epochs, verbose=False,
+                                  **(fit_kwargs or {}))
+            out.append((history, trainer.state))
+        return out
+
+    @staticmethod
+    def _assert_histories_equal(h1, h2):
+        assert len(h1) == len(h2)
+        for l1, l2 in zip(h1, h2):
+            assert set(l1) == set(l2)
+            for k in l1:
+                np.testing.assert_allclose(l1[k], l2[k], rtol=1e-6, atol=1e-7,
+                                           err_msg=f"epoch log {k!r}")
+
+    @staticmethod
+    def _assert_states_equal(s1, s2):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+            s1.params, s2.params)
+        assert int(s1.step) == int(s2.step)
+
+    def test_equals_n1_exactly(self):
+        (h1, s1), (h4, s4) = self._pair(4, _batches(8))
+        self._assert_histories_equal(h1, h4)
+        self._assert_states_equal(s1, s4)
+
+    def test_partial_trailing_window(self):
+        """7 batches, N=4 -> windows of 4 then 3; same numbers as N=1."""
+        (h1, s1), (h4, s4) = self._pair(4, _batches(7))
+        self._assert_histories_equal(h1, h4)
+        self._assert_states_equal(s1, s4)
+
+    def test_window_larger_than_epoch(self):
+        """N > n_batches degrades to one whole-epoch window."""
+        (h1, s1), (h16, s16) = self._pair(16, _batches(5))
+        self._assert_histories_equal(h1, h16)
+        self._assert_states_equal(s1, s16)
+
+    def test_with_ema_accumulation_freezing(self):
+        """The scan body is the single-step function, so EMA (incl. the
+        accumulation decay gate) and frozen params behave identically."""
+        kwargs = dict(ema_decay=0.9, gradient_accumulation_steps=2,
+                      trainable=[r"Dense_1"])
+        (h1, s1), (h4, s4) = self._pair(4, _batches(8), **kwargs)
+        self._assert_histories_equal(h1, h4)
+        self._assert_states_equal(s1, s4)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+            s1.ema_params, s4.ema_params)
+
+    def test_dp_mesh_window(self):
+        """Windows shard on axis 1 over the data mesh; same results as the
+        single-device N=1 run."""
+        from chambers_tpu.parallel import create_mesh
+
+        mesh = create_mesh({"data": 8})
+        (h1, s1), _ = self._pair(1, _batches(6))
+        model = _make_regression_model()
+        trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2),
+                          metrics=self._metrics(), mesh=mesh,
+                          steps_per_execution=3)
+        h = trainer.fit(_batches(6), epochs=2, verbose=False)
+        self._assert_histories_equal(h1, h)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            s1.params, trainer.state.params)
+
+    def test_steps_per_epoch_windows_do_not_cross_epochs(self):
+        """steps_per_epoch=6, N=4 -> windows 4+2 per epoch; the persistent
+        stream keeps advancing across epochs (Keras semantics)."""
+        data = _batches(12)
+        (h1, s1), _ = self._pair(1, data, epochs=2,
+                                 fit_kwargs={"steps_per_epoch": 6})
+        trainer = Trainer(_make_regression_model(), loss=_mse,
+                          optimizer=optax.adam(1e-2),
+                          metrics=self._metrics(), steps_per_execution=4)
+        windows = []
+
+        class Spy(Callback):
+            def on_train_batch_begin(self, batch, logs=None):
+                windows.append(batch)
+
+        h = trainer.fit(data, epochs=2, steps_per_epoch=6, verbose=False,
+                        callbacks=[Spy()])
+        assert windows == [0, 4, 0, 4]  # per-epoch: a 4-window then a 2-window
+        self._assert_histories_equal(h1, h)
+        self._assert_states_equal(s1, trainer.state)
+
+    def test_callbacks_fire_per_window_with_last_step_logs(self):
+        """Keras steps_per_execution contract: on_train_batch_begin(first),
+        on_train_batch_end(last, logs-of-last-step)."""
+        model = _make_regression_model()
+        trainer = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2),
+                          steps_per_execution=4)
+        begins, ends, end_losses = [], [], []
+
+        class Spy(Callback):
+            def on_train_batch_begin(self, batch, logs=None):
+                begins.append(batch)
+
+            def on_train_batch_end(self, batch, logs=None):
+                ends.append(batch)
+                end_losses.append(float(logs["loss"]))
+
+        trainer.fit(_batches(8), epochs=1, verbose=False, callbacks=[Spy()])
+        assert begins == [0, 4]
+        assert ends == [3, 7]
+
+        # the reported end-logs are the LAST step's values: reproduce with
+        # an N=1 run and compare its 4th/8th batch losses
+        model2 = _make_regression_model()
+        trainer2 = Trainer(model2, loss=_mse, optimizer=optax.adam(1e-2))
+        losses = []
+
+        class Spy2(Callback):
+            def on_train_batch_end(self, batch, logs=None):
+                losses.append(float(logs["loss"]))
+
+        trainer2.fit(_batches(8), epochs=1, verbose=False, callbacks=[Spy2()])
+        np.testing.assert_allclose(end_losses, [losses[3], losses[7]],
+                                   rtol=1e-6)
+
+    def test_evaluate_windows_match(self):
+        model = _make_regression_model()
+        t1 = Trainer(model, loss=_mse, optimizer=optax.adam(1e-2),
+                     metrics=self._metrics())
+        t4 = Trainer(_make_regression_model(), loss=_mse,
+                     optimizer=optax.adam(1e-2), metrics=self._metrics(),
+                     steps_per_execution=4)
+        data = _batches(7)
+        r1, r4 = t1.evaluate(data, verbose=False), t4.evaluate(data, verbose=False)
+        assert set(r1) == set(r4)
+        for k in r1:
+            np.testing.assert_allclose(r1[k], r4[k], rtol=1e-6, atol=1e-7)
+
+    def test_validation_inside_fit(self):
+        data = _batches(8)
+        (h1, _), (h4, _) = self._pair(4, data, epochs=2,
+                                      fit_kwargs={"validation_data": data})
+        assert "val_loss" in h4[0]
+        self._assert_histories_equal(h1, h4)
+
+    def test_terminate_on_nan_stops_at_window_boundary(self):
+        from chambers_tpu.callbacks import TerminateOnNaN
+
+        trainer = Trainer(_make_regression_model(),
+                          loss=lambda yt, yp: jnp.mean(yp) * jnp.nan,
+                          optimizer=optax.adam(1e-2), steps_per_execution=4)
+        history = trainer.fit(_batches(8), epochs=3, verbose=False,
+                              callbacks=[TerminateOnNaN(check="batch")])
+        assert len(history) == 1
+        assert int(trainer.state.step) == 4  # one window ran, then stop
+
+    def test_invalid_spe_raises(self):
+        with pytest.raises(ValueError, match="steps_per_execution"):
+            Trainer(_make_regression_model(), loss=_mse,
+                    optimizer=optax.adam(1e-2), steps_per_execution=0)
+
+
 def test_device_prefetcher_places_eagerly():
     """The prefetcher device_puts `depth` batches ahead of consumption so
     transfers overlap compute (async dispatch)."""
