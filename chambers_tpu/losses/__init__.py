@@ -1,3 +1,4 @@
+from chambers_tpu.losses.base import Loss, reduce_weighted_loss
 from chambers_tpu.losses.metric_learning import (
     ContrastiveLoss,
     MultiSimilarityLoss,
@@ -6,5 +7,9 @@ from chambers_tpu.losses.metric_learning import (
     PairLoss,
     PairMatrixLoss,
 )
-from chambers_tpu.losses.categorical import soft_dice_coefficient
+from chambers_tpu.losses.categorical import (
+    CategoricalCrossentropy,
+    SoftDiceLoss,
+    soft_dice_coefficient,
+)
 from chambers_tpu.losses.distillation import DistillationLoss

@@ -1,12 +1,17 @@
 """Categorical / segmentation losses.
 
-Parity: reference ``chambers/losses/categorical.py:7-32``.
+Parity: reference ``chambers/losses/categorical.py:7-32``. The class
+variants (:class:`SoftDiceLoss`, :class:`CategoricalCrossentropy`) carry the
+Keras ``Loss`` call contract (``sample_weight`` / ``reduction``) the
+reference's losses inherit from ``tf.keras.losses.Loss``; weighted values
+are pinned against tf.keras in ``tests/losses/test_loss_contract.py``.
 """
 
 from typing import List, Optional
 
 import jax.numpy as jnp
 
+from chambers_tpu.losses.base import Loss
 from chambers_tpu.utils.tensor import remove_indices
 
 _EPSILON = 1e-7  # keras backend epsilon
@@ -34,3 +39,64 @@ def soft_dice_coefficient(y_true, y_pred, exclude_classes: Optional[List[int]] =
     sample_dsc = jnp.mean(channel_dsc, axis=1)
     batch_dsc = jnp.mean(sample_dsc, axis=0)
     return 1 - batch_dsc
+
+
+class SoftDiceLoss(Loss):
+    """:func:`soft_dice_coefficient` as a Keras-contract ``Loss``.
+
+    ``call`` returns the per-sample loss ``1 − mean-class DSC`` (shape
+    ``[b]``); the default reduction's unweighted mean equals the function
+    form exactly. ``sample_weight`` weights per image.
+    """
+
+    def __init__(self, exclude_classes: Optional[List[int]] = None,
+                 name="soft_dice", reduction="sum_over_batch_size"):
+        super().__init__(reduction=reduction, name=name)
+        self.exclude_classes = exclude_classes
+
+    def call(self, y_true, y_pred):
+        axis = (1, 2)
+        y_true = y_true.astype(jnp.float32)
+        y_pred = y_pred.astype(jnp.float32)
+        intersection = jnp.sum(y_true * y_pred, axis=axis)
+        channel_dsc = (2.0 * intersection + _EPSILON) / (
+            jnp.sum(y_true, axis=axis) + jnp.sum(y_pred, axis=axis) + _EPSILON
+        )
+        if self.exclude_classes is not None:
+            channel_dsc = remove_indices(channel_dsc, self.exclude_classes,
+                                         axis=1)
+        return 1.0 - jnp.mean(channel_dsc, axis=1)
+
+
+class CategoricalCrossentropy(Loss):
+    """``tf.keras.losses.CategoricalCrossentropy`` with the full call
+    contract (``from_logits``, ``label_smoothing``, ``sample_weight``,
+    ``reduction``) — the loss the reference's classification examples
+    compile with (reference ``test_units/manual_test_vit_weights.py`` trains
+    against Keras CE).
+
+    With ``from_logits=False`` predictions are renormalized to sum to 1 and
+    clipped to ``[eps, 1−eps]`` (Keras backend semantics).
+    """
+
+    def __init__(self, from_logits=False, label_smoothing=0.0,
+                 name="categorical_crossentropy",
+                 reduction="sum_over_batch_size"):
+        super().__init__(reduction=reduction, name=name)
+        self.from_logits = from_logits
+        self.label_smoothing = float(label_smoothing)
+
+    def call(self, y_true, y_pred):
+        y_true = jnp.asarray(y_true, jnp.float32)
+        y_pred = jnp.asarray(y_pred)
+        if self.label_smoothing:
+            n_classes = y_true.shape[-1]
+            y_true = (y_true * (1.0 - self.label_smoothing)
+                      + self.label_smoothing / n_classes)
+        from chambers_tpu.losses.metric_learning import (
+            categorical_crossentropy_per_row,
+        )
+
+        return categorical_crossentropy_per_row(
+            y_true, y_pred, from_logits=self.from_logits
+        )

@@ -32,8 +32,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from chambers_tpu.losses.base import Loss
 
-class DistillationLoss:
+
+class DistillationLoss(Loss):
     """DeiT dual-head distillation loss.
 
     :param kind: ``"hard"`` (CE against the teacher's argmax — the paper's
@@ -49,7 +51,9 @@ class DistillationLoss:
     """
 
     def __init__(self, kind: str = "hard", alpha: float = 0.5,
-                 tau: float = 3.0):
+                 tau: float = 3.0, name="distillation",
+                 reduction="sum_over_batch_size"):
+        super().__init__(reduction=reduction, name=name)
         if kind not in ("hard", "soft"):
             raise ValueError(f"kind must be 'hard'|'soft', got {kind!r}")
         if not 0.0 <= alpha <= 1.0:
@@ -60,7 +64,10 @@ class DistillationLoss:
         self.alpha = float(alpha)
         self.tau = float(tau)
 
-    def __call__(self, y_true, y_pred: Sequence[jax.Array]):
+    def call(self, y_true, y_pred: Sequence[jax.Array]):
+        """Per-sample loss vector ``[b]`` (Keras ``Loss`` contract; the
+        default reduction's unweighted mean matches the paper's batch
+        objective exactly)."""
         labels, teacher_logits = y_true
         cls_logits, dist_logits = y_pred
         labels = jnp.asarray(labels)
@@ -68,15 +75,13 @@ class DistillationLoss:
         dist_logits = dist_logits.astype(jnp.float32)
         teacher_logits = jnp.asarray(teacher_logits, jnp.float32)
 
-        ce_cls = jnp.mean(
-            optax.softmax_cross_entropy_with_integer_labels(
-                cls_logits, labels))
+        ce_cls = optax.softmax_cross_entropy_with_integer_labels(
+            cls_logits, labels)
 
         if self.kind == "hard":
             teacher_labels = jnp.argmax(teacher_logits, axis=-1)
-            ce_dist = jnp.mean(
-                optax.softmax_cross_entropy_with_integer_labels(
-                    dist_logits, teacher_labels))
+            ce_dist = optax.softmax_cross_entropy_with_integer_labels(
+                dist_logits, teacher_labels)
             return 0.5 * ce_cls + 0.5 * ce_dist
 
         tau = self.tau
@@ -87,11 +92,11 @@ class DistillationLoss:
         kl = jnp.sum(
             teacher_probs * (jnp.log(jnp.clip(teacher_probs, 1e-12))
                              - student_logp), axis=-1)
-        return ((1.0 - self.alpha) * ce_cls
-                + self.alpha * (tau ** 2) * jnp.mean(kl))
+        return (1.0 - self.alpha) * ce_cls + self.alpha * (tau ** 2) * kl
 
     def get_config(self):
-        return {"kind": self.kind, "alpha": self.alpha, "tau": self.tau}
+        return {"kind": self.kind, "alpha": self.alpha, "tau": self.tau,
+                "reduction": self.reduction}
 
     @classmethod
     def from_config(cls, config):

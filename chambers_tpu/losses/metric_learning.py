@@ -17,8 +17,13 @@ Conventions preserved:
   removes such *columns* from both masks (the reference's [n] & [n, n]
   broadcast masks candidate columns, metric_learning.py:80-83).
 - ``ignore_diag`` removes mirror pairs (metric_learning.py:85-91).
-- ``__call__`` returns the scalar mean over rows (Keras ``Loss`` reduction);
-  ``call`` returns the per-row vector.
+- the full Keras ``Loss`` call contract (reference metric_learning.py:9
+  inherits ``tf.keras.losses.Loss``): ``call`` returns the per-row vector;
+  ``__call__(y_true, y_pred, sample_weight=None)`` weights row ``i``'s
+  (anchor ``i``'s) loss by ``sample_weight[i]`` and reduces per the
+  constructor's ``reduction`` (default ``"sum_over_batch_size"`` — the mean
+  over rows when unweighted). Semantics pinned against tf.keras in
+  ``tests/losses/test_loss_contract.py``.
 """
 
 from abc import ABC, abstractmethod
@@ -26,29 +31,33 @@ from abc import ABC, abstractmethod
 import jax
 import jax.numpy as jnp
 
+from chambers_tpu.losses.base import Loss
 from chambers_tpu.miners import MultiSimilarityMiner as _MSMiner
 
 _EPSILON = 1e-7  # keras backend epsilon
 _DEFAULT_MINER = object()  # sentinel: "use the class default miner"
 
 
-class PairLoss(ABC):
+class PairLoss(Loss, ABC):
     def __init__(self, ignore_diag=True, ignore_negative_labels=True, miner=None,
-                 name=None):
+                 name=None, reduction="sum_over_batch_size"):
         """
         :param ignore_diag: ignore the diagonal (mirror) pairs of the
             similarity matrix.
         :param ignore_negative_labels: exclude samples with negative labels
             from the candidate pairs.
         :param miner: optional pair miner.
+        :param reduction: Keras ``Loss`` reduction over the per-row losses
+            (``"sum_over_batch_size"`` | ``"sum"`` | ``"none"``). A
+            ``sample_weight`` passed to ``__call__`` weights per ROW — pair
+            ``(i, j)``'s contribution is weighted by anchor ``i``'s weight
+            (the ragged reference reduces per anchor row, so the row is the
+            natural "sample" of a pair loss).
         """
+        super().__init__(reduction=reduction, name=name)
         self.ignore_diag = ignore_diag
         self.ignore_negative_labels = ignore_negative_labels
         self.miner = miner
-        self.name = name
-
-    def __call__(self, y_true, y_pred):
-        return jnp.mean(self.call(y_true, y_pred))
 
     def call(self, y_true, y_pred):
         """Per-row loss vector ``[n]`` for labels ``[n]`` and embeddings
@@ -150,7 +159,8 @@ class _MultiSimilarityMixin:
 class MultiSimilarityLoss(_MultiSimilarityMixin, PairLoss):
     def __init__(self, pos_scale=2.0, neg_scale=40.0, threshold=0.5,
                  ignore_diag=True, ignore_negative_labels=True,
-                 miner=_DEFAULT_MINER, name="multi_similarity_loss"):
+                 miner=_DEFAULT_MINER, name="multi_similarity_loss",
+                 reduction="sum_over_batch_size"):
         if miner is _DEFAULT_MINER:
             miner = _MSMiner(margin=0.1)  # reference default, metric_learning.py:143
         super().__init__(
@@ -158,6 +168,7 @@ class MultiSimilarityLoss(_MultiSimilarityMixin, PairLoss):
             ignore_negative_labels=ignore_negative_labels,
             miner=miner,
             name=name,
+            reduction=reduction,
         )
         self.pos_scale = pos_scale  # alpha
         self.neg_scale = neg_scale  # beta
@@ -167,7 +178,8 @@ class MultiSimilarityLoss(_MultiSimilarityMixin, PairLoss):
 class MultiSimilarityLossMatrix(_MultiSimilarityMixin, PairMatrixLoss):
     def __init__(self, pos_scale=2.0, neg_scale=40.0, threshold=0.5,
                  ignore_diag=True, ignore_negative_labels=True,
-                 miner=_DEFAULT_MINER, name="multi_similarity_loss"):
+                 miner=_DEFAULT_MINER, name="multi_similarity_loss",
+                 reduction="sum_over_batch_size"):
         if miner is _DEFAULT_MINER:
             miner = _MSMiner(margin=0.1)
         super().__init__(
@@ -175,6 +187,7 @@ class MultiSimilarityLossMatrix(_MultiSimilarityMixin, PairMatrixLoss):
             ignore_negative_labels=ignore_negative_labels,
             miner=miner,
             name=name,
+            reduction=reduction,
         )
         self.pos_scale = pos_scale
         self.neg_scale = neg_scale
@@ -188,12 +201,13 @@ class ContrastiveLoss(PairLoss):
 
     def __init__(self, positive_margin=1.0, negative_margin=0.3, exponent=2,
                  ignore_diag=True, ignore_negative_labels=True, miner=None,
-                 name="contrastive_loss"):
+                 name="contrastive_loss", reduction="sum_over_batch_size"):
         super().__init__(
             ignore_diag=ignore_diag,
             ignore_negative_labels=ignore_negative_labels,
             miner=miner,
             name=name,
+            reduction=reduction,
         )
         self.positive_margin = positive_margin
         self.negative_margin = negative_margin
@@ -218,8 +232,8 @@ class ContrastiveLoss(PairLoss):
         return pos_loss + neg_loss
 
 
-def categorical_crossentropy(y_true, y_pred, from_logits=False):
-    """Keras-semantics categorical crossentropy, mean over rows.
+def categorical_crossentropy_per_row(y_true, y_pred, from_logits=False):
+    """Keras-semantics categorical crossentropy, per-row vector ``[n]``.
 
     With ``from_logits=False`` predictions are renormalized to sum to 1 and
     clipped to [eps, 1-eps] — required for NTXent parity with the reference's
@@ -232,10 +246,18 @@ def categorical_crossentropy(y_true, y_pred, from_logits=False):
         p = y_pred / jnp.sum(y_pred, axis=-1, keepdims=True)
         p = jnp.clip(p, _EPSILON, 1.0 - _EPSILON)
         log_p = jnp.log(p)
-    return jnp.mean(-jnp.sum(y_true * log_p, axis=-1))
+    return -jnp.sum(y_true * log_p, axis=-1)
 
 
-class NTXentLoss:
+def categorical_crossentropy(y_true, y_pred, from_logits=False):
+    """Keras-semantics categorical crossentropy, mean over rows."""
+    return jnp.mean(
+        categorical_crossentropy_per_row(y_true, y_pred,
+                                         from_logits=from_logits)
+    )
+
+
+class NTXentLoss(Loss):
     """SimCLR-style NT-Xent (metric_learning.py:290-318): similarity matrix
     over temperature, mirror pairs masked with −1e9, crossentropy against the
     one-hot positive-pair matrix.
@@ -246,15 +268,14 @@ class NTXentLoss:
     yields zero gradients. Pass ``from_logits=True`` for a trainable SimCLR
     objective (softmax over similarities)."""
 
-    def __init__(self, temperature=1.0, from_logits=False, name=None):
+    def __init__(self, temperature=1.0, from_logits=False, name=None,
+                 reduction="sum_over_batch_size"):
+        super().__init__(reduction=reduction, name=name)
         self.temperature = temperature
         self.from_logits = from_logits
-        self.name = name
-
-    def __call__(self, y_true, y_pred):
-        return self.call(y_true, y_pred)
 
     def call(self, y_true, y_pred):
+        """Per-row crossentropy vector ``[n]`` (row = one anchor sample)."""
         n = y_pred.shape[0]
         similarity_matrix = self.compute_similarity_matrix(y_pred) / self.temperature
         similarity_matrix = jnp.where(
@@ -265,7 +286,7 @@ class NTXentLoss:
         y_onehot = (labels == labels.T).astype(jnp.int32)
         y_onehot = jnp.where(jnp.eye(n, dtype=bool), 0, y_onehot)
 
-        return categorical_crossentropy(
+        return categorical_crossentropy_per_row(
             y_onehot, similarity_matrix, from_logits=self.from_logits
         )
 

@@ -71,10 +71,10 @@ class _DevicePrefetcher:
     def _fill(self, n):
         for _ in range(n):
             try:
-                x, y = next(self._it)
+                batch = next(self._it)
             except StopIteration:
                 return
-            self._queue.append(self._place(x, y))
+            self._queue.append(self._place(*batch))
 
     def __iter__(self):
         return self
@@ -192,7 +192,8 @@ class Trainer:
                  gradient_accumulation_steps: int = 1,
                  ema_decay: Optional[float] = None,
                  trainable: Optional[Union[str, Sequence[str], Callable]] = None,
-                 steps_per_execution: int = 1):
+                 steps_per_execution: int = 1,
+                 weighted_metrics: Optional[Dict[str, Callable]] = None):
         """``mesh``: optional ``jax.sharding.Mesh`` — the train/eval steps run
         data-parallel over its ``data`` axis (batches are sharded per step,
         params replicated or sharded by ``param_sharding_rules``, and XLA
@@ -227,11 +228,12 @@ class Trainer:
 
         ``steps_per_execution``: run ``N`` train (and eval) steps per host
         round trip — ``tf.keras.Model.compile(steps_per_execution=N)``, the
-        execution batching behind the reference's ``model.fit``. Batches are
-        stacked host-side into one ``[N, batch, ...]`` window, transferred
-        once, and driven through a single jitted ``lax.scan`` of the train
-        step, so per-step host↔device latency (large on a relay-attached
-        chip) amortizes across the window. Numerics are IDENTICAL to
+        execution batching behind the reference's ``model.fit``. Batches
+        stream to the device individually (async puts), are stacked into a
+        ``[N, batch, ...]`` window inside the compiled program (an HBM
+        concatenate — no host-side ``np.stack``), and run as a single jitted
+        ``lax.scan`` of the train step, so per-step host↔device latency
+        (large on a relay-attached chip) amortizes across the window. Numerics are IDENTICAL to
         ``N=1`` — the scan body IS the single-step function (EMA,
         accumulation, freezing, DP mesh included) and epoch logs average the
         same per-step values. Differences a Keras user will recognize:
@@ -265,6 +267,29 @@ class Trainer:
         # export them via `ema_variables`
         self.ema_decay = ema_decay
         self.metrics = dict(metrics or {})
+        # Keras compile(weighted_metrics=): metrics that receive the batch
+        # sample weights (from (x, y, w) dataset elements or class_weight=).
+        # Plain `metrics` stay unweighted, exactly as in Keras.
+        self.weighted_metrics = dict(weighted_metrics or {})
+        overlap = set(self.metrics) & set(self.weighted_metrics)
+        if overlap:
+            raise ValueError(
+                f"metric names {sorted(overlap)} appear in both metrics= and "
+                "weighted_metrics= — log keys must be unique"
+            )
+        # does the loss speak the Keras Loss call contract? (a chambers_tpu
+        # losses.Loss subclass, or any callable with a sample_weight kwarg)
+        import inspect as _inspect
+
+        try:
+            _params = _inspect.signature(loss).parameters
+            self._loss_takes_sw = (
+                "sample_weight" in _params
+                or any(p.kind is _inspect.Parameter.VAR_KEYWORD
+                       for p in _params.values())
+            )
+        except (TypeError, ValueError):  # builtins / odd callables
+            self._loss_takes_sw = False
         self.mesh = mesh
         # Keras semantics: a callback may set this (directly or through its
         # model facade) to end training at the next batch boundary —
@@ -272,15 +297,21 @@ class Trainer:
         self.stop_training = False
         # split metrics: streaming (functional init/update/compute, live in
         # the jitted step) vs per-batch callables (averaged over the epoch)
-        self._streaming = {
-            name: m for name, m in self.metrics.items()
-            if hasattr(m, "init") and hasattr(m, "update")
-            and hasattr(m, "compute")
-        }
-        self._metric_fns = {
-            name: m for name, m in self.metrics.items()
-            if name not in self._streaming
-        }
+        def _split_streaming(mapping):
+            streaming = {
+                name: m for name, m in mapping.items()
+                if hasattr(m, "init") and hasattr(m, "update")
+                and hasattr(m, "compute")
+            }
+            fns = {name: m for name, m in mapping.items()
+                   if name not in streaming}
+            return streaming, fns
+
+        self._streaming, self._metric_fns = _split_streaming(self.metrics)
+        # weighted metrics: streaming ones get sample_weight= in update();
+        # per-batch callables are called fn(y_true, y_pred, sample_weight)
+        self._streaming_w, self._weighted_metric_fns = _split_streaming(
+            self.weighted_metrics)
 
         if "quant" in model.variables:
             raise ValueError(
@@ -443,12 +474,21 @@ class Trainer:
                     stacklevel=2,
                 )
 
-        def _metric_logs(y, y_pred, metric_states):
+        def _metric_logs(y, y_pred, metric_states, sw=None):
             logs = {name: fn(y, y_pred) for name, fn in self._metric_fns.items()}
+            logs.update({
+                name: fn(y, y_pred, sw)
+                for name, fn in self._weighted_metric_fns.items()
+            })
             new_states = {
                 name: m.update(metric_states[name], y, y_pred)
                 for name, m in self._streaming.items()
             }
+            new_states.update({
+                name: m.update(metric_states[name], y, y_pred,
+                               sample_weight=sw)
+                for name, m in self._streaming_w.items()
+            })
             return logs, new_states
 
         # "intermediates" is always requested alongside the stateful
@@ -462,7 +502,7 @@ class Trainer:
             if self._apply_accepts_mutable else []
         )
 
-        def train_step(state: TrainState, metric_states, x, y):
+        def train_step(state: TrainState, metric_states, x, y, sw=None):
             rng, dropout_rng = jax.random.split(state.rng)
             # trainable=: differentiate w.r.t. the trainable subtree only;
             # frozen leaves ride through as closed-over constants (XLA
@@ -488,7 +528,10 @@ class Trainer:
                     )
                     intermediates = {}
                     extra_vars = state.extra_vars
-                loss_value = self.loss(y, y_pred)
+                # sw is None or not at TRACE time (fit keeps it consistent
+                # across a run), so this is a compile-time branch
+                loss_value = (self.loss(y, y_pred) if sw is None
+                              else self.loss(y, y_pred, sample_weight=sw))
                 # static check (dict structure is fixed at trace time):
                 # does anything sow a routed-MoE aux loss?
                 aux = None
@@ -537,7 +580,7 @@ class Trainer:
             )
             # train-time metrics reuse the forward pass already paid for the
             # loss (Keras semantics); streaming states accumulate on device
-            logs, metric_states = _metric_logs(y, y_pred, metric_states)
+            logs, metric_states = _metric_logs(y, y_pred, metric_states, sw)
             logs["loss"] = loss_value
             if aux is not None:
                 # routing-health observability: the balance (+z) term the
@@ -545,11 +588,12 @@ class Trainer:
                 logs["moe_aux_loss"] = aux
             return new_state, metric_states, logs
 
-        def eval_step(params, extra_vars, metric_states, x, y):
+        def eval_step(params, extra_vars, metric_states, x, y, sw=None):
             variables = {"params": params, **extra_vars}
             y_pred = self._apply_fn(variables, x, deterministic=True, rngs=None)
-            logs, metric_states = _metric_logs(y, y_pred, metric_states)
-            logs["loss"] = self.loss(y, y_pred)
+            logs, metric_states = _metric_logs(y, y_pred, metric_states, sw)
+            logs["loss"] = (self.loss(y, y_pred) if sw is None
+                            else self.loss(y, y_pred, sample_weight=sw))
             return metric_states, logs
 
         donate_args = (0, 1) if donate else (1,)
@@ -560,24 +604,38 @@ class Trainer:
         # bodies over a [n, batch, ...] stack — one compiled program, one
         # host dispatch, n steps. Logs come back stacked [n] per key so
         # epoch aggregation sees exactly the per-step values N=1 would.
-        def train_window(state: TrainState, metric_states, xs, ys):
-            def body(carry, xy):
+        def _stack_batches(batches):
+            # the [n, batch, ...] window stack happens INSIDE the compiled
+            # program: batches arrive as n separate device arrays (each an
+            # async host→device put) and XLA concatenates them in HBM.
+            # Stacking on the host instead (np.stack of a multi-hundred-MB
+            # window) costs more than the window's compute on a slow host
+            # core, and it serializes on the ingest path.
+            return jax.tree.map(lambda *leaves: jnp.stack(leaves), *batches)
+
+        def train_window(state: TrainState, metric_states, batches):
+            def body(carry, xyw):
                 state, metric_states = carry
                 state, metric_states, logs = train_step(
-                    state, metric_states, *xy)
+                    state, metric_states, *xyw)
                 return (state, metric_states), logs
 
+            # a batch's sw=None scans through as structure (steps see None)
             (state, metric_states), logs = jax.lax.scan(
-                body, (state, metric_states), (xs, ys))
+                body, (state, metric_states), _stack_batches(batches))
             return state, metric_states, logs
 
-        def eval_window(params, extra_vars, metric_states, xs, ys):
-            def body(metric_states, xy):
-                return eval_step(params, extra_vars, metric_states, *xy)
+        def eval_window(params, extra_vars, metric_states, batches):
+            def body(metric_states, xyw):
+                return eval_step(params, extra_vars, metric_states, *xyw)
 
-            metric_states, logs = jax.lax.scan(body, metric_states, (xs, ys))
+            metric_states, logs = jax.lax.scan(body, metric_states,
+                                               _stack_batches(batches))
             return metric_states, logs
 
+        # (batch buffers are not donated: XLA cannot alias n [batch, ...]
+        # inputs into one [n, batch, ...] concatenate output, so donating
+        # them only triggers unusable-donation warnings)
         self.train_window = jax.jit(train_window, donate_argnums=donate_args)
         self.eval_window = jax.jit(eval_window, donate_argnums=(2,))
 
@@ -607,14 +665,74 @@ class Trainer:
         merged.update(flatten_dict(train))
         return unflatten_dict(merged)
 
-    def _place_batch(self, x, y):
+    def _place_batch(self, x, y, sw=None):
         # x/y may be pytrees (e.g. a (labels, teacher_logits) target for
-        # DistillationLoss) — convert leaf-wise, not with one jnp.asarray
+        # DistillationLoss) — convert leaf-wise, not with one jnp.asarray.
+        # sw (per-sample weights, or None) rides along: None is pytree
+        # structure, so both tree.map and the mesh placement pass it through.
         if self.mesh is None:
-            return (jax.tree.map(jnp.asarray, x), jax.tree.map(jnp.asarray, y))
+            return (jax.tree.map(jnp.asarray, x), jax.tree.map(jnp.asarray, y),
+                    jax.tree.map(jnp.asarray, sw))
         from chambers_tpu.parallel.distributed import host_local_batch_to_global
 
-        return host_local_batch_to_global((x, y), self.mesh)
+        return host_local_batch_to_global((x, y, sw), self.mesh)
+
+    # -- sample weights / class weights ---------------------------------------
+    def _normalized_stream(self, it, class_weight=None):
+        """Normalize dataset elements to ``(x, y, sample_weight_or_None)``.
+
+        Keras ``fit`` contract: elements are ``(x, y)`` or ``(x, y, w)``;
+        ``class_weight={class_index: weight}`` converts per-label weights to
+        per-sample weights host-side (exactly what the Keras data adapter
+        does) and MULTIPLIES with an element weight when both are present.
+        Classes absent from the dict weight 1.0; labels outside the dict's
+        index range raise. One-hot/probabilistic rank-2 targets use argmax;
+        rank>2 targets are rejected (Keras: class_weight supports rank<=2).
+        """
+        table = None
+        if class_weight is not None:
+            if not class_weight or min(class_weight) < 0:
+                raise ValueError(
+                    f"class_weight={class_weight!r}: expected a non-empty "
+                    "{non-negative class index: weight} mapping"
+                )
+            table = np.ones(max(class_weight) + 1, np.float32)
+            for k, v in class_weight.items():
+                table[int(k)] = float(v)
+        for elem in it:
+            if not isinstance(elem, (tuple, list)) or len(elem) not in (2, 3):
+                raise ValueError(
+                    "dataset elements must be (x, y) or (x, y, sample_weight) "
+                    f"tuples, got a {type(elem).__name__} of length "
+                    f"{len(elem) if isinstance(elem, (tuple, list)) else 'n/a'}"
+                )
+            x, y = elem[0], elem[1]
+            sw = elem[2] if len(elem) == 3 else None
+            if table is not None:
+                yarr = np.asarray(y)
+                if yarr.ndim > 2:
+                    raise ValueError(
+                        "class_weight= supports integer [b] or one-hot "
+                        f"[b, classes] targets, got rank {yarr.ndim}"
+                    )
+                idx = (yarr.argmax(-1) if yarr.ndim == 2 else yarr)
+                idx = np.asarray(idx, np.int64)
+                if idx.size and idx.max() >= table.size:
+                    raise ValueError(
+                        f"label {int(idx.max())} is outside class_weight's "
+                        f"index range [0, {table.size - 1}]"
+                    )
+                cw = table[idx]
+                sw = cw if sw is None else np.asarray(sw, np.float32) * cw
+            if sw is not None and not self._loss_takes_sw:
+                raise TypeError(
+                    "the dataset carries sample weights (or class_weight= "
+                    "was passed) but the loss does not accept a "
+                    "sample_weight kwarg — use a chambers_tpu.losses.Loss "
+                    "subclass (or any loss(y_true, y_pred, sample_weight=) "
+                    "callable)"
+                )
+            yield x, y, sw
 
     # -- steps_per_execution windows ----------------------------------------
     @staticmethod
@@ -623,22 +741,24 @@ class Trainer:
         return list(itertools.islice(it, n))
 
     def _place_window(self, batches):
-        """Stack a list of host ``(x, y)`` batches into one ``[n, batch,
-        ...]`` window and transfer it in a single host→device move (per-step
-        transfers through a relay would cost more than the steps). On a mesh
-        the window is sharded on axis 1, so each scanned step slices a
-        data-parallel batch with no resharding."""
-        stack = lambda *leaves: np.stack([np.asarray(l) for l in leaves])
-        xs = jax.tree.map(stack, *[b[0] for b in batches])
-        ys = jax.tree.map(stack, *[b[1] for b in batches])
-        if self.mesh is None:
-            return (jax.tree.map(jnp.asarray, xs),
-                    jax.tree.map(jnp.asarray, ys))
-        from chambers_tpu.parallel.distributed import (
-            host_local_batch_to_global,
-        )
+        """Place a list of host ``(x, y, sw)`` batches for one window.
 
-        return host_local_batch_to_global((xs, ys), self.mesh, batch_axis=1)
+        Each batch is transferred individually (``jax.device_put`` only
+        enqueues, so the n copies stream while the previous window
+        computes); the ``[n, batch, ...]`` stack happens inside the compiled
+        window program, where it is an HBM concatenate — a host-side
+        ``np.stack`` of a multi-hundred-MB window would cost more than the
+        window's compute. On a mesh every batch lands sharded over ``data``
+        (via :meth:`_place_batch`, multi-process included), so the in-program
+        stack yields a ``[n, batch, ...]`` window sharded on axis 1 with no
+        resharding."""
+        weighted = [b[2] is not None for b in batches]
+        if any(weighted) and not all(weighted):
+            raise ValueError(
+                "a steps_per_execution window mixes weighted (x, y, w) and "
+                "unweighted (x, y) batches — the dataset must be consistent"
+            )
+        return tuple(self._place_batch(*b) for b in batches)
 
     # -- state access -------------------------------------------------------
     @property
@@ -695,7 +815,7 @@ class Trainer:
         # init() that aliases one array across leaves would fail donation
         return {
             name: jax.tree.map(jnp.array, m.init())
-            for name, m in self._streaming.items()
+            for name, m in {**self._streaming, **self._streaming_w}.items()
         }
 
     def fit(self, dataset: Iterable, epochs: int = 1,
@@ -703,8 +823,17 @@ class Trainer:
             validation_data: Optional[Iterable] = None,
             validation_steps: Optional[int] = None,
             callbacks: Sequence[Callback] = (), verbose: bool = True,
-            initial_epoch: int = 0, skip_batches: int = 0):
-        """Train over an iterable of ``(x_batch, y_batch)`` NumPy pairs.
+            initial_epoch: int = 0, skip_batches: int = 0,
+            class_weight: Optional[Dict[int, float]] = None):
+        """Train over an iterable of ``(x, y)`` or ``(x, y, sample_weight)``
+        NumPy batch tuples.
+
+        ``class_weight``: Keras ``fit(class_weight={idx: weight})`` — each
+        sample's loss is weighted by its label's entry (training only, as in
+        Keras; pass weighted validation elements for weighted val metrics).
+        Per-element sample weights and ``class_weight`` multiply when both
+        are present. Weighted training requires a loss speaking the Keras
+        ``Loss`` call contract (``chambers_tpu.losses.Loss`` subclasses do).
 
         ``skip_batches``: drain this many leading batches from the stream
         (host-side, never transferred to device) before the first trained
@@ -748,9 +877,11 @@ class Trainer:
         # stacked host-side while the device runs the previous window
         # (dispatch is async), and transferred in one move.
         windowed = self._spe > 1
+        make_stream = lambda: self._normalized_stream(iter(dataset),
+                                                      class_weight)
         persistent_it = None
         if steps_per_epoch is not None:
-            raw = drained(iter(dataset))
+            raw = drained(make_stream())
             persistent_it = (raw if windowed
                              else _DevicePrefetcher(raw, self._place_batch))
 
@@ -762,8 +893,8 @@ class Trainer:
             if persistent_it is not None:
                 it = persistent_it
             else:
-                it = (drained(iter(dataset)) if epoch == initial_epoch
-                      else iter(dataset))
+                it = (drained(make_stream()) if epoch == initial_epoch
+                      else make_stream())
                 if not windowed:
                     it = _DevicePrefetcher(it, self._place_batch)
             step = 0
@@ -779,15 +910,15 @@ class Trainer:
                     if not batches:
                         if persistent_it is None:
                             break
-                        persistent_it = it = iter(dataset)  # restart stream
+                        persistent_it = it = make_stream()  # restart stream
                         batches = self._collect_window(it, w_target)
                         if not batches:
                             break  # dataset is empty
-                    xs, ys = self._place_window(batches)
+                    placed = self._place_window(batches)
                     w = len(batches)
                     callback_list.on_train_batch_begin(step)
                     self.state, metric_states, step_logs = self.train_window(
-                        self.state, metric_states, xs, ys
+                        self.state, metric_states, placed
                     )
                     any_batch = True
                     # step_logs leaves are stacked [w] — every per-step value
@@ -803,19 +934,19 @@ class Trainer:
                     step += w
                     continue
                 try:
-                    x, y = next(it)
+                    x, y, sw = next(it)
                 except StopIteration:
                     if persistent_it is None:
                         break
                     persistent_it = it = _DevicePrefetcher(  # restart stream
-                        iter(dataset), self._place_batch)
+                        make_stream(), self._place_batch)
                     try:
-                        x, y = next(it)
+                        x, y, sw = next(it)
                     except StopIteration:
                         break  # dataset is empty
                 callback_list.on_train_batch_begin(step)
                 self.state, metric_states, step_logs = self.train_step(
-                    self.state, metric_states, x, y
+                    self.state, metric_states, x, y, sw
                 )
                 any_batch = True
                 # keep values on device — float()ing here would sync the
@@ -838,7 +969,8 @@ class Trainer:
             }
             if "loss" not in logs:
                 logs["loss"] = float("nan")
-            for name, m in self._streaming.items():
+            for name, m in {**self._streaming,
+                            **self._streaming_w}.items():
                 logs[name] = float(m.compute(metric_states[name]))
             lr = self._current_lr()
             if lr is not None:
@@ -903,18 +1035,19 @@ class Trainer:
         # islice consumes exactly `steps` batches — a bound check inside the
         # for-loop would pull (and discard) one extra element from shared or
         # expensive iterators
-        bounded_raw = itertools.islice(iter(dataset), steps)
+        bounded_raw = itertools.islice(
+            self._normalized_stream(iter(dataset)), steps)
         if self._spe > 1:
             step = 0
             while True:
                 batches = self._collect_window(bounded_raw, self._spe)
                 if not batches:
                     break
-                xs, ys = self._place_window(batches)
+                placed = self._place_window(batches)
                 callback_list.on_test_batch_begin(step)
                 metric_states, logs = self.eval_window(
                     self.state.params, self.state.extra_vars, metric_states,
-                    xs, ys,
+                    placed,
                 )
                 for k, v in logs.items():
                     totals.setdefault(k, []).append(v)  # stacked [w]
@@ -922,11 +1055,11 @@ class Trainer:
                 step += len(batches)
         else:
             bounded = _DevicePrefetcher(bounded_raw, self._place_batch)
-            for step, (x, y) in enumerate(bounded):
+            for step, (x, y, sw) in enumerate(bounded):
                 callback_list.on_test_batch_begin(step)
                 metric_states, logs = self.eval_step(
                     self.state.params, self.state.extra_vars, metric_states,
-                    x, y,
+                    x, y, sw,
                 )
                 # keep scalars on device during the loop; one sync at the end
                 for k, v in logs.items():
@@ -938,7 +1071,7 @@ class Trainer:
                 [jnp.atleast_1d(v) for v in vs])))
             for k, vs in totals.items()
         }
-        for name, m in self._streaming.items():
+        for name, m in {**self._streaming, **self._streaming_w}.items():
             result[name] = float(m.compute(metric_states[name]))
         if verbose:
             print(" - ".join(f"{k}: {v:.4f}" for k, v in result.items()))

@@ -1,0 +1,272 @@
+"""Keras ``Loss`` call-contract tests: ``sample_weight`` and ``reduction``.
+
+Every reference loss subclasses ``tf.keras.losses.Loss``
+(reference ``chambers/losses/metric_learning.py:9``); this suite pins the
+build's ``chambers_tpu.losses.Loss`` base against the installed tf.keras on
+fixtures (weighted CE and weighted dice per the round-4 verdict) plus
+hardcoded oracle values so the pins hold even without TF.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from chambers_tpu.losses import (
+    CategoricalCrossentropy,
+    ContrastiveLoss,
+    DistillationLoss,
+    Loss,
+    MultiSimilarityLoss,
+    NTXentLoss,
+    SoftDiceLoss,
+    reduce_weighted_loss,
+    soft_dice_coefficient,
+)
+
+try:
+    import tensorflow as tf
+except ImportError:  # value pins below still run from hardcoded oracles
+    tf = None
+
+
+class _MSE(Loss):
+    def call(self, y_true, y_pred):
+        return jnp.mean((jnp.asarray(y_true) - jnp.asarray(y_pred)) ** 2,
+                        axis=-1)
+
+
+_Y_T = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], np.float32)
+_Y_P = np.zeros((3, 2), np.float32)
+_PER = np.array([2.5, 12.5, 30.5], np.float32)  # per-sample MSE
+_W = np.array([0.5, 2.0, 0.0], np.float32)
+
+
+# --- reduction / weighting semantics (MSE fixture, tf.keras 3.13 oracle) ----
+
+def test_default_reduction_is_mean():
+    assert float(_MSE()(_Y_T, _Y_P)) == pytest.approx(_PER.mean(), rel=1e-6)
+
+
+def test_weighted_divides_by_batch_size_not_weight_sum():
+    # tf.keras 'sum_over_batch_size': sum(w*l)/n == 8.75 — NOT
+    # sum(w*l)/sum(w) == 10.5
+    got = float(_MSE()(_Y_T, _Y_P, sample_weight=_W))
+    assert got == pytest.approx(8.75, rel=1e-6)
+
+
+def test_reduction_sum():
+    got = float(_MSE(reduction="sum")(_Y_T, _Y_P, sample_weight=_W))
+    assert got == pytest.approx(26.25, rel=1e-6)
+
+
+def test_reduction_none_returns_weighted_per_sample():
+    got = np.asarray(_MSE(reduction="none")(_Y_T, _Y_P, sample_weight=_W))
+    np.testing.assert_allclose(got, [1.25, 25.0, 0.0], rtol=1e-6)
+
+
+def test_reduction_none_alias():
+    a = np.asarray(_MSE(reduction=None)(_Y_T, _Y_P))
+    np.testing.assert_allclose(a, _PER, rtol=1e-6)
+
+
+def test_scalar_weight_broadcasts():
+    got = float(_MSE()(_Y_T, _Y_P, sample_weight=2.0))
+    assert got == pytest.approx(2 * _PER.mean(), rel=1e-6)
+
+
+def test_column_weight_squeezed():
+    # [n, 1] weights behave as [n] (Keras squeeze-or-expand)
+    got = float(_MSE()(_Y_T, _Y_P, sample_weight=_W[:, None]))
+    assert got == pytest.approx(8.75, rel=1e-6)
+
+
+def test_invalid_reduction_raises():
+    with pytest.raises(ValueError, match="reduction"):
+        _MSE(reduction="mean")
+
+
+def test_matches_live_tf_keras():
+    if tf is None:
+        pytest.skip("tensorflow not installed")
+    for reduction in ("sum_over_batch_size", "sum", "none"):
+        ours = _MSE(reduction=reduction)(_Y_T, _Y_P, sample_weight=_W)
+        theirs = tf.keras.losses.MeanSquaredError(reduction=reduction)(
+            _Y_T, _Y_P, sample_weight=_W)
+        np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                                   rtol=1e-6)
+
+
+def test_expand_weight_to_finer_losses():
+    # losses [n, m] with weights [n]: expanded to [n, 1] and broadcast over
+    # the trailing axis. (Keras 3 itself requires the caller to pass [n, 1]
+    # for rank-2 losses; the outcome below matches tf.keras given [n, 1].)
+    class _PerElem(Loss):
+        def call(self, y_true, y_pred):
+            return (jnp.asarray(y_true) - jnp.asarray(y_pred)) ** 2
+
+    got = float(_PerElem()(_Y_T, _Y_P, sample_weight=_W))
+    want = (((_Y_T - _Y_P) ** 2) * _W[:, None]).sum() / _Y_T.size
+    assert got == pytest.approx(want, rel=1e-6)
+    if tf is not None:
+        theirs = tf.keras.losses.MeanSquaredError()(
+            _Y_T.reshape(3, 2, 1), _Y_P.reshape(3, 2, 1),
+            sample_weight=_W[:, None])
+        assert got == pytest.approx(float(theirs.numpy()), rel=1e-6)
+
+
+# --- weighted CE (verdict fixture #1) ---------------------------------------
+
+_CCE_Y = np.eye(3, dtype=np.float32)
+_CCE_P = np.array([[0.7, 0.2, 0.1], [0.1, 0.8, 0.1], [0.3, 0.3, 0.4]],
+                  np.float32)
+
+
+def test_weighted_cce_pinned():
+    got = float(CategoricalCrossentropy()(_CCE_Y, _CCE_P, sample_weight=_W))
+    # tf.keras 3.13 oracle: 0.20820820331573486
+    assert got == pytest.approx(0.2082082, rel=1e-5)
+    if tf is not None:
+        theirs = tf.keras.losses.CategoricalCrossentropy()(
+            _CCE_Y, _CCE_P, sample_weight=_W)
+        assert got == pytest.approx(float(theirs.numpy()), rel=1e-5)
+
+
+def test_cce_from_logits_weighted_vs_tf():
+    logits = np.array([[2.0, -1.0, 0.3], [0.1, 1.5, -0.2], [0.0, 0.0, 3.0]],
+                      np.float32)
+    got = float(CategoricalCrossentropy(from_logits=True)(
+        _CCE_Y, logits, sample_weight=_W))
+    log_p = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    per = -(_CCE_Y * log_p).sum(-1)
+    assert got == pytest.approx((per * _W).sum() / 3, rel=1e-5)
+    if tf is not None:
+        theirs = tf.keras.losses.CategoricalCrossentropy(from_logits=True)(
+            _CCE_Y, logits, sample_weight=_W)
+        assert got == pytest.approx(float(theirs.numpy()), rel=1e-5)
+
+
+def test_cce_label_smoothing_vs_tf():
+    if tf is None:
+        pytest.skip("tensorflow not installed")
+    ours = float(CategoricalCrossentropy(label_smoothing=0.1)(_CCE_Y, _CCE_P))
+    theirs = tf.keras.losses.CategoricalCrossentropy(label_smoothing=0.1)(
+        _CCE_Y, _CCE_P)
+    assert ours == pytest.approx(float(theirs.numpy()), rel=1e-5)
+
+
+# --- weighted dice (verdict fixture #2) --------------------------------------
+
+def test_soft_dice_class_equals_function():
+    r = np.random.RandomState(1)
+    y_t = (r.rand(4, 8, 8, 3) > 0.5).astype(np.float32)
+    y_p = r.rand(4, 8, 8, 3).astype(np.float32)
+    assert float(SoftDiceLoss()(y_t, y_p)) == pytest.approx(
+        float(soft_dice_coefficient(y_t, y_p)), rel=1e-6)
+
+
+def test_soft_dice_weighted_per_image():
+    r = np.random.RandomState(2)
+    y_t = (r.rand(3, 8, 8, 2) > 0.5).astype(np.float32)
+    y_p = r.rand(3, 8, 8, 2).astype(np.float32)
+    per = np.asarray(SoftDiceLoss(reduction="none")(y_t, y_p))
+    got = float(SoftDiceLoss()(y_t, y_p, sample_weight=_W))
+    assert got == pytest.approx((per * _W).sum() / 3, rel=1e-6)
+    # zero-weighted image contributes nothing
+    w0 = np.array([1.0, 1.0, 0.0], np.float32)
+    got0 = float(SoftDiceLoss(reduction="sum")(y_t, y_p, sample_weight=w0))
+    assert got0 == pytest.approx(per[0] + per[1], rel=1e-6)
+
+
+def test_soft_dice_exclude_classes_in_class_form():
+    r = np.random.RandomState(3)
+    y_t = (r.rand(2, 4, 4, 3) > 0.5).astype(np.float32)
+    y_p = r.rand(2, 4, 4, 3).astype(np.float32)
+    assert float(SoftDiceLoss(exclude_classes=[0])(y_t, y_p)) == pytest.approx(
+        float(soft_dice_coefficient(y_t, y_p, exclude_classes=[0])), rel=1e-6)
+
+
+# --- pair losses: per-row weighting ------------------------------------------
+
+def _pair_fixture():
+    r = np.random.RandomState(0)
+    emb = r.rand(8, 4).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = np.arange(8) % 4
+    return labels, emb
+
+
+def test_pair_loss_default_reduction_unchanged():
+    labels, emb = _pair_fixture()
+    loss = MultiSimilarityLoss()
+    per = np.asarray(loss.call(labels, emb))
+    assert float(loss(labels, emb)) == pytest.approx(per.mean(), rel=1e-6)
+
+
+def test_pair_loss_row_weighting():
+    labels, emb = _pair_fixture()
+    w = np.linspace(0.0, 2.0, 8).astype(np.float32)
+    loss = MultiSimilarityLoss()
+    per = np.asarray(loss.call(labels, emb))
+    got = float(loss(labels, emb, sample_weight=w))
+    assert got == pytest.approx((per * w).sum() / 8, rel=1e-5)
+
+
+def test_contrastive_reduction_sum_and_none():
+    labels, emb = _pair_fixture()
+    loss_sum = ContrastiveLoss(reduction="sum")
+    loss_none = ContrastiveLoss(reduction="none")
+    per = np.asarray(loss_none(labels, emb))
+    assert per.shape == (8,)
+    assert float(loss_sum(labels, emb)) == pytest.approx(per.sum(), rel=1e-6)
+
+
+def test_ntxent_per_row_and_weighting():
+    labels, emb = _pair_fixture()
+    loss = NTXentLoss(from_logits=True)
+    per = np.asarray(loss.call(labels, emb))
+    assert per.shape == (8,)
+    assert float(loss(labels, emb)) == pytest.approx(per.mean(), rel=1e-6)
+    w = np.arange(8, dtype=np.float32)
+    got = float(loss(labels, emb, sample_weight=w))
+    assert got == pytest.approx((per * w).sum() / 8, rel=1e-5)
+
+
+# --- distillation ------------------------------------------------------------
+
+def test_distillation_default_matches_paper_objective():
+    r = np.random.RandomState(4)
+    labels = np.arange(4) % 3
+    teacher = r.randn(4, 3).astype(np.float32)
+    cls_l = r.randn(4, 3).astype(np.float32)
+    dist_l = r.randn(4, 3).astype(np.float32)
+    import optax
+
+    ce_cls = np.asarray(optax.softmax_cross_entropy_with_integer_labels(
+        jnp.asarray(cls_l), jnp.asarray(labels)))
+    ce_dist = np.asarray(optax.softmax_cross_entropy_with_integer_labels(
+        jnp.asarray(dist_l), jnp.asarray(teacher.argmax(-1))))
+    want = 0.5 * ce_cls.mean() + 0.5 * ce_dist.mean()
+    got = float(DistillationLoss(kind="hard")((labels, teacher),
+                                              [cls_l, dist_l]))
+    assert got == pytest.approx(want, rel=1e-5)
+    # per-sample weighting drops sample 0
+    w = np.array([0.0, 1.0, 1.0, 1.0], np.float32)
+    per = 0.5 * ce_cls + 0.5 * ce_dist
+    got_w = float(DistillationLoss(kind="hard")((labels, teacher),
+                                                [cls_l, dist_l],
+                                                sample_weight=w))
+    assert got_w == pytest.approx((per * w).sum() / 4, rel=1e-5)
+
+
+def test_distillation_config_roundtrip_carries_reduction():
+    dl = DistillationLoss(kind="soft", alpha=0.3, tau=2.0, reduction="sum")
+    dl2 = DistillationLoss.from_config(dl.get_config())
+    assert dl2.kind == "soft" and dl2.alpha == 0.3 and dl2.tau == 2.0
+    assert dl2.reduction == "sum"
+
+
+# --- reduce_weighted_loss function form --------------------------------------
+
+def test_reduce_weighted_loss_int_losses_promoted():
+    got = reduce_weighted_loss(np.array([1, 2, 3]), np.array([1.0, 0.5, 0.0]))
+    assert float(got) == pytest.approx((1 + 1.0 + 0.0) / 3, rel=1e-6)

@@ -16,8 +16,18 @@ this measures what a user actually gets, transfer included (uint8 on the
 wire is the documented pipeline contract — ship bytes, normalize on
 device; BASELINE.md "host pipeline" section).
 
+RELAY CAVEAT (measured r5, BASELINE.md "relay ingest pathology"): on this
+relay-attached chip, executing any sizable program permanently degrades the
+process's host→device transfer rate from ~1.4 GB/s to ~45 MB/s (thread
+pools, numpy-arg shipping, donation, and idling do not recover it), so the
+``fit`` numbers here are INGEST-bound at ~855 ms per 38.5 MB batch — an
+environment floor, not framework overhead. The final JSON line measures the
+same ``Trainer.train_window`` on a device-resident window: that is the
+Trainer's own per-step cost (matches the 104 ms scan harness), and what a
+``fit`` user gets on co-located hardware where PCIe ingest is ~4 ms/batch.
+
 Usage: python tools/bench_trainer_fit.py [SPE ...]
-Prints one JSON line per configuration.
+Prints one JSON line per configuration plus the resident-window line.
 """
 
 import json
@@ -80,6 +90,34 @@ def host_batches():
     return data
 
 
+def bench_resident_window(trainer, data, spe):
+    """Per-step time of the compiled window on a device-resident window —
+    the Trainer's compute cost with the relay ingest floor excluded."""
+    import jax
+
+    window = [(x, y, None) for (x, y) in data[:spe]]
+    placed = trainer._place_window(window)
+    state = trainer.state
+    ms = trainer._init_metric_states()
+    state, ms, logs = trainer.train_window(state, ms, placed)  # warm
+    float(logs["loss"][-1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, ms, logs = trainer.train_window(state, ms, placed)
+        float(logs["loss"][-1])  # sync
+        times.append(time.perf_counter() - t0)
+    per_step_ms = float(np.median(times)) / spe * 1e3
+    print(json.dumps({
+        "metric": "Trainer.train_window per-step time, device-resident "
+                  f"window (config 4, batch {BATCH}, "
+                  f"steps_per_execution={spe})",
+        "value": round(per_step_ms, 1),
+        "unit": "ms/step",
+        "img_per_s": round(BATCH / (per_step_ms / 1e3), 1),
+    }), flush=True)
+
+
 def main():
     spes = [int(a) for a in sys.argv[1:]] or [8]
     data = host_batches()
@@ -107,6 +145,8 @@ def main():
             "total_s": round(total, 1),
             "final_loss": round(history[-1]["loss"], 4),
         }), flush=True)
+    # compute-side per-step (device-resident window) — see module docstring
+    bench_resident_window(build_trainer(8), data, spe=8)
 
 
 def _EpochTimer(sink):
