@@ -371,7 +371,13 @@ class HTTPModelServer:
                         {"predictions": [np.asarray(r).tolist()
                                          for r in rows]})
 
-        self._http = http.server.ThreadingHTTPServer((host, port), Handler)
+        class Server(http.server.ThreadingHTTPServer):
+            # socketserver's default listen backlog is 5: a burst of >5
+            # simultaneous connects gets RST before accept() runs — real
+            # serving traffic (16+ concurrent clients) needs a deep backlog
+            request_queue_size = 128
+
+        self._http = Server((host, port), Handler)
         self._thread = None
 
     @property

@@ -149,3 +149,109 @@ def test_ifast_dct_is_close_not_identical(jpeg_dir):
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 16
     with pytest.raises(ValueError, match="dct_method"):
         native.decode_jpeg_batch(paths, dct_method="fastest")
+
+
+# ---------------------------------------------------------------------------
+# Concurrency stress (round-5 verdict #5). The pool is the only
+# multi-threaded native code in the repo and this host is single-core, so
+# thread interleavings must be forced explicitly: many pool threads per
+# call, many Python caller threads per pool, repeated runs, and cache
+# invalidations racing the decodes. Every output must stay byte-identical
+# to PIL. Mirrors the threading contract of tf.data's decode
+# (reference chambers/data/dataset.py:255-260).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def uniform_corpus(tmp_path_factory):
+    """32 uniform-dim JPEGs + their PIL-decoded ground truth batch."""
+    tmp = tmp_path_factory.mktemp("stress_jpegs")
+    rng = np.random.RandomState(7)
+    paths = []
+    for i in range(32):
+        arr = rng.randint(0, 256, (48, 64, 3), np.uint8)
+        p = tmp / f"s{i:02d}.jpg"
+        Image.fromarray(arr).save(p, quality=85)
+        paths.append(str(p))
+    ref = np.stack([np.asarray(Image.open(p).convert("RGB"), np.uint8)
+                    for p in paths])
+    return paths, ref
+
+
+def test_stress_pool_threads_byte_identical(uniform_corpus):
+    """16 pool threads racing into ONE stacked [n,h,w,3] buffer, 20 runs:
+    every run byte-identical — adjacent rows written by different threads
+    must never bleed."""
+    paths, ref = uniform_corpus
+    for run in range(20):
+        out = native.decode_jpeg_batch(paths, num_threads=16, stack=True)
+        np.testing.assert_array_equal(out, ref, err_msg=f"run {run}")
+
+
+def test_stress_concurrent_python_callers(uniform_corpus):
+    """8 Python caller threads × 6 iterations, each driving its own
+    8-thread native pool over a shuffled view of the corpus (mixed
+    stack=True/False), while a 9th thread repeatedly clears the dims cache
+    mid-flight. All outputs byte-identical; no exception escapes."""
+    import threading
+
+    paths, ref = uniform_corpus
+    errors = []
+    stop = threading.Event()
+
+    def invalidator():
+        while not stop.is_set():
+            native.clear_dims_cache()
+
+    def caller(seed):
+        rng = np.random.RandomState(seed)
+        try:
+            for it in range(6):
+                idx = rng.permutation(len(paths))
+                sub = [paths[i] for i in idx]
+                if it % 2 == 0:
+                    out = native.decode_jpeg_batch(sub, num_threads=8,
+                                                   stack=True)
+                    np.testing.assert_array_equal(out, ref[idx])
+                else:
+                    outs = native.decode_jpeg_batch(sub, num_threads=8)
+                    for j, o in enumerate(outs):
+                        np.testing.assert_array_equal(o, ref[idx[j]])
+        except Exception as exc:  # noqa: BLE001 — collected for the assert
+            errors.append((seed, repr(exc)))
+
+    inv = threading.Thread(target=invalidator, daemon=True)
+    inv.start()
+    threads = [threading.Thread(target=caller, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    stop.set()
+    inv.join(timeout=10)
+    assert not any(t.is_alive() for t in threads), "caller thread hung"
+    assert errors == []
+
+
+def test_stress_rewrite_dims_between_rounds(uniform_corpus, tmp_path):
+    """Files rewritten with DIFFERENT dims between threaded rounds: the
+    stat-validated dims cache must never hand a stale geometry to the pool
+    (and the -3 stale-retry path must stay correct under 16 threads)."""
+    rng = np.random.RandomState(11)
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"m{i}.jpg"
+        Image.fromarray(rng.randint(0, 256, (40, 56, 3), np.uint8)).save(
+            p, quality=85)
+        paths.append(str(p))
+    for round_ in range(4):
+        out = native.decode_jpeg_batch(paths, num_threads=16, stack=True)
+        for i, p in enumerate(paths):
+            np.testing.assert_array_equal(
+                out[i], np.asarray(Image.open(p).convert("RGB"), np.uint8),
+                err_msg=f"round {round_} file {i}")
+        # rewrite every file with new contents and a new geometry
+        h, w = 40 + 8 * (round_ + 1), 56 + 8 * (round_ + 1)
+        for p in paths:
+            Image.fromarray(
+                rng.randint(0, 256, (h, w, 3), np.uint8)).save(p, quality=85)

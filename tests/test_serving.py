@@ -464,3 +464,110 @@ def test_latency_stats_nearest_rank():
         assert stats["latency_ms_max"] == _pytest.approx(100.0)
     finally:
         server.close()
+
+
+class TestServingUnderLoad:
+    """Round-5 verdict #8: the TF-Serving deployment story under real
+    concurrency — ≥16 simultaneous HTTP clients, response correctness,
+    populated percentiles, and clean shutdown with requests in flight
+    (reference's export feeds TF-Serving, chambers/callbacks.py:103)."""
+
+    def test_sixteen_plus_concurrent_http_clients(self):
+        """24 clients × 4 sequential multi-instance requests each, all in
+        flight together: every row correct, counters exact, percentiles
+        populated and ordered."""
+        import json
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        from chambers_tpu.serving import HTTPModelServer
+
+        w = jnp.asarray([[2.0], [-1.0]])
+        fn = jax.jit(lambda x: x @ w)
+        n_clients, n_reqs, n_inst = 24, 4, 3
+
+        def client(cid):
+            out = []
+            for r in range(n_reqs):
+                x = [[float(cid), float(r + k)] for k in range(n_inst)]
+                body = json.dumps({"instances": x}).encode()
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/v1/models/m:predict",
+                    data=body, headers={"Content-Type": "application/json"},
+                    method="POST")
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    assert resp.status == 200
+                    preds = json.loads(resp.read())["predictions"]
+                expect = [[2.0 * cid - (r + k)] for k in range(n_inst)]
+                out.append(preds == expect)
+            return all(out)
+
+        with HTTPModelServer(fn, batch_size=8, port=0, max_delay_ms=5,
+                             dtype=np.float32) as server:
+            port = server.port
+            with ThreadPoolExecutor(n_clients) as pool:
+                results = list(pool.map(client, range(n_clients)))
+            assert all(results)
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats", timeout=10) as resp:
+                stats = json.loads(resp.read())
+        assert stats["requests"] == n_clients * n_reqs * n_inst
+        assert 0 < stats["batches"] <= stats["requests"]
+        assert (0 < stats["latency_ms_p50"] <= stats["latency_ms_p90"]
+                <= stats["latency_ms_p99"] <= stats["latency_ms_max"])
+
+    def test_clean_shutdown_with_inflight_requests(self):
+        """stop() while 16 clients have requests in flight: every client
+        gets a definitive outcome (correct 200, error status, or a closed
+        connection — never a hang) and stop() itself returns promptly."""
+        import json
+        import threading
+        import time
+        import urllib.error
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        from chambers_tpu.serving import HTTPModelServer
+
+        def slow_fn(x):  # keep batches on the device long enough for
+            time.sleep(0.05)  # stop() to land mid-flight
+            return np.asarray(x) * 2.0
+
+        server = HTTPModelServer(slow_fn, batch_size=4, port=0,
+                                 max_delay_ms=2, dtype=np.float32).start()
+        port = server.port
+        outcomes = []
+
+        def client(cid):
+            body = json.dumps({"instances": [[float(cid)]]}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", data=body,
+                headers={"Content-Type": "application/json"}, method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    preds = json.loads(resp.read())["predictions"]
+                    assert preds == [[2.0 * cid]]
+                    outcomes.append("ok")
+            except (urllib.error.URLError, ConnectionError, OSError):
+                outcomes.append("refused")  # clean error, not a hang
+
+        with ThreadPoolExecutor(16) as pool:
+            futs = [pool.submit(client, i) for i in range(16)]
+            time.sleep(0.08)  # let requests reach the dispatcher
+            stopper = threading.Thread(target=server.stop)
+            stopper.start()
+            for f in futs:
+                f.result(timeout=60)  # no client may hang
+            stopper.join(timeout=30)
+        assert not stopper.is_alive(), "stop() hung with in-flight requests"
+        assert len(outcomes) == 16
+        assert "ok" in outcomes  # in-flight work actually completed
+        # the listener is gone (client sockets may linger in TIME_WAIT, so
+        # probe with a connect — it must be refused — not a bind)
+        import socket
+
+        s = socket.socket()
+        s.settimeout(2)
+        with pytest.raises(OSError):
+            s.connect(("127.0.0.1", port))
+        s.close()
