@@ -59,12 +59,43 @@ def _match_spec(path: str, leaf, rules) -> P:
     return P()
 
 
+def _validated(path: str, leaf, spec: P, mesh: Mesh) -> NamedSharding:
+    """Reject non-divisible shardings with a named, actionable error.
+
+    ``jax.device_put`` refuses uneven shards anyway, but its message names
+    neither the parameter nor the fix; a 3-head attention on a 2-way
+    ``model`` axis should fail saying exactly that (round-5 verdict #6)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    for dim, entry in enumerate(spec):
+        if entry is None:
+            continue
+        axes = (entry,) if isinstance(entry, str) else tuple(entry)
+        n = 1
+        for a in axes:
+            n *= sizes[a]
+        if leaf.shape[dim] % n:
+            raise ValueError(
+                f"param {path!r} has shape {tuple(leaf.shape)} but its "
+                f"sharding rule puts axis {dim} (size {leaf.shape[dim]}) "
+                f"over mesh axis {entry!r} (size {n}), which does not "
+                f"divide evenly. Pick a dimension divisible by the mesh "
+                f"axis (e.g. a head count that is a multiple of the "
+                f"'model' axis), shrink the mesh axis, or drop the rule "
+                f"so the param replicates."
+            )
+    return NamedSharding(mesh, spec)
+
+
 def _sharding_tree(tree, mesh: Mesh, rules, spec_fn):
     """Map ``spec_fn(path, leaf) -> PartitionSpec`` over a pytree, pairing
     each leaf with its ``/``-joined param path."""
     paths = iter(_param_paths(tree))
-    return jax.tree.map(
-        lambda leaf: NamedSharding(mesh, spec_fn(next(paths), leaf)), tree)
+
+    def one(leaf):
+        path = next(paths)
+        return _validated(path, leaf, spec_fn(path, leaf), mesh)
+
+    return jax.tree.map(one, tree)
 
 
 def make_param_shardings(params, mesh: Mesh,

@@ -79,6 +79,19 @@ def test_tp_rules_shard_attention_heads():
     assert shapes == {(16, 2, 4)}  # heads split 4 -> 2 per model shard
 
 
+def test_nondivisible_sharding_rejected_with_named_error():
+    """A matched rule whose dimension does not divide the mesh axis must
+    raise naming the param, the axis, and the fix — device_put's generic
+    uneven-shard error names none of them (round-5 verdict #6)."""
+    mesh = create_mesh({"data": 4, "model": 2})
+    params = {"multi_head_attention": {"w_query": jnp.zeros((16, 3, 4))}}
+    with pytest.raises(ValueError, match=r"w_query.*axis 1.*'model'"):
+        make_param_shardings(params, mesh, VIT_TENSOR_PARALLEL_RULES)
+    # same rules on a divisible head count: fine
+    ok = {"multi_head_attention": {"w_query": jnp.zeros((16, 4, 4))}}
+    make_param_shardings(ok, mesh, VIT_TENSOR_PARALLEL_RULES)
+
+
 def test_data_parallel_train_step_math():
     """DP gradient step over the mesh equals the single-device step."""
     mesh = create_mesh({"data": 8})
