@@ -9,7 +9,9 @@ from chambers_tpu.losses.metric_learning import (
 )
 from chambers_tpu.losses.categorical import (
     CategoricalCrossentropy,
+    MeanSquaredError,
     SoftDiceLoss,
+    SparseCategoricalCrossentropy,
     soft_dice_coefficient,
 )
 from chambers_tpu.losses.distillation import DistillationLoss

@@ -100,3 +100,48 @@ class CategoricalCrossentropy(Loss):
         return categorical_crossentropy_per_row(
             y_true, y_pred, from_logits=self.from_logits
         )
+
+
+class SparseCategoricalCrossentropy(Loss):
+    """``tf.keras.losses.SparseCategoricalCrossentropy``: integer labels
+    ``[b]`` (or ``[b, 1]``) against ``[b, n_classes]`` predictions — the
+    label format every classification example in the Keras ecosystem the
+    reference trained under uses when labels aren't one-hot."""
+
+    def __init__(self, from_logits=False,
+                 name="sparse_categorical_crossentropy",
+                 reduction="sum_over_batch_size"):
+        super().__init__(reduction=reduction, name=name)
+        self.from_logits = from_logits
+
+    def call(self, y_true, y_pred):
+        y_true = jnp.asarray(y_true)
+        y_pred = jnp.asarray(y_pred)
+        if y_true.ndim == y_pred.ndim and y_true.shape[-1] == 1:
+            y_true = jnp.squeeze(y_true, axis=-1)  # Keras squeeze-or-expand
+        n_classes = y_pred.shape[-1]
+        one_hot = jnp.equal(
+            y_true.astype(jnp.int32)[..., None],
+            jnp.arange(n_classes, dtype=jnp.int32),
+        ).astype(jnp.float32)
+        from chambers_tpu.losses.metric_learning import (
+            categorical_crossentropy_per_row,
+        )
+
+        return categorical_crossentropy_per_row(
+            one_hot, y_pred, from_logits=self.from_logits
+        )
+
+
+class MeanSquaredError(Loss):
+    """``tf.keras.losses.MeanSquaredError``: mean over the last axis per
+    sample; reduction/sample_weight per the Keras ``Loss`` contract."""
+
+    def __init__(self, name="mean_squared_error",
+                 reduction="sum_over_batch_size"):
+        super().__init__(reduction=reduction, name=name)
+
+    def call(self, y_true, y_pred):
+        y_true = jnp.asarray(y_true, jnp.float32)
+        y_pred = jnp.asarray(y_pred, jnp.float32)
+        return jnp.mean(jnp.square(y_true - y_pred), axis=-1)

@@ -140,6 +140,117 @@ class Model:
         (print_fn or print)(out)
         return out
 
+    # -- Keras training facade ----------------------------------------------
+    def compile(self, optimizer, loss, metrics=None, weighted_metrics=None,
+                **trainer_kwargs) -> "Model":
+        """``tf.keras.Model.compile``: wire a :class:`~chambers_tpu.training.Trainer`
+        behind the Keras front door, so a reference user's training script
+        (``model.compile(...)``; ``model.fit(...)``; ``model.evaluate(...)``)
+        runs unchanged against a built backbone.
+
+        ``optimizer``/``loss`` take objects (any optax transform /
+        ``losses.Loss`` or callable) or the common Keras strings
+        (``"adam"``, ``"adamw"``, ``"sgd"``, ``"sgdw"``;
+        ``"categorical_crossentropy"``, ``"sparse_categorical_crossentropy"``,
+        ``"mse"``). ``metrics``/``weighted_metrics`` take the Keras list
+        form (named ``StreamingMetric`` instances or callables) or the
+        Trainer's ``{name: metric}`` dict form. Every other keyword —
+        ``steps_per_execution``, ``mesh``, ``ema_decay``, ``trainable``,
+        ``gradient_accumulation_steps``, ... — passes through to the
+        Trainer. Returns ``self`` (call chaining)."""
+        from chambers_tpu.training import Trainer
+
+        def resolve_optimizer(opt):
+            if not isinstance(opt, str):
+                return opt
+            import optax
+
+            from chambers_tpu.optimizers import AdamW, SGDW
+
+            table = {
+                "adam": lambda: optax.adam(1e-3),
+                "adamw": lambda: AdamW(weight_decay=1e-4,
+                                       learning_rate=1e-3),
+                "sgd": lambda: optax.sgd(1e-2),
+                "sgdw": lambda: SGDW(weight_decay=1e-4, learning_rate=1e-2),
+                "rmsprop": lambda: optax.rmsprop(1e-3),
+            }
+            if opt.lower() not in table:
+                raise ValueError(
+                    f"unknown optimizer string {opt!r}: use one of "
+                    f"{sorted(table)} or pass an optax transform")
+            return table[opt.lower()]()
+
+        def resolve_loss(fn):
+            if not isinstance(fn, str):
+                return fn
+            from chambers_tpu import losses
+
+            table = {
+                "categorical_crossentropy":
+                    losses.CategoricalCrossentropy,
+                "sparse_categorical_crossentropy":
+                    losses.SparseCategoricalCrossentropy,
+                "mse": losses.MeanSquaredError,
+                "mean_squared_error": losses.MeanSquaredError,
+            }
+            if fn.lower() not in table:
+                raise ValueError(
+                    f"unknown loss string {fn!r}: use one of "
+                    f"{sorted(table)} or pass a losses.Loss/callable")
+            return table[fn.lower()]()
+
+        def as_dict(ms, kind):
+            if ms is None or isinstance(ms, dict):
+                return ms
+            out = {}
+            for m in ms:
+                name = (getattr(m, "name", None)
+                        or getattr(m, "__name__", None))
+                if not name:
+                    raise ValueError(
+                        f"{kind} entry {m!r} has no name — use the "
+                        "{name: metric} dict form")
+                if name in out:
+                    raise ValueError(f"duplicate {kind} name {name!r}")
+                out[name] = m
+            return out
+
+        self._trainer = Trainer(
+            self, loss=resolve_loss(loss),
+            optimizer=resolve_optimizer(optimizer),
+            metrics=as_dict(metrics, "metrics"),
+            weighted_metrics=as_dict(weighted_metrics, "weighted_metrics"),
+            **trainer_kwargs,
+        )
+        return self
+
+    @property
+    def trainer(self):
+        """The :meth:`compile`-built Trainer (raises before compile)."""
+        t = getattr(self, "_trainer", None)
+        if t is None:
+            raise ValueError("model is not compiled — call "
+                             "model.compile(optimizer, loss, ...) first")
+        return t
+
+    def fit(self, dataset, **kwargs):
+        """``tf.keras.Model.fit`` over ``(x, y[, sample_weight])`` batch
+        iterables — delegates to :meth:`Trainer.fit` (same signature:
+        ``epochs``, ``steps_per_epoch``, ``validation_data``, ``callbacks``,
+        ``class_weight``, ...) and copies the trained variables back into
+        this model (Keras semantics: the model owns its weights)."""
+        try:
+            return self.trainer.fit(dataset, **kwargs)
+        finally:
+            self.trainer.sync_model()
+            self._jit_apply = None
+
+    def evaluate(self, dataset, **kwargs):
+        """``tf.keras.Model.evaluate`` — delegates to
+        :meth:`Trainer.evaluate`, returning its logs dict."""
+        return self.trainer.evaluate(dataset, **kwargs)
+
     # -- persistence --------------------------------------------------------
     def save_weights(self, path: str):
         with open(path, "wb") as f:

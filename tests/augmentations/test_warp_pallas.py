@@ -88,7 +88,9 @@ def test_fused_round_kernel_matches_masked_composition():
     """The per-image-dispatch round kernel (each image computes only its
     sampled op) must be bit-identical to the masked compute-all composition,
     including the PRNG stream (CutOut centers derive from the same key
-    split). Several seeds so every op class gets drawn."""
+    split). Seeds 0+1 deterministically draw all 16 op classes at batch 16
+    (verified by replaying the key splits), so two seeds give full op
+    coverage at half the interpret-mode cost of the original four."""
     import jax
 
     from chambers_tpu.augmentations.augmentation_schemes import RandAugment
@@ -100,7 +102,7 @@ def test_fused_round_kernel_matches_masked_composition():
     # rounds to exactly −129.0 as a separate multiply but not as an FMA —
     # the case the contraction pin in blend/the kernel exists for
     for magnitude in (10, 9):
-        for seed in range(4):
+        for seed in range(2):
             key = jax.random.PRNGKey(seed)
             aug = RandAugment(n_transforms=2, magnitude=magnitude,
                               elementwise=True)
@@ -137,7 +139,10 @@ def test_autoaugment_fused_stage_matches_masked_composition():
     """AutoAugment's per-image stage through the dispatch kernel (warp /
     per-image-factor Color / passthrough, chance gate folded into the
     class) must be bit-identical to the masked compute-all composition.
-    Several seeds so policies covering every op family get drawn."""
+    Seeds {0, 5, 6} deterministically draw every one of the V0 table's 33
+    op specs at batch 16 (verified by replaying the policy/stage key
+    splits), so three seeds give full coverage at half the interpret-mode
+    cost of the original six."""
     import jax
 
     from chambers_tpu.augmentations.augmentation_schemes import AutoAugment
@@ -145,7 +150,7 @@ def test_autoaugment_fused_stage_matches_masked_composition():
     rng = np.random.RandomState(2)
     imgs = jnp.asarray(rng.randint(0, 256, (16, 64, 64, 3), dtype=np.uint8))
 
-    for seed in range(6):
+    for seed in (0, 5, 6):
         key = jax.random.PRNGKey(seed)
         aug = AutoAugment(elementwise=True)
         aug.fused_round_kernel = False

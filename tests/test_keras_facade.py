@@ -1,0 +1,175 @@
+"""The Keras front door: ``model.compile`` / ``model.fit`` / ``model.evaluate``.
+
+The reference's training scripts are Keras scripts — ``model.compile(...)``
+then ``model.fit(...)`` (reference test_units/manual_test_vit_weights.py
+trains exactly this way). These tests pin the facade: string
+optimizer/loss resolution, Keras list-form metrics, weight sync-back after
+fit, Trainer kwargs pass-through, and the two Keras-staple losses added
+with it (SparseCategoricalCrossentropy, MeanSquaredError).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from flax import linen as nn
+
+from chambers_tpu.losses import (
+    CategoricalCrossentropy,
+    MeanSquaredError,
+    SparseCategoricalCrossentropy,
+)
+from chambers_tpu.metrics import SparseCategoricalAccuracy
+from chambers_tpu.models import Model
+
+
+class _Net(nn.Module):
+    classes: int = 4
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = nn.Dense(32)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.classes)(x)
+
+
+def _model(classes=4, seed=0):
+    module = _Net(classes=classes)
+    variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 8)))
+    return Model(module, variables)
+
+
+def _data(n=64, classes=4, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, 8).astype(np.float32)
+    y = rng.randint(0, classes, size=(n,)).astype(np.int32)
+    return [(x[i:i + 16], y[i:i + 16]) for i in range(0, n, 16)]
+
+
+class TestSparseCEAndMSE:
+    def test_sparse_ce_equals_dense_ce_on_one_hot(self):
+        rng = np.random.RandomState(0)
+        logits = jnp.asarray(rng.randn(8, 5).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 5, size=(8,)))
+        sparse = SparseCategoricalCrossentropy(from_logits=True)
+        dense = CategoricalCrossentropy(from_logits=True)
+        one_hot = jnp.eye(5)[labels]
+        np.testing.assert_allclose(
+            np.asarray(sparse(labels, logits)),
+            np.asarray(dense(one_hot, logits)), rtol=1e-6)
+        # [b, 1] labels squeeze (Keras squeeze-or-expand)
+        np.testing.assert_allclose(
+            np.asarray(sparse(labels[:, None], logits)),
+            np.asarray(sparse(labels, logits)), rtol=1e-6)
+
+    def test_sparse_ce_value_pinned_vs_optax(self):
+        rng = np.random.RandomState(1)
+        logits = jnp.asarray(rng.randn(16, 7).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 7, size=(16,)))
+        got = SparseCategoricalCrossentropy(from_logits=True)(labels, logits)
+        want = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
+
+    def test_sparse_ce_probabilities_mode(self):
+        probs = jnp.asarray([[0.8, 0.1, 0.1], [0.2, 0.5, 0.3]], jnp.float32)
+        labels = jnp.asarray([0, 1])
+        got = SparseCategoricalCrossentropy()(labels, probs)
+        want = -(np.log(0.8) + np.log(0.5)) / 2
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+    def test_mse_keras_semantics(self):
+        """Per-sample mean over the LAST axis, then batch mean (Keras MSE),
+        with sample_weight and reduction from the Loss contract."""
+        yt = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+        yp = jnp.asarray([[1.0, 0.0], [0.0, 4.0]])
+        per_sample = np.asarray([2.0, 4.5])
+        mse = MeanSquaredError()
+        np.testing.assert_allclose(np.asarray(mse(yt, yp)),
+                                   per_sample.mean(), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(MeanSquaredError(reduction="none")(yt, yp)),
+            per_sample, rtol=1e-6)
+        w = jnp.asarray([2.0, 0.0])
+        np.testing.assert_allclose(
+            np.asarray(mse(yt, yp, sample_weight=w)),
+            (per_sample * [2.0, 0.0]).sum() / 2, rtol=1e-6)
+
+
+class TestCompileFitEvaluate:
+    def test_compile_fit_trains_and_syncs_weights(self):
+        model = _model()
+        before = jax.tree.map(np.asarray, model.variables)
+        model.compile("adam", SparseCategoricalCrossentropy(from_logits=True),
+                      metrics=[SparseCategoricalAccuracy()])
+        hist = model.fit(_data(), epochs=3, verbose=False)
+        losses = [h["loss"] for h in hist]
+        assert losses[-1] < losses[0]
+        assert "sparse_categorical_accuracy" in hist[0]
+        # Keras semantics: the model owns the trained weights
+        after = model.variables
+        moved = jax.tree.map(
+            lambda a, b: float(np.abs(a - np.asarray(b)).max()),
+            before, after)
+        assert max(jax.tree.leaves(moved)) > 0
+        # and eager inference uses them (predict == direct apply)
+        x = _data()[0][0]
+        np.testing.assert_allclose(
+            model.predict(x, batch_size=16), np.asarray(model(x)), atol=1e-6)
+
+    def test_evaluate_returns_logs(self):
+        model = _model()
+        model.compile(optax.adam(1e-3),
+                      SparseCategoricalCrossentropy(from_logits=True),
+                      metrics={"acc": SparseCategoricalAccuracy()})
+        logs = model.evaluate(_data(), verbose=False)
+        assert "loss" in logs and "acc" in logs
+        assert np.isfinite(logs["loss"])
+
+    def test_trainer_kwargs_pass_through(self):
+        """steps_per_execution reaches the Trainer and N=2 matches N=1."""
+        loss = SparseCategoricalCrossentropy(from_logits=True)
+        h1 = _model(seed=3).compile(
+            optax.sgd(1e-2), loss,
+        ).fit(_data(seed=5), epochs=1, verbose=False)
+        h2 = _model(seed=3).compile(
+            optax.sgd(1e-2), loss, steps_per_execution=2,
+        ).fit(_data(seed=5), epochs=1, verbose=False)
+        np.testing.assert_allclose(h1[0]["loss"], h2[0]["loss"], rtol=1e-6)
+
+    def test_mse_string_and_regression(self):
+        rng = np.random.RandomState(2)
+        x = rng.randn(64, 8).astype(np.float32)
+        w_true = rng.randn(8, 1).astype(np.float32)
+        y = x @ w_true
+        model = Model(
+            _Net(classes=1),
+            _Net(classes=1).init(jax.random.PRNGKey(0), jnp.zeros((1, 8))))
+        model.compile("adam", "mse")
+        data = [(x[i:i + 16], y[i:i + 16]) for i in range(0, 64, 16)]
+        hist = model.fit(data, epochs=5, verbose=False)
+        assert hist[-1]["loss"] < hist[0]["loss"]
+
+    def test_errors(self):
+        model = _model()
+        with pytest.raises(ValueError, match="not compiled"):
+            model.fit(_data())
+        with pytest.raises(ValueError, match="unknown optimizer"):
+            model.compile("adamax", "mse")
+        with pytest.raises(ValueError, match="unknown loss"):
+            model.compile("adam", "hinge")
+        with pytest.raises(ValueError, match="duplicate"):
+            model.compile("adam", "mse",
+                          metrics=[lambda yt, yp: jnp.mean(yp),
+                                   lambda yt, yp: jnp.mean(yt)])
+        # string loss resolves to the Keras default (from_logits=False),
+        # exactly as tf.keras's string resolution does
+        model.compile("adam", "sparse_categorical_crossentropy")
+        assert model.trainer.loss.from_logits is False
+        # named callables in list form are fine
+        def top_logit(yt, yp):
+            return jnp.mean(jnp.max(yp, axis=-1))
+        model.compile("adam", "mse", metrics=[top_logit])
+        assert "top_logit" in model.trainer.metrics
