@@ -8,6 +8,7 @@ from chambers_tpu.losses.metric_learning import (
     PairMatrixLoss,
 )
 from chambers_tpu.losses.categorical import (
+    BinaryCrossentropy,
     CategoricalCrossentropy,
     MeanSquaredError,
     SoftDiceLoss,

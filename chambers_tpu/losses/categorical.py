@@ -145,3 +145,37 @@ class MeanSquaredError(Loss):
         y_true = jnp.asarray(y_true, jnp.float32)
         y_pred = jnp.asarray(y_pred, jnp.float32)
         return jnp.mean(jnp.square(y_true - y_pred), axis=-1)
+
+
+class BinaryCrossentropy(Loss):
+    """``tf.keras.losses.BinaryCrossentropy``: elementwise BCE averaged
+    over the last axis per sample.
+
+    ``from_logits=True`` uses the numerically stable
+    ``max(z,0) − z·y + log(1+exp(−|z|))`` form (tf.nn.sigmoid_cross_
+    entropy_with_logits); probabilities are clipped to ``[eps, 1−eps]``
+    (Keras backend semantics). ``label_smoothing`` maps targets to
+    ``y·(1−s) + 0.5·s``. Value-pinned vs tf.keras in
+    ``tests/losses/test_loss_contract.py``."""
+
+    def __init__(self, from_logits=False, label_smoothing=0.0,
+                 name="binary_crossentropy",
+                 reduction="sum_over_batch_size"):
+        super().__init__(reduction=reduction, name=name)
+        self.from_logits = from_logits
+        self.label_smoothing = float(label_smoothing)
+
+    def call(self, y_true, y_pred):
+        y_true = jnp.asarray(y_true, jnp.float32)
+        y_pred = jnp.asarray(y_pred, jnp.float32)
+        if self.label_smoothing:
+            y_true = y_true * (1.0 - self.label_smoothing) \
+                + 0.5 * self.label_smoothing
+        if self.from_logits:
+            z = y_pred
+            bce = (jnp.maximum(z, 0.0) - z * y_true
+                   + jnp.log1p(jnp.exp(-jnp.abs(z))))
+        else:
+            p = jnp.clip(y_pred, _EPSILON, 1.0 - _EPSILON)
+            bce = -(y_true * jnp.log(p) + (1.0 - y_true) * jnp.log1p(-p))
+        return jnp.mean(bce, axis=-1)

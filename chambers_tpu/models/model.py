@@ -19,6 +19,43 @@ import numpy as np
 from flax import serialization
 
 
+class _ArrayBatcher:
+    """Re-iterable batch stream over in-memory arrays (Keras array-form
+    ``fit(x, y, batch_size=...)``).
+
+    Each ``__iter__`` yields ``(x, y[, sample_weight])`` batch tuples; with
+    ``shuffle=True`` every fresh iteration draws a new permutation (Keras
+    reshuffles between epochs), seeded so runs are reproducible. The tail
+    batch is partial, as in Keras.
+    """
+
+    def __init__(self, arrays, batch_size: int, shuffle: bool = False,
+                 seed: int = 0):
+        self.arrays = [np.asarray(a) for a in arrays]
+        sizes = {a.shape[0] for a in self.arrays}
+        if len(sizes) != 1:
+            raise ValueError(
+                f"x/y/sample_weight cardinalities differ: {sorted(sizes)}")
+        self.n = sizes.pop()
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = int(seed)
+        self._epoch = 0
+
+    def __iter__(self):
+        idx = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            self._epoch += 1
+            rng.shuffle(idx)
+        for i in range(0, self.n, self.batch_size):
+            sel = idx[i: i + self.batch_size]
+            yield tuple(a[sel] for a in self.arrays)
+
+    def __len__(self):
+        return math.ceil(self.n / self.batch_size)
+
+
 class Model:
     """Bundles ``(module, variables)`` with convenience inference methods."""
 
@@ -191,6 +228,8 @@ class Model:
                     losses.CategoricalCrossentropy,
                 "sparse_categorical_crossentropy":
                     losses.SparseCategoricalCrossentropy,
+                "binary_crossentropy": losses.BinaryCrossentropy,
+                "bce": losses.BinaryCrossentropy,
                 "mse": losses.MeanSquaredError,
                 "mean_squared_error": losses.MeanSquaredError,
             }
@@ -200,11 +239,59 @@ class Model:
                     f"{sorted(table)} or pass a losses.Loss/callable")
             return table[fn.lower()]()
 
+        loss_obj = resolve_loss(loss)
+
+        def resolve_metric(m):
+            """Keras string-metric resolution (``metrics=["accuracy"]``).
+
+            ``"accuracy"``/``"acc"`` infer the flavor from the compiled
+            loss exactly as ``tf.keras.Model.compile`` does (sparse CE →
+            sparse accuracy, CE → categorical, BCE → binary) and report
+            under the user's string (Keras logs say ``accuracy``, not the
+            resolved class name)."""
+            if not isinstance(m, str):
+                return m
+            from chambers_tpu import losses, metrics as M
+
+            key = m.lower()
+            if key in ("accuracy", "acc"):
+                if isinstance(loss_obj, losses.SparseCategoricalCrossentropy):
+                    return M.SparseCategoricalAccuracy(name=m)
+                if isinstance(loss_obj, losses.BinaryCrossentropy):
+                    return M.BinaryAccuracy(name=m)
+                if isinstance(loss_obj, losses.CategoricalCrossentropy):
+                    return M.CategoricalAccuracy(name=m)
+                raise ValueError(
+                    f"cannot infer {m!r} flavor from loss "
+                    f"{type(loss_obj).__name__} — use an explicit string "
+                    "('sparse_categorical_accuracy', 'categorical_accuracy',"
+                    " 'binary_accuracy') or a metric instance")
+            table = {
+                "categorical_accuracy": M.CategoricalAccuracy,
+                "sparse_categorical_accuracy": M.SparseCategoricalAccuracy,
+                "binary_accuracy": M.BinaryAccuracy,
+                "top_k_categorical_accuracy": M.TopKCategoricalAccuracy,
+                "sparse_top_k_categorical_accuracy":
+                    M.SparseTopKCategoricalAccuracy,
+                "auc": M.AUC,
+                "precision": M.Precision,
+                "recall": M.Recall,
+                "f1": M.F1,
+                "dsc": M.SoftDiceCoefficient,
+            }
+            if key not in table:
+                raise ValueError(
+                    f"unknown metric string {m!r}: use one of "
+                    f"{sorted(table) + ['accuracy']} or pass a metric "
+                    "instance")
+            return table[key]()
+
         def as_dict(ms, kind):
             if ms is None or isinstance(ms, dict):
                 return ms
             out = {}
             for m in ms:
+                m = resolve_metric(m)
                 name = (getattr(m, "name", None)
                         or getattr(m, "__name__", None))
                 if not name:
@@ -217,7 +304,7 @@ class Model:
             return out
 
         self._trainer = Trainer(
-            self, loss=resolve_loss(loss),
+            self, loss=loss_obj,
             optimizer=resolve_optimizer(optimizer),
             metrics=as_dict(metrics, "metrics"),
             weighted_metrics=as_dict(weighted_metrics, "weighted_metrics"),
@@ -234,21 +321,70 @@ class Model:
                              "model.compile(optimizer, loss, ...) first")
         return t
 
-    def fit(self, dataset, **kwargs):
-        """``tf.keras.Model.fit`` over ``(x, y[, sample_weight])`` batch
-        iterables — delegates to :meth:`Trainer.fit` (same signature:
-        ``epochs``, ``steps_per_epoch``, ``validation_data``, ``callbacks``,
+    def fit(self, x, y=None, batch_size: int = 32, shuffle: bool = True,
+            validation_split: float = 0.0, sample_weight=None, seed: int = 0,
+            **kwargs):
+        """``tf.keras.Model.fit`` — both Keras input forms.
+
+        Batch-iterable form (``y=None``): ``x`` is an iterable of
+        ``(x, y[, sample_weight])`` NumPy batch tuples, passed through to
+        :meth:`Trainer.fit` untouched (``batch_size``/``shuffle``/
+        ``validation_split`` don't apply and are ignored).
+
+        Array form (``y`` given, or ``x`` a single array): whole-dataset
+        NumPy/JAX arrays are batched to ``batch_size`` with per-epoch
+        reshuffling (``shuffle=True``, seeded) and an optional
+        ``validation_split`` taken from the TAIL of the data before
+        shuffling — all Keras semantics.
+
+        Either way delegates to :meth:`Trainer.fit` (``epochs``,
+        ``steps_per_epoch``, ``validation_data``, ``callbacks``,
         ``class_weight``, ...) and copies the trained variables back into
         this model (Keras semantics: the model owns its weights)."""
+        dataset = x
+        if y is not None or isinstance(x, (np.ndarray, jax.Array)):
+            if y is None:
+                raise ValueError(
+                    "array-form fit(x) needs targets: fit(x, y, ...)")
+            arrays = [x, y] + ([sample_weight] if sample_weight is not None
+                               else [])
+            if validation_split:
+                if not 0.0 < validation_split < 1.0:
+                    raise ValueError(
+                        f"validation_split must be in (0, 1), got "
+                        f"{validation_split}")
+                n = np.asarray(x).shape[0]
+                split = n - int(n * validation_split)
+                if split == 0 or split == n:
+                    raise ValueError(
+                        f"validation_split={validation_split} leaves an "
+                        f"empty train or validation set for {n} samples")
+                val = [np.asarray(a)[split:] for a in arrays]
+                arrays = [np.asarray(a)[:split] for a in arrays]
+                kwargs.setdefault(
+                    "validation_data",
+                    _ArrayBatcher(val, batch_size, shuffle=False))
+            dataset = _ArrayBatcher(arrays, batch_size, shuffle=shuffle,
+                                    seed=seed)
         try:
             return self.trainer.fit(dataset, **kwargs)
         finally:
             self.trainer.sync_model()
             self._jit_apply = None
 
-    def evaluate(self, dataset, **kwargs):
-        """``tf.keras.Model.evaluate`` — delegates to
-        :meth:`Trainer.evaluate`, returning its logs dict."""
+    def evaluate(self, x, y=None, batch_size: int = 32, sample_weight=None,
+                 **kwargs):
+        """``tf.keras.Model.evaluate`` — batch-iterable form (``y=None``)
+        or Keras array form (``y`` given; batched unshuffled) — delegates
+        to :meth:`Trainer.evaluate`, returning its logs dict."""
+        dataset = x
+        if y is not None or isinstance(x, (np.ndarray, jax.Array)):
+            if y is None:
+                raise ValueError(
+                    "array-form evaluate(x) needs targets: evaluate(x, y)")
+            arrays = [x, y] + ([sample_weight] if sample_weight is not None
+                               else [])
+            dataset = _ArrayBatcher(arrays, batch_size, shuffle=False)
         return self.trainer.evaluate(dataset, **kwargs)
 
     # -- persistence --------------------------------------------------------

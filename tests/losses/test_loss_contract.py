@@ -270,3 +270,61 @@ def test_distillation_config_roundtrip_carries_reduction():
 def test_reduce_weighted_loss_int_losses_promoted():
     got = reduce_weighted_loss(np.array([1, 2, 3]), np.array([1.0, 0.5, 0.0]))
     assert float(got) == pytest.approx((1 + 1.0 + 0.0) / 3, rel=1e-6)
+
+
+# --- BinaryCrossentropy (tf.keras value pins) --------------------------------
+
+class TestBinaryCrossentropy:
+    _Y = np.array([[0.0, 1.0], [1.0, 0.0], [1.0, 1.0]], np.float32)
+    _P = np.array([[0.1, 0.8], [0.6, 0.3], [0.95, 0.05]], np.float32)
+    _Z = np.array([[-2.0, 1.5], [0.4, -0.7], [3.0, -3.0]], np.float32)
+
+    def test_probabilities_match_tf(self):
+        from chambers_tpu.losses import BinaryCrossentropy
+        got = float(BinaryCrossentropy()(self._Y, self._P))
+        if tf is not None:
+            want = float(tf.keras.losses.BinaryCrossentropy()(
+                self._Y, self._P))
+        else:
+            want = 0.6931817  # tf.keras oracle
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_logits_match_tf(self):
+        from chambers_tpu.losses import BinaryCrossentropy
+        got = float(BinaryCrossentropy(from_logits=True)(self._Y, self._Z))
+        if tf is not None:
+            want = float(tf.keras.losses.BinaryCrossentropy(
+                from_logits=True)(self._Y, self._Z))
+        else:
+            want = 1.4509394  # tf.keras oracle
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_label_smoothing_matches_tf(self):
+        from chambers_tpu.losses import BinaryCrossentropy
+        got = float(BinaryCrossentropy(label_smoothing=0.2)(self._Y, self._P))
+        if tf is not None:
+            want = float(tf.keras.losses.BinaryCrossentropy(
+                label_smoothing=0.2)(self._Y, self._P))
+        else:
+            want = 0.8157518  # tf.keras oracle
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_sample_weight_and_sum_reduction(self):
+        from chambers_tpu.losses import BinaryCrossentropy
+        w = np.array([1.0, 0.0, 2.0], np.float32)
+        per = np.asarray(BinaryCrossentropy(reduction="none")(
+            self._Y, self._P))
+        got = float(BinaryCrossentropy(reduction="sum")(
+            self._Y, self._P, sample_weight=w))
+        assert got == pytest.approx(float((per * w).sum()), rel=1e-5)
+        got_sobs = float(BinaryCrossentropy()(self._Y, self._P,
+                                              sample_weight=w))
+        assert got_sobs == pytest.approx(float((per * w).sum() / 3),
+                                         rel=1e-5)
+
+    def test_clipping_saturated_probabilities_finite(self):
+        from chambers_tpu.losses import BinaryCrossentropy
+        y = np.array([[1.0, 0.0]], np.float32)
+        p = np.array([[0.0, 1.0]], np.float32)  # exactly wrong, saturated
+        got = float(BinaryCrossentropy()(y, p))
+        assert np.isfinite(got)  # eps clip, Keras backend semantics

@@ -173,3 +173,120 @@ class TestCompileFitEvaluate:
             return jnp.mean(jnp.max(yp, axis=-1))
         model.compile("adam", "mse", metrics=[top_logit])
         assert "top_logit" in model.trainer.metrics
+
+
+class TestStringMetrics:
+    def test_accuracy_infers_sparse_from_loss(self):
+        model = _model()
+        model.compile("adam", "sparse_categorical_crossentropy",
+                      metrics=["accuracy"])
+        logs = model.evaluate(_data())
+        assert "accuracy" in logs  # reported under the user's string
+        assert 0.0 <= logs["accuracy"] <= 1.0
+
+    def test_accuracy_not_inferable_raises(self):
+        model = _model()
+        with pytest.raises(ValueError, match="infer"):
+            model.compile("adam", "mse", metrics=["accuracy"])
+
+    def test_explicit_strings_resolve(self):
+        from chambers_tpu import metrics as M
+
+        model = _model()
+        model.compile(
+            "adam", "sparse_categorical_crossentropy",
+            metrics=["sparse_categorical_accuracy",
+                     M.SparseTopKCategoricalAccuracy(k=2)])
+        logs = model.evaluate(_data())
+        assert "sparse_categorical_accuracy" in logs
+        assert "sparse_top_k_categorical_accuracy" in logs
+
+    def test_unknown_metric_string_raises(self):
+        model = _model()
+        with pytest.raises(ValueError, match="unknown metric string"):
+            model.compile("adam", "mse", metrics=["nope"])
+
+    def test_binary_crossentropy_string_and_accuracy(self):
+        module = _Net(classes=1)
+        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8)))
+        model = Model(module, variables)
+        model.compile("adam", "binary_crossentropy", metrics=["accuracy"])
+        rng = np.random.RandomState(0)
+        x = rng.randn(32, 8).astype(np.float32)
+        y = rng.randint(0, 2, size=(32, 1)).astype(np.float32)
+        logs = model.evaluate([(x, y)])
+        assert "accuracy" in logs and np.isfinite(logs["loss"])
+
+
+class TestArrayFormFit:
+    def test_fit_arrays_trains_and_splits(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(80, 8).astype(np.float32)
+        # learnable targets (a fixed linear rule), so the loss must descend
+        y = np.argmax(x[:, :4] + 0.1 * rng.randn(80, 4), axis=1) \
+            .astype(np.int32)
+        model = _model()
+        model.compile("adam", "sparse_categorical_crossentropy",
+                      metrics=["accuracy"])
+        history = model.fit(x, y, batch_size=16, epochs=3,
+                            validation_split=0.25, verbose=False)
+        assert len(history) == 3
+        # Keras semantics: val metrics present, split taken from the tail
+        assert "val_loss" in history[-1] and "val_accuracy" in history[-1]
+        assert history[-1]["loss"] < history[0]["loss"]  # it actually trains
+
+    def test_fit_arrays_requires_targets(self):
+        model = _model()
+        model.compile("adam", "mse")
+        with pytest.raises(ValueError, match="needs targets"):
+            model.fit(np.zeros((8, 8), np.float32))
+
+    def test_validation_split_bounds_checked(self):
+        model = _model()
+        model.compile("adam", "sparse_categorical_crossentropy")
+        x = np.zeros((8, 8), np.float32)
+        y = np.zeros((8,), np.int32)
+        with pytest.raises(ValueError, match="validation_split"):
+            model.fit(x, y, validation_split=1.5)
+
+    def test_shuffle_reshuffles_per_epoch_seeded(self):
+        from chambers_tpu.models.model import _ArrayBatcher
+
+        x = np.arange(12, dtype=np.float32)[:, None]
+        y = np.arange(12, dtype=np.int32)
+        b = _ArrayBatcher([x, y], batch_size=4, shuffle=True, seed=7)
+        ep1 = np.concatenate([yy for _, yy in b])
+        ep2 = np.concatenate([yy for _, yy in b])
+        assert sorted(ep1) == list(range(12)) == sorted(ep2)
+        assert not np.array_equal(ep1, ep2)  # reshuffled between epochs
+        b2 = _ArrayBatcher([x, y], batch_size=4, shuffle=True, seed=7)
+        np.testing.assert_array_equal(
+            ep1, np.concatenate([yy for _, yy in b2]))  # seeded, reproducible
+
+    def test_evaluate_arrays_matches_iterable_form(self):
+        rng = np.random.RandomState(2)
+        x = rng.randn(48, 8).astype(np.float32)
+        y = rng.randint(0, 4, size=(48,)).astype(np.int32)
+        model = _model()
+        model.compile("adam", "sparse_categorical_crossentropy",
+                      metrics=["accuracy"])
+        a = model.evaluate(x, y, batch_size=16, verbose=False)
+        b = model.evaluate([(x[i:i + 16], y[i:i + 16])
+                            for i in range(0, 48, 16)], verbose=False)
+        assert a["loss"] == pytest.approx(b["loss"], rel=1e-6)
+        assert a["accuracy"] == pytest.approx(b["accuracy"], rel=1e-6)
+
+    def test_sample_weight_array_threads_through(self):
+        rng = np.random.RandomState(3)
+        x = rng.randn(32, 8).astype(np.float32)
+        y = rng.randint(0, 4, size=(32,)).astype(np.int32)
+        w = np.zeros((32,), np.float32)
+        w[:16] = 1.0
+        model = _model()
+        model.compile("adam", "sparse_categorical_crossentropy")
+        weighted = model.evaluate(x, y, batch_size=32, sample_weight=w,
+                                  verbose=False)
+        half = model.evaluate(x[:16], y[:16], batch_size=16, verbose=False)
+        # zero-weighted tail contributes nothing: sum(w*l)/n == half-sum/32
+        assert weighted["loss"] == pytest.approx(half["loss"] * 16 / 32,
+                                                 rel=1e-5)
