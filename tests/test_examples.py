@@ -107,3 +107,12 @@ def test_finetune_lora_example(capsys):
     out = capsys.readouterr().out
     assert "frozen backbone unchanged: True" in out
     assert "merge max|delta|: 0.0" in out
+
+
+def test_train_keras_frontdoor_example(capsys):
+    _run_example("train_keras_frontdoor.py", [
+        "--n", "48", "--size", "16", "--batch", "16", "--epochs", "1",
+        "--cpu",
+    ])
+    out = capsys.readouterr().out
+    assert "final:" in out and "accuracy=" in out and "predictions=" in out
