@@ -290,3 +290,49 @@ class TestArrayFormFit:
         # zero-weighted tail contributes nothing: sum(w*l)/n == half-sum/32
         assert weighted["loss"] == pytest.approx(half["loss"] * 16 / 32,
                                                  rel=1e-5)
+
+
+class TestArrayFormComposition:
+    def test_array_fit_windowed_equals_unwindowed(self):
+        """_ArrayBatcher composes with steps_per_execution>1: same seeded
+        reshuffle stream, so the window scan must reproduce the per-step
+        losses exactly."""
+        rng = np.random.RandomState(5)
+        x = rng.randn(64, 8).astype(np.float32)
+        y = rng.randint(0, 4, size=(64,)).astype(np.int32)
+
+        def run(spe):
+            model = _model(seed=3)
+            model.compile(optax.sgd(1e-2),
+                          "sparse_categorical_crossentropy",
+                          metrics=["accuracy"],
+                          steps_per_execution=spe)
+            return model.fit(x, y, batch_size=16, epochs=2, seed=11,
+                             verbose=False)
+        h1, h4 = run(1), run(4)
+        for a, b in zip(h1, h4):
+            assert a["loss"] == pytest.approx(b["loss"], rel=1e-6)
+            assert a["accuracy"] == pytest.approx(b["accuracy"], rel=1e-6)
+
+    def test_array_fit_on_dp_mesh(self):
+        """Array-form fit through compile(mesh=): batches shard over the
+        data axis; loss matches the single-device run exactly."""
+        import jax
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices()[:8])
+        rng = np.random.RandomState(6)
+        x = rng.randn(64, 8).astype(np.float32)
+        y = rng.randint(0, 4, size=(64,)).astype(np.int32)
+
+        def run(mesh):
+            model = _model(seed=4)
+            model.compile(optax.sgd(1e-2),
+                          "sparse_categorical_crossentropy", mesh=mesh)
+            return model.fit(x, y, batch_size=16, epochs=1, seed=13,
+                             shuffle=False, verbose=False)
+        single = run(None)
+        with Mesh(devs, ("data",)) as mesh:
+            sharded = run(mesh)
+        assert single[-1]["loss"] == pytest.approx(
+            sharded[-1]["loss"], rel=1e-5)
