@@ -312,16 +312,17 @@ class EarlyStopping(Callback):
                 f"the epoch logs {sorted(logs)}", stacklevel=2)
             return
         value = _scalarize(logs[self.monitor])
+        # tf.keras contract, operation order included: wait increments
+        # BEFORE the improvement check and resets on improvement, then
+        # `wait >= patience` (never on the very first epoch) stops — so
+        # patience=0 stops at epoch 1 even while the metric improves,
+        # exactly as tf.keras does.
+        self._wait += 1
         if self._improved(value):
             self._best = value
             self._wait = 0
             if self.restore_best_weights:
                 self._best_weights = self.model.get_weights()
-            return
-        self._wait += 1
-        # tf.keras contract: stop once `wait >= patience` (and never on the
-        # very first epoch) — patience epochs without an improvement ends
-        # training.
         if self._wait >= self.patience and epoch > 0:
             self.stopped_epoch = epoch
             self.model.stop_training = True

@@ -354,7 +354,8 @@ class Model:
                         f"validation_split must be in (0, 1), got "
                         f"{validation_split}")
                 n = np.asarray(x).shape[0]
-                split = n - int(n * validation_split)
+                # Keras boundary: train on int(n·(1−split)) samples
+                split = int(n * (1.0 - validation_split))
                 if split == 0 or split == n:
                     raise ValueError(
                         f"validation_split={validation_split} leaves an "
@@ -366,6 +367,11 @@ class Model:
                     _ArrayBatcher(val, batch_size, shuffle=False))
             dataset = _ArrayBatcher(arrays, batch_size, shuffle=shuffle,
                                     seed=seed)
+        elif sample_weight is not None:
+            raise ValueError(
+                "sample_weight= only applies to array-form fit(x, y, ...); "
+                "for a batch-iterable dataset yield (x, y, sample_weight) "
+                "elements instead")
         try:
             return self.trainer.fit(dataset, **kwargs)
         finally:
@@ -385,6 +391,11 @@ class Model:
             arrays = [x, y] + ([sample_weight] if sample_weight is not None
                                else [])
             dataset = _ArrayBatcher(arrays, batch_size, shuffle=False)
+        elif sample_weight is not None:
+            raise ValueError(
+                "sample_weight= only applies to array-form evaluate(x, y); "
+                "for a batch-iterable dataset yield (x, y, sample_weight) "
+                "elements instead")
         return self.trainer.evaluate(dataset, **kwargs)
 
     # -- persistence --------------------------------------------------------

@@ -63,10 +63,12 @@ def host_local_batch_to_global(batch, mesh, axis: str = "data",
     over ``axis`` — the multi-host equivalent of
     ``chambers_tpu.parallel.shard_batch``.
 
-    ``batch_axis``: which array axis carries the batch (sharded) dimension.
-    The Trainer's ``steps_per_execution`` windows are ``[n_steps, batch,
-    ...]`` stacks, sharded on axis 1 so each scanned step slices a
-    data-parallel batch without any resharding.
+    ``batch_axis``: which array axis carries the batch (sharded) dimension;
+    0 for ordinary ``[batch, ...]`` arrays (every in-repo caller, including
+    the Trainer's per-batch placement — its ``steps_per_execution``
+    ``[n_steps, batch, ...]`` window stack happens INSIDE the jitted
+    program, where the axis-1 sharding propagates from these axis-0
+    placements rather than through this function).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 

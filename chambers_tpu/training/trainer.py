@@ -47,6 +47,25 @@ class TrainState:
     ema_params: Any = None
 
 
+class _PushbackIterator:
+    """Iterator wrapper with one-batch pushback (window boundary cuts)."""
+
+    def __init__(self, it):
+        self._it = iter(it)
+        self._stack = []
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._stack:
+            return self._stack.pop()
+        return next(self._it)
+
+    def push(self, item):
+        self._stack.append(item)
+
+
 class _DevicePrefetcher:
     """Async host→device double buffering over a batch iterator.
 
@@ -476,8 +495,16 @@ class Trainer:
 
         def _metric_logs(y, y_pred, metric_states, sw=None):
             logs = {name: fn(y, y_pred) for name, fn in self._metric_fns.items()}
+            if self._weighted_metric_fns and sw is None:
+                # Keras weighted_metrics degrade to unweighted (weights of
+                # ones) when the dataset carries no weights — callables must
+                # never see None
+                batch = jax.tree.leaves(y_pred)[0].shape[0]
+                sw_fns = jnp.ones((batch,), jnp.float32)
+            else:
+                sw_fns = sw
             logs.update({
-                name: fn(y, y_pred, sw)
+                name: fn(y, y_pred, sw_fns)
                 for name, fn in self._weighted_metric_fns.items()
             })
             new_states = {
@@ -686,8 +713,11 @@ class Trainer:
         per-sample weights host-side (exactly what the Keras data adapter
         does) and MULTIPLIES with an element weight when both are present.
         Classes absent from the dict weight 1.0; labels outside the dict's
-        index range raise. One-hot/probabilistic rank-2 targets use argmax;
-        rank>2 targets are rejected (Keras: class_weight supports rank<=2).
+        index range raise. ``[b, 1]`` integer-label columns squeeze (the
+        Keras squeeze-or-expand rule — argmax over a size-1 axis would map
+        every label to class 0); wider rank-2 (one-hot/probabilistic)
+        targets use argmax; rank>2 targets are rejected (Keras:
+        class_weight supports rank<=2).
         """
         table = None
         if class_weight is not None:
@@ -715,7 +745,12 @@ class Trainer:
                         "class_weight= supports integer [b] or one-hot "
                         f"[b, classes] targets, got rank {yarr.ndim}"
                     )
-                idx = (yarr.argmax(-1) if yarr.ndim == 2 else yarr)
+                if yarr.ndim == 2 and yarr.shape[-1] == 1:
+                    idx = yarr[:, 0]
+                elif yarr.ndim == 2:
+                    idx = yarr.argmax(-1)
+                else:
+                    idx = yarr
                 idx = np.asarray(idx, np.int64)
                 if idx.size and idx.max() >= table.size:
                     raise ValueError(
@@ -737,8 +772,37 @@ class Trainer:
     # -- steps_per_execution windows ----------------------------------------
     @staticmethod
     def _collect_window(it, n):
-        """Pull up to ``n`` host batches; [] at stream end."""
-        return list(itertools.islice(it, n))
+        """Pull up to ``n`` same-shaped host batches; [] at stream end.
+
+        A window is one ``lax.scan`` over a ``[n, batch, ...]`` stack, so
+        every batch in it must have identical shapes. A partial tail batch
+        (Keras array-form ``fit`` emits one whenever ``n % batch_size``)
+        ends the window early and is pushed back — it runs as its own
+        (shorter) window instead of crashing the stack. ``it`` must be a
+        :class:`_PushbackIterator` (the windowed paths always wrap)."""
+        batches = []
+        shapes = None
+        for _ in range(n):
+            try:
+                b = next(it)
+            except StopIteration:
+                break
+            s = jax.tree.map(np.shape, b)
+            if shapes is None:
+                shapes = s
+            elif s != shapes:
+                # a sw-presence flip is a malformed dataset, not a tail
+                # batch — keep the loud error (window cuts would silently
+                # "handle" it)
+                if (b[2] is None) != (batches[0][2] is None):
+                    raise ValueError(
+                        "a steps_per_execution window mixes weighted "
+                        "(x, y, w) and unweighted (x, y) batches — the "
+                        "dataset must be consistent")
+                it.push(b)
+                break
+            batches.append(b)
+        return batches
 
     def _place_window(self, batches):
         """Place a list of host ``(x, y, sw)`` batches for one window.
@@ -882,7 +946,7 @@ class Trainer:
         persistent_it = None
         if steps_per_epoch is not None:
             raw = drained(make_stream())
-            persistent_it = (raw if windowed
+            persistent_it = (_PushbackIterator(raw) if windowed
                              else _DevicePrefetcher(raw, self._place_batch))
 
         for epoch in range(initial_epoch, epochs):
@@ -895,8 +959,8 @@ class Trainer:
             else:
                 it = (drained(make_stream()) if epoch == initial_epoch
                       else make_stream())
-                if not windowed:
-                    it = _DevicePrefetcher(it, self._place_batch)
+                it = (_PushbackIterator(it) if windowed
+                      else _DevicePrefetcher(it, self._place_batch))
             step = 0
             any_batch = False
             while ((steps_per_epoch is None or step < steps_per_epoch)
@@ -910,7 +974,8 @@ class Trainer:
                     if not batches:
                         if persistent_it is None:
                             break
-                        persistent_it = it = make_stream()  # restart stream
+                        persistent_it = it = _PushbackIterator(
+                            make_stream())  # restart stream
                         batches = self._collect_window(it, w_target)
                         if not batches:
                             break  # dataset is empty
@@ -1038,6 +1103,7 @@ class Trainer:
         bounded_raw = itertools.islice(
             self._normalized_stream(iter(dataset)), steps)
         if self._spe > 1:
+            bounded_raw = _PushbackIterator(bounded_raw)
             step = 0
             while True:
                 batches = self._collect_window(bounded_raw, self._spe)

@@ -278,3 +278,165 @@ def test_paired_giou_matches_pairwise_diagonal():
     paired = np.asarray(paired_generalized_box_iou(jnp.asarray(a), jnp.asarray(b)))
     diag = np.diagonal(np.asarray(generalized_box_iou(jnp.asarray(a), jnp.asarray(b))))
     np.testing.assert_allclose(paired, diag, atol=1e-6)
+
+
+# --- round-5 review findings -------------------------------------------------
+
+class _TinyNet(nn.Module):
+    classes: int = 3
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        return nn.Dense(self.classes)(x)
+
+
+def _tiny_model(classes=3, seed=0):
+    module = _TinyNet(classes=classes)
+    variables = module.init(jax.random.PRNGKey(seed), jnp.zeros((1, 4)))
+    return Model(module, variables)
+
+
+def test_windowed_fit_survives_partial_tail_batch():
+    """steps_per_execution>1 + a partial tail batch: the window must cut at
+    the shape boundary (and push the tail into its own window) instead of
+    crashing jnp.stack. n=72 @ batch 16 -> batches 16,16,16,16,8."""
+    from chambers_tpu.losses import SparseCategoricalCrossentropy
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(72, 4).astype(np.float32)
+    y = rng.randint(0, 3, size=(72,)).astype(np.int32)
+
+    def run(spe):
+        model = _tiny_model()
+        model.compile(optax.sgd(1e-2),
+                      SparseCategoricalCrossentropy(from_logits=True),
+                      steps_per_execution=spe)
+        return model.fit(x, y, batch_size=16, epochs=2, shuffle=False,
+                         verbose=False)
+
+    h1, h3 = run(1), run(3)
+    for a, b in zip(h1, h3):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+
+
+def test_windowed_evaluate_survives_partial_tail_batch():
+    from chambers_tpu.losses import SparseCategoricalCrossentropy
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(40, 4).astype(np.float32)
+    y = rng.randint(0, 3, size=(40,)).astype(np.int32)
+
+    def run(spe):
+        model = _tiny_model()
+        model.compile(optax.sgd(1e-2),
+                      SparseCategoricalCrossentropy(from_logits=True),
+                      steps_per_execution=spe)
+        return model.evaluate(x, y, batch_size=16, verbose=False)
+
+    np.testing.assert_allclose(run(1)["loss"], run(4)["loss"], rtol=1e-6)
+
+
+def test_class_weight_label_column_squeezes():
+    """[b, 1] integer label columns must weight by the LABEL, not by
+    argmax-over-one-column (which is always class 0)."""
+    from chambers_tpu.losses import SparseCategoricalCrossentropy
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(16, 4).astype(np.float32)
+    y = rng.randint(0, 3, size=(16,)).astype(np.int32)
+    cw = {0: 5.0, 1: 1.0, 2: 1.0}
+    loss = SparseCategoricalCrossentropy(from_logits=True)
+
+    def run(labels):
+        trainer = Trainer(_tiny_model(), loss=loss,
+                          optimizer=optax.sgd(1e-2))
+        hist = trainer.fit([(x, labels)], epochs=1, verbose=False,
+                           class_weight=cw)
+        return hist[0]["loss"]
+
+    np.testing.assert_allclose(run(y[:, None]), run(y), rtol=1e-6)
+
+
+def test_weighted_metric_callable_on_unweighted_dataset():
+    """weighted_metrics callables degrade to weights-of-ones when the
+    dataset carries no sample weights (Keras), instead of crashing on
+    sample_weight=None."""
+    def weighted_mae(y_true, y_pred, sw):
+        err = jnp.abs(y_pred[jnp.arange(y_pred.shape[0]), y_true])
+        return jnp.sum(err * sw) / jnp.sum(sw)
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(8, 4).astype(np.float32)
+    y = rng.randint(0, 3, size=(8,)).astype(np.int32)
+    from chambers_tpu.losses import SparseCategoricalCrossentropy
+
+    trainer = Trainer(_tiny_model(),
+                      loss=SparseCategoricalCrossentropy(from_logits=True),
+                      optimizer=optax.sgd(1e-2),
+                      weighted_metrics={"w_mae": weighted_mae})
+    logs = trainer.evaluate([(x, y)], verbose=False)
+    ones = trainer.evaluate([(x, y, np.ones(8, np.float32))], verbose=False)
+    np.testing.assert_allclose(logs["w_mae"], ones["w_mae"], rtol=1e-6)
+
+
+def test_facade_rejects_sample_weight_with_iterable():
+    import pytest
+
+    model = _tiny_model()
+    model.compile("adam", "mse")
+    batches = [(np.zeros((4, 4), np.float32), np.zeros((4, 3), np.float32))]
+    w = np.ones(4, np.float32)
+    with pytest.raises(ValueError, match="sample_weight"):
+        model.fit(batches, sample_weight=w)
+    with pytest.raises(ValueError, match="sample_weight"):
+        model.evaluate(batches, sample_weight=w)
+
+
+def test_validation_split_keras_boundary():
+    """Keras trains on int(n*(1-split)): n=10, split=0.33 -> 6 train / 4 val."""
+    from chambers_tpu.models.model import _ArrayBatcher  # noqa: F401
+
+    seen = {}
+
+    class _SpyBatcher(list):
+        pass
+
+    model = _tiny_model()
+    model.compile(optax.sgd(1e-2), "mse")
+    x = np.random.RandomState(4).randn(10, 4).astype(np.float32)
+    y = np.zeros((10, 3), np.float32)
+    orig_fit = model.trainer.fit
+
+    def spy_fit(dataset, **kw):
+        seen["train_n"] = dataset.n
+        seen["val_n"] = kw["validation_data"].n
+        return orig_fit(dataset, **kw)
+
+    model.trainer.fit = spy_fit
+    try:
+        model.fit(x, y, batch_size=5, epochs=1, validation_split=0.33,
+                  verbose=False)
+    finally:
+        model.trainer.fit = orig_fit
+    assert seen == {"train_n": 6, "val_n": 4}
+
+
+def test_early_stopping_patience_zero_stops_at_epoch_one():
+    """tf.keras order of operations: patience=0 stops at epoch 1 even on a
+    monotonically improving metric (wait=0 >= patience=0)."""
+    from chambers_tpu.callbacks import EarlyStopping
+
+    class _Stub:
+        stop_training = False
+
+        def get_weights(self):
+            return {}
+
+    es = EarlyStopping(monitor="val_loss", patience=0)
+    stub = _Stub()
+    es.set_model(stub)
+    es.on_train_begin()
+    es.on_epoch_end(0, {"val_loss": 1.0})
+    assert not stub.stop_training  # never on the very first epoch
+    es.on_epoch_end(1, {"val_loss": 0.5})  # improving — still stops
+    assert stub.stop_training and es.stopped_epoch == 1
