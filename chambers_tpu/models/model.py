@@ -342,6 +342,12 @@ class Model:
         ``class_weight``, ...) and copies the trained variables back into
         this model (Keras semantics: the model owns its weights)."""
         dataset = x
+        # Keras validation_data=(x_val, y_val[, w_val]) tuple-of-arrays form
+        val = kwargs.get("validation_data")
+        if (isinstance(val, (tuple, list)) and len(val) in (2, 3)
+                and all(isinstance(a, (np.ndarray, jax.Array)) for a in val)):
+            kwargs["validation_data"] = _ArrayBatcher(
+                list(val), batch_size, shuffle=False)
         if y is not None or isinstance(x, (np.ndarray, jax.Array)):
             if y is None:
                 raise ValueError(

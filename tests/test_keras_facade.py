@@ -336,3 +336,23 @@ class TestArrayFormComposition:
             sharded = run(mesh)
         assert single[-1]["loss"] == pytest.approx(
             sharded[-1]["loss"], rel=1e-5)
+
+    def test_validation_data_tuple_of_arrays(self):
+        """Keras validation_data=(x_val, y_val) tuple form batches
+        unshuffled — equal to passing the batch-iterable form."""
+        rng = np.random.RandomState(7)
+        x = rng.randn(48, 8).astype(np.float32)
+        y = rng.randint(0, 4, size=(48,)).astype(np.int32)
+        xv = rng.randn(16, 8).astype(np.float32)
+        yv = rng.randint(0, 4, size=(16,)).astype(np.int32)
+
+        def run(val):
+            model = _model(seed=8)
+            model.compile(optax.sgd(1e-2),
+                          "sparse_categorical_crossentropy")
+            return model.fit(x, y, batch_size=16, epochs=1, shuffle=False,
+                             validation_data=val, verbose=False)
+        a = run((xv, yv))
+        b = run([(xv, yv)])
+        assert a[-1]["val_loss"] == pytest.approx(b[-1]["val_loss"],
+                                                  rel=1e-6)
