@@ -103,8 +103,21 @@ class Model:
             self.variables, x, deterministic=deterministic, rngs=rngs
         )
 
-    def predict(self, x, batch_size: int = 32):
-        """Batched jitted inference over a host array (pads the tail batch)."""
+    def predict(self, x, batch_size: int = 32, mesh=None):
+        """Batched jitted inference over a host array (pads the tail batch).
+
+        ``mesh``: shard each batch's leading axis over the mesh's ``data``
+        axis (data-parallel inference). Defaults to the mesh the model was
+        :meth:`compile`-d with, if any — a DP-trained model predicts DP
+        without extra plumbing."""
+        if mesh is None:
+            trainer = getattr(self, "_trainer", None)
+            mesh = getattr(trainer, "mesh", None)
+        place = None
+        if mesh is not None:
+            from chambers_tpu.parallel import shard_batch
+
+            place = lambda b: shard_batch(b, mesh)
         if self._jit_apply is None:
             self._jit_apply = jax.jit(
                 lambda v, b: self.apply_fn(v, b, deterministic=True)
@@ -126,7 +139,8 @@ class Model:
             pad = batch_size - batch.shape[0]
             if pad:
                 batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)], 0)
-            out = self._jit_apply(self.variables, jnp.asarray(batch))
+            placed = place(jnp.asarray(batch)) if place else jnp.asarray(batch)
+            out = self._jit_apply(self.variables, placed)
             out = jax.tree.map(np.asarray, out)
             if pad:
                 out = jax.tree.map(lambda o: o[: batch_size - pad], out)
@@ -385,10 +399,14 @@ class Model:
             self._jit_apply = None
 
     def evaluate(self, x, y=None, batch_size: int = 32, sample_weight=None,
-                 **kwargs):
+                 return_dict: bool = False, **kwargs):
         """``tf.keras.Model.evaluate`` — batch-iterable form (``y=None``)
         or Keras array form (``y`` given; batched unshuffled) — delegates
-        to :meth:`Trainer.evaluate`, returning its logs dict."""
+        to :meth:`Trainer.evaluate`.
+
+        Keras return contract: the scalar loss, or ``[loss, *metrics]``
+        in compile order when metrics exist; ``return_dict=True`` returns
+        the named logs dict instead (``Trainer.evaluate``'s native form)."""
         dataset = x
         if y is not None or isinstance(x, (np.ndarray, jax.Array)):
             if y is None:
@@ -402,7 +420,13 @@ class Model:
                 "sample_weight= only applies to array-form evaluate(x, y); "
                 "for a batch-iterable dataset yield (x, y, sample_weight) "
                 "elements instead")
-        return self.trainer.evaluate(dataset, **kwargs)
+        logs = self.trainer.evaluate(dataset, **kwargs)
+        if return_dict:
+            return logs
+        names = (list(self.trainer.metrics)
+                 + list(self.trainer.weighted_metrics))
+        values = [logs["loss"]] + [logs[n] for n in names if n in logs]
+        return values[0] if len(values) == 1 else values
 
     # -- persistence --------------------------------------------------------
     def save_weights(self, path: str):

@@ -60,7 +60,8 @@ def main():
                   steps_per_execution=args.steps_per_execution)
     history = model.fit(x, y, batch_size=args.batch, epochs=args.epochs,
                         validation_split=0.25, shuffle=True)
-    logs = model.evaluate(x, y, batch_size=args.batch, verbose=False)
+    logs = model.evaluate(x, y, batch_size=args.batch, verbose=False,
+                          return_dict=True)
     preds = model.predict(x[: args.batch], batch_size=args.batch)
     # ----------------------------------------------------------------------
 

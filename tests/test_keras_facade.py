@@ -124,7 +124,7 @@ class TestCompileFitEvaluate:
         model.compile(optax.adam(1e-3),
                       SparseCategoricalCrossentropy(from_logits=True),
                       metrics={"acc": SparseCategoricalAccuracy()})
-        logs = model.evaluate(_data(), verbose=False)
+        logs = model.evaluate(_data(), verbose=False, return_dict=True)
         assert "loss" in logs and "acc" in logs
         assert np.isfinite(logs["loss"])
 
@@ -180,7 +180,7 @@ class TestStringMetrics:
         model = _model()
         model.compile("adam", "sparse_categorical_crossentropy",
                       metrics=["accuracy"])
-        logs = model.evaluate(_data())
+        logs = model.evaluate(_data(), return_dict=True)
         assert "accuracy" in logs  # reported under the user's string
         assert 0.0 <= logs["accuracy"] <= 1.0
 
@@ -197,7 +197,7 @@ class TestStringMetrics:
             "adam", "sparse_categorical_crossentropy",
             metrics=["sparse_categorical_accuracy",
                      M.SparseTopKCategoricalAccuracy(k=2)])
-        logs = model.evaluate(_data())
+        logs = model.evaluate(_data(), return_dict=True)
         assert "sparse_categorical_accuracy" in logs
         assert "sparse_top_k_categorical_accuracy" in logs
 
@@ -214,7 +214,7 @@ class TestStringMetrics:
         rng = np.random.RandomState(0)
         x = rng.randn(32, 8).astype(np.float32)
         y = rng.randint(0, 2, size=(32, 1)).astype(np.float32)
-        logs = model.evaluate([(x, y)])
+        logs = model.evaluate([(x, y)], return_dict=True)
         assert "accuracy" in logs and np.isfinite(logs["loss"])
 
 
@@ -270,9 +270,11 @@ class TestArrayFormFit:
         model = _model()
         model.compile("adam", "sparse_categorical_crossentropy",
                       metrics=["accuracy"])
-        a = model.evaluate(x, y, batch_size=16, verbose=False)
+        a = model.evaluate(x, y, batch_size=16, verbose=False,
+                           return_dict=True)
         b = model.evaluate([(x[i:i + 16], y[i:i + 16])
-                            for i in range(0, 48, 16)], verbose=False)
+                            for i in range(0, 48, 16)], verbose=False,
+                           return_dict=True)
         assert a["loss"] == pytest.approx(b["loss"], rel=1e-6)
         assert a["accuracy"] == pytest.approx(b["accuracy"], rel=1e-6)
 
@@ -285,8 +287,9 @@ class TestArrayFormFit:
         model = _model()
         model.compile("adam", "sparse_categorical_crossentropy")
         weighted = model.evaluate(x, y, batch_size=32, sample_weight=w,
-                                  verbose=False)
-        half = model.evaluate(x[:16], y[:16], batch_size=16, verbose=False)
+                                  verbose=False, return_dict=True)
+        half = model.evaluate(x[:16], y[:16], batch_size=16, verbose=False,
+                              return_dict=True)
         # zero-weighted tail contributes nothing: sum(w*l)/n == half-sum/32
         assert weighted["loss"] == pytest.approx(half["loss"] * 16 / 32,
                                                  rel=1e-5)
@@ -356,3 +359,44 @@ class TestArrayFormComposition:
         b = run([(xv, yv)])
         assert a[-1]["val_loss"] == pytest.approx(b[-1]["val_loss"],
                                                   rel=1e-6)
+
+
+class TestKerasReturnContract:
+    def test_evaluate_returns_list_in_compile_order(self):
+        """Keras default: evaluate -> [loss, *metrics] (compile order), so
+        `loss, acc = model.evaluate(...)` works unchanged."""
+        from chambers_tpu import metrics as M
+
+        model = _model()
+        model.compile("adam", "sparse_categorical_crossentropy",
+                      metrics=["accuracy", M.SparseTopKCategoricalAccuracy(k=2)])
+        out = model.evaluate(_data(), verbose=False)
+        assert isinstance(out, list) and len(out) == 3
+        logs = model.evaluate(_data(), verbose=False, return_dict=True)
+        assert out[0] == pytest.approx(logs["loss"])
+        assert out[1] == pytest.approx(logs["accuracy"])
+        assert out[2] == pytest.approx(
+            logs["sparse_top_k_categorical_accuracy"])
+
+    def test_evaluate_returns_scalar_without_metrics(self):
+        model = _model()
+        model.compile("adam", "sparse_categorical_crossentropy")
+        out = model.evaluate(_data(), verbose=False)
+        assert np.isscalar(out) or isinstance(out, float)
+
+    def test_predict_uses_compiled_mesh(self):
+        """A model compiled with a DP mesh predicts with batches sharded
+        over the data axis — outputs identical to single-device."""
+        from jax.sharding import Mesh
+
+        rng = np.random.RandomState(9)
+        x = rng.randn(32, 8).astype(np.float32)
+        model = _model(seed=10)
+        single = model.predict(x, batch_size=16)
+        devs = np.array(jax.devices()[:8])
+        with Mesh(devs, ("data",)) as mesh:
+            model.compile("adam", "sparse_categorical_crossentropy",
+                          mesh=mesh)
+            model._jit_apply = None
+            sharded = model.predict(x, batch_size=16)
+        np.testing.assert_allclose(single, sharded, atol=1e-6)

@@ -331,7 +331,8 @@ def test_windowed_evaluate_survives_partial_tail_batch():
         model.compile(optax.sgd(1e-2),
                       SparseCategoricalCrossentropy(from_logits=True),
                       steps_per_execution=spe)
-        return model.evaluate(x, y, batch_size=16, verbose=False)
+        return model.evaluate(x, y, batch_size=16, verbose=False,
+                              return_dict=True)
 
     np.testing.assert_allclose(run(1)["loss"], run(4)["loss"], rtol=1e-6)
 
